@@ -1,13 +1,481 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.pipeline.{Similarity, TextPipeline}
+import graft.search.{Engine, QueryParser, ScoringRule}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-runnable `oracleSql` for the driver's
+  * correctness gate at sf=0.01.
+  *
+  * Oracle-parity tokenizer: `[a-z0-9]+` runs of lower(text) — identical
+  * in Spark (`regexp_extract_all`) and DuckDB. The Indri-rule tokenizer
+  * (graft.analysis.Tokenizer) is the engine flagship and is pinned by
+  * the ScalaTest golden oracle instead (BASELINE.json north_star).
+  *
+  * Doubles are rounded to 6dp on BOTH sides and ordering happens on the
+  * rounded value, so cross-engine libm ULP differences cannot flip ranks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // fixed probe terms present in the synthetic documents vocabulary
+  private val BmTerms = Seq("data", "merge", "query")
+  private val PhrasePair = ("batch", "batch")
+  private val OdPair = ("hash", "scan")
+  private val UwPair = ("join", "order")
+  private val BandTerms = Seq("spark", "table", "join")
+  private val SynPair = ("sort", "filter")
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id").as("docId"), col("text").as("content"))
+
+  private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 256, numBuckets = 8)
+
+  private def buildIndex(s: SparkSession, dir: String) =
+    IndexBuilder.build(corpusDocs(s, dir), cfg)
+
+  private def engine(s: SparkSession, dir: String): Engine =
+    new Engine(s, buildIndex(s, dir), cfg.analyzer, ScoringRule(method = "okapi"))
+
+  /** Flagship: BM25 top-k on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    engine(spark, "/root/testdata/sf0.001")
+      .runQuery(s"#combine(${BmTerms.mkString(" ")})", 10)
+
+  // ------------------------------------------------------------------
+  // shared DuckDB SQL fragments
+  // ------------------------------------------------------------------
+
+  /** tokenized documents CTE (DuckDB) */
+  private val DTok =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+      |), dl AS (
+      |  SELECT doc_id, len(toks) AS doclen FROM d
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM d
+      |)""".stripMargin
+
+  private def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("(", ",", ")")
+
+  /** exact okapi BM25 SQL (k1=1.2, b=0.75, qtw=1) over the simple tokens */
+  private def bm25Sql(terms: Seq[String], k: Int): String =
+    s"""$DTok, st AS (
+       |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+       |), p AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(terms)} GROUP BY term, doc_id
+       |), ts AS (
+       |  SELECT term, count(*) AS df FROM p GROUP BY term
+       |), sc AS (
+       |  SELECT p.doc_id,
+       |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+       |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+       |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT doc_id, round(s, 6) AS score FROM sc
+       |ORDER BY round(s, 6) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** 16-bit simhash SQL, generated bit-by-bit (mirrors TextPipeline.simhash) */
+  private def simhash16Sql: String = {
+    val votes = (0 until 16).map { bit =>
+      val p = bit / 4 + 1
+      val b = 1 << (bit % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$bit"
+    }.mkString(",\n    ")
+    val sig = (0 until 16).map(bit => s"CASE WHEN v$bit > 0 THEN ${1L << bit} ELSE 0 END").mkString(" + ")
+    s"""$DTok, h AS (
+       |  SELECT doc_id, substr(md5(term), 1, 4) AS h FROM tok
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id
+       |)
+       |SELECT doc_id, ($sig)::BIGINT AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // queries (Spark side)
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- index build core (SURVEY §2.B) ----
+    "q_dictionary" -> ((s, dir) => {
+      buildIndex(s, dir).dictionary
+        .select(col("term"), col("df"), col("ctf"),
+          col("maxDocLen").cast(LongType).as("max_dl"),
+          col("minDocLen").cast(LongType).as("min_dl"))
+        .orderBy("term")
+    }),
+
+    "q_doclens" -> ((s, dir) => {
+      buildIndex(s, dir).doclens
+        .select(col("docId").as("doc_id"), col("length").cast(LongType).as("doclen"))
+        .orderBy("doc_id")
+    }),
+
+    "q_corpus_stats" -> ((s, dir) => {
+      val st = buildIndex(s, dir).stats
+      s.createDataFrame(Seq((st.totalDocs, st.totalTerms, st.uniqueTerms)))
+        .toDF("total_docs", "total_terms", "unique_terms")
+    }),
+
+    "q_term_postings" -> ((s, dir) => {
+      // dumpindex `t` analogue: one term's posting list
+      buildIndex(s, dir).postings.where(col("term") === "merge")
+        .select(col("docId").as("doc_id"), col("tf").cast(LongType).as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- BM25 top-k query core (SURVEY §2.C/D/E) ----
+    "q_bm25_topk" -> ((s, dir) => {
+      val eng = engine(s, dir)
+      val ast = QueryParser.parse(s"#combine(${BmTerms.mkString(" ")})")
+      eng.evaluate(ast).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    "q_od1_phrase" -> ((s, dir) => {
+      // #od1 ordered-window match counts (reference: OrderedWindowNode)
+      val eng = engine(s, dir)
+      val raw = eng.evaluateRaw(QueryParser.parse(s"#od1(${OdPair._1} ${OdPair._2})"))
+      raw.df.select(col("docId").as("doc_id"), size(col("begins")).cast(LongType).as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    "q_uw4_match" -> ((s, dir) => {
+      // #uw4 unordered-window matching docs (reference: UnorderedWindowNode)
+      val eng = engine(s, dir)
+      val raw = eng.evaluateRaw(QueryParser.parse(s"#uw4(${UwPair._1} ${UwPair._2})"))
+      raw.df.select(col("docId").as("doc_id")).distinct().orderBy("doc_id")
+    }),
+
+    "q_band_match" -> ((s, dir) => {
+      val eng = engine(s, dir)
+      val raw = eng.evaluateRaw(QueryParser.parse(s"#band(${BandTerms.mkString(" ")})"))
+      raw.df.select(col("docId").as("doc_id")).orderBy("doc_id")
+    }),
+
+    "q_syn_tf" -> ((s, dir) => {
+      // synonym union tf (reference: ExtentOrNode)
+      val eng = engine(s, dir)
+      val raw = eng.evaluateRaw(QueryParser.parse(s"#syn(${SynPair._1} ${SynPair._2})"))
+      raw.df.select(col("docId").as("doc_id"), size(col("begins")).cast(LongType).as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    "q_xcount" -> ((s, dir) => {
+      // dumpindex xcount/dxcount analogue for an expression
+      val eng = engine(s, dir)
+      val x = eng.expressionCount(s"#od1(${OdPair._1} ${OdPair._2})")
+      val dx = eng.documentExpressionCount(s"#od1(${OdPair._1} ${OdPair._2})")
+      s.createDataFrame(Seq((x, dx))).toDF("xcount", "dxcount")
+    }),
+
+    // ---- dedup suite ----
+    "q_dedup_exact" -> ((s, dir) =>
+      TextPipeline.exactDedup(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("keeper"), col("is_dup").cast(LongType).as("is_dup"))
+        .orderBy("doc_id")),
+
+    "q_minhash" -> ((s, dir) =>
+      TextPipeline.minhash(documents(s, dir), "doc_id", "text", numHashes = 4)
+        .orderBy("doc_id")),
+
+    "q_lsh_pairs" -> ((s, dir) =>
+      TextPipeline.minhashLshPairs(documents(s, dir), "doc_id", "text",
+        numHashes = 4, bands = 2)
+        .orderBy("a", "b")),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val ids = docs.where(col("doc_id") < 40).select(col("doc_id").as("a"))
+      val cands = ids.crossJoin(docs.where(col("doc_id") < 40).select(col("doc_id").as("b")))
+        .where(col("a") < col("b"))
+      TextPipeline.ngramJaccard(docs, cands, "doc_id", "text")
+        .where(col("jaccard") > 0)
+        .orderBy("a", "b")
+    }),
+
+    "q_simhash16" -> ((s, dir) =>
+      TextPipeline.simhash(documents(s, dir), "doc_id", "text", bits = 16)
+        .orderBy("doc_id")),
+
+    // ---- similarity search ----
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy("qid", "rk")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (scale path; hyperplanes seeded — no SQL oracle,
+      // rows-only check)
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy("qid", "rk")
+    }),
+
+    "q_emb_neardup" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.95, nBits = 4)
+        .orderBy("a", "b")
+    }),
+
+    // ---- text analysis ----
+    "q_lang_id" -> ((s, dir) =>
+      TextPipeline.languageId(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"), col("marker_hits").cast(LongType).as("marker_hits"))
+        .orderBy("doc_id")),
+
+    "q_quality" -> ((s, dir) =>
+      TextPipeline.qualityScore(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
+          col("n_tokens").cast(LongType).as("n_tokens"), col("mean_tok_len"),
+          col("punct_ratio"), col("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    "q_token_counts" -> ((s, dir) =>
+      TextPipeline.tokenCounts(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_regex_tokens").cast(LongType).as("n_regex_tokens"),
+          col("n_ws_tokens").cast(LongType).as("n_ws_tokens"), col("n_bpe_est"))
+        .orderBy("doc_id")),
+
+    "q_fingerprints" -> ((s, dir) =>
+      TextPipeline.fingerprints(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("content_fp"), col("min_shingle_fp"),
+          col("n_distinct_shingles").cast(LongType).as("n_distinct_shingles"))
+        .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_dictionary" ->
+      s"""$DTok, p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+         |)
+         |SELECT p.term, count(*) AS df, sum(p.tf)::BIGINT AS ctf,
+         |       max(dl.doclen) AS max_dl, min(dl.doclen) AS min_dl
+         |FROM p JOIN dl USING(doc_id)
+         |GROUP BY p.term ORDER BY p.term""".stripMargin,
+
+    "q_doclens" ->
+      s"$DTok SELECT doc_id, doclen FROM dl ORDER BY doc_id",
+
+    "q_corpus_stats" ->
+      s"""$DTok
+         |SELECT (SELECT count(*) FROM d) AS total_docs,
+         |       (SELECT sum(doclen) FROM dl)::BIGINT AS total_terms,
+         |       (SELECT count(DISTINCT term) FROM tok) AS unique_terms""".stripMargin,
+
+    "q_term_postings" ->
+      s"""$DTok
+         |SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bm25_topk" -> bm25Sql(BmTerms, 20),
+
+    "q_od1_phrase" ->
+      s"""$DTok
+         |SELECT a.doc_id, count(*) AS tf
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = '${OdPair._1}' AND b.term = '${OdPair._2}'
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "q_uw4_match" ->
+      s"""$DTok
+         |SELECT DISTINCT a.doc_id
+         |FROM tok a JOIN tok b USING(doc_id)
+         |WHERE a.term = '${UwPair._1}' AND b.term = '${UwPair._2}'
+         |  AND abs(a.pos - b.pos) <= 3
+         |ORDER BY a.doc_id""".stripMargin,
+
+    "q_band_match" ->
+      s"""$DTok
+         |SELECT doc_id FROM tok WHERE term IN ${inList(BandTerms)}
+         |GROUP BY doc_id HAVING count(DISTINCT term) = ${BandTerms.size}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_syn_tf" ->
+      s"""$DTok
+         |SELECT doc_id, count(*) AS tf FROM tok
+         |WHERE term IN ('${SynPair._1}', '${SynPair._2}')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_xcount" ->
+      s"""$DTok, m AS (
+         |  SELECT a.doc_id, count(*) AS tf
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = '${OdPair._1}' AND b.term = '${OdPair._2}'
+         |  GROUP BY a.doc_id
+         |)
+         |SELECT coalesce(sum(tf), 0)::BIGINT AS xcount, count(*)::BIGINT AS dxcount FROM m""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+        |       (CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END)::BIGINT AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_minhash" -> {
+      val mhs = (0 until 4).map(j =>
+        s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min') AS mh$j").mkString(",\n       ")
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |       $mhs
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lsh_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM d
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh3
+        |  FROM s
+        |), banded AS (
+        |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig
+        |)
+        |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id < 40
+        |), s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM d
+        |), pr AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a, b, round(inter::DOUBLE / uni, 6) AS jaccard
+        |FROM pr WHERE inter > 0 ORDER BY a, b""".stripMargin,
+
+    "q_simhash16" -> simhash16Sql,
+
+    "q_ann_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS nid, embedding AS cv FROM embeddings
+        |), pr AS (
+        |  SELECT qid, nid,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+        |      / ( sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+        |        * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) ),
+        |      6) AS sim
+        |  FROM q, c WHERE qid <> nid
+        |), rk AS (
+        |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |  FROM pr
+        |)
+        |SELECT qid, nid, sim, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "q_lang_id" -> {
+      val cases = TextPipeline.LangMarkers.map { case (l, ms) =>
+        s"len(list_filter(toks, t -> t IN ${inList(ms)})) AS n_$l"
+      }.mkString(",\n       ")
+      val maxExpr = TextPipeline.LangMarkers.map { case (l, _) => s"n_$l" }
+        .mkString("greatest(", ", ", ")")
+      val pred = TextPipeline.LangMarkers.foldRight("'und'") { case ((l, _), acc) =>
+        s"CASE WHEN n_$l = mx AND mx > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+         |), sc AS (
+         |  SELECT doc_id,
+         |       $cases
+         |  FROM d
+         |), mxd AS (
+         |  SELECT *, $maxExpr AS mx FROM sc
+         |)
+         |SELECT doc_id, $pred AS lang_pred, mx::BIGINT AS marker_hits
+         |FROM mxd ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+        |    ELSE 0.0 END, 6) AS mean_tok_len,
+        |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |    / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','for','that')))::DOUBLE
+        |    / greatest(len(toks), 1), 6) AS stopword_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_token_counts" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_regex_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_ws_tokens,
+        |  coalesce(list_sum(list_transform(toks, t -> ceil(length(t)::DOUBLE / 4.0)::BIGINT)), 0)::BIGINT AS n_bpe_est
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprints" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks, list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  md5(array_to_string(toks, ' ')) AS content_fp,
+        |  list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS min_shingle_fp,
+        |  len(list_distinct(sh))::BIGINT AS n_distinct_shingles
+        |FROM s ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators over a documents table
+  * (id, text). All built from codegen'd `functions._` expressions — no
+  * Scala UDFs in the hot paths — so plans stay inside whole-stage
+  * codegen and push down to the scan.
+  *
+  * Tokenization here uses the `simple` analyzer semantics
+  * (`[a-z0-9]+` runs of lower(text)) which is expressible identically
+  * in DuckDB for the correctness oracle; the Indri-rule tokenizer in
+  * graft.analysis is the engine-side flagship.
+  */
+object TextPipeline {
+
+  def tokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("tokens", expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+
+  // ------------------------------------------------------------------
+  // deduplication
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: content-hash groupBy; every doc mapped to the keeper
+    * (minimum id) of its hash group. At scale this is one shuffle on a
+    * 32-byte key; the common case (unique docs) stays map-side partial.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    df.select(col(idCol), md5(col(textCol)).as("h"))
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("keeper")).cast(IntegerType))
+      .select(col(idCol), col("keeper"), col("is_dup"))
+  }
+
+  /** Word k-gram shingles (default 3) of the simple tokens. */
+  def shinglesCol(toks: Column, k: Int = 3): Column =
+    // DuckDB equivalent: list_transform(range(1, len(toks)-k+2), i ->
+    //   toks[i] || ' ' || ... ). Spark arrays are 0-based; build via
+    // transform over a sequence of start offsets. Guard: sequence()
+    // DESCENDS when start > stop, so short docs need the empty branch.
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** MinHash signatures: hash_j(shingle) = md5(j || ':' || shingle),
+    * minimum taken LEXICOGRAPHICALLY over the fixed-width hex strings —
+    * equivalent to numeric min of the 128-bit value and expressible
+    * identically in any engine with md5. Returns one column per hash.
+    */
+  def minhash(df: DataFrame, idCol: String, textCol: String,
+              numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val sh = shinglesCol(toks, shingleK)
+    val cols = (0 until numHashes).map { j =>
+      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s)))).as(s"mh$j")
+    }
+    df.select((col(idCol) +: cols): _*)
+  }
+
+  /** LSH banding over minhash signatures: docs sharing a band bucket are
+    * near-dup candidates. bands × rowsPerBand = numHashes. Returns
+    * candidate pairs (a, b), a < b. The band join is the scale path: the
+    * self-join is on band-bucket keys, never all-pairs.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 4, bands: Int = 2, shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhash(df, idCol, textCol, numHashes, shingleK)
+    val banded = (0 until bands).map { bnd =>
+      val bandCols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      sigs.select(col(idCol).as("id"), lit(bnd).as("band"),
+        concat_ws("|", bandCols: _*).as("bucket"))
+    }.reduce(_ union _)
+    val a = banded.select(col("band"), col("bucket"), col("id").as("a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** SimHash over token md5 bits: bit_j(sig) = majority vote of
+    * bit_j(md5(token)) across tokens (+1/−1). `bits` ≤ 64 (first
+    * bits/4 hex chars of the md5). Pure column expressions.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits <= 64)
+    val hexChars = bits / 4
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val exploded = df.select(col(idCol), explode(toks).as("tok"))
+      .withColumn("h", substring(md5(col("tok")), 1, hexChars))
+    // per-bit vote: for hex char p (1-based), bit b (0..3 low-to-high):
+    // value = index of char in hex alphabet; vote = 2*((value>>b)&1)-1
+    val votes = (0 until bits).map { bit =>
+      val p = bit / 4 + 1
+      val b = bit % 4
+      val v = (instr(lit("0123456789abcdef"), substring(col("h"), p, 1)) - 1).cast(IntegerType)
+      sum(shiftright(v, b).bitwiseAND(1) * 2 - 1).as(s"v$bit")
+    }
+    val agg = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    // assemble signature: bit set where vote > 0
+    val sig = (0 until bits).map { bit =>
+      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs: |A∩B| / |A∪B| over
+    * distinct shingle sets. `candidates` = (a, b) pairs (from LSH or a
+    * bounded id range) — never all-pairs at scale.
+    */
+  def ngramJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
+                   textCol: String, shingleK: Int = 3): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shinglesCol(toks, shingleK)).as("sh"))
+    candidates
+      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
+      .select(col("a"), col("b"),
+        round(col("inter").cast(DoubleType) / col("uni"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // text analysis
+  // ------------------------------------------------------------------
+
+  /** tiny per-language marker profiles for heuristic language-ID */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "dans", "pour")
+  )
+
+  /** Heuristic language-ID: argmax of marker-token hits; ties and
+    * zero-hit docs → "und". Deterministic tiebreak: first language in
+    * `LangMarkers` order wins among equals.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val base = df.select(col(idCol), toks.as("toks"))
+    val scored = LangMarkers.foldLeft(base) { case (d, (lang, markers)) =>
+      d.withColumn(s"n_$lang",
+        size(filter(col("toks"), t => t.isInCollection(markers))))
+    }
+    val maxHits = greatest(LangMarkers.map { case (l, _) => col(s"n_$l") }: _*)
+    val pred = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"n_$l") === maxHits && maxHits > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(col(idCol), pred.as("lang_pred"),
+      maxHits.as("marker_hits"))
+  }
+
+  /** Quality signals: char length, token count, mean token length,
+    * punctuation ratio, digit ratio, stopword ratio — the standard
+    * pretraining-filter features, all as one scan.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "that")
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    df.withColumn("toks", toks)
+      .select(
+        col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        round(when(size(col("toks")) > 0,
+          aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / size(col("toks")))
+          .otherwise(lit(0.0)), 6).as("mean_tok_len"),
+        round((length(col(textCol)) - length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""))).cast(DoubleType) /
+          greatest(length(col(textCol)), lit(1)), 6).as("punct_ratio"),
+        round(size(filter(col("toks"), t => t.isInCollection(stop))).cast(DoubleType) /
+          greatest(size(col("toks")), lit(1)), 6).as("stopword_ratio"))
+  }
+
+  /** Token counting: simple-regex tokens, whitespace tokens, and a
+    * BPE-ish subword estimate (ceil(chars/4) per token — the common
+    * ~4-chars-per-token heuristic, deterministic and oracle-checkable).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val ws = split(trim(col(textCol)), "\\s+")
+    df.select(
+      col(idCol),
+      size(toks).as("n_regex_tokens"),
+      when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(ws)).as("n_ws_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t).cast(DoubleType) / 4.0).cast(LongType))
+        .as("n_bpe_est"))
+  }
+
+  /** Document fingerprints: full-content md5 over the normalized token
+    * stream, plus a winnowing-style fingerprint = min shingle-hash per
+    * window (here: global min + count of distinct shingle hashes, the
+    * degenerate single-window form — deterministic and portable).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, shingleK: Int = 3): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val sh = shinglesCol(toks, shingleK)
+    df.select(
+      col(idCol),
+      md5(concat_ws(" ", toks)).as("content_fp"),
+      array_min(transform(sh, s => md5(s))).as("min_shingle_fp"),
+      size(array_distinct(sh)).as("n_distinct_shingles"))
+  }
+}

@@ -1,0 +1,541 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.analysis.Analyzer
+import graft.index.{CorpusStats, InvertedIndex}
+
+/** A raw (match) node evaluated to a distributed extent list:
+  * df = (docId: Long, begins: Array[Int], ends: Array[Int], doclen: Int).
+  * tf = begins.length. Mirrors ListIteratorNode extents
+  * (reference: include/indri/DocListIterator.hpp:30-33 — term extent at
+  * position p is [p, p+1)).
+  */
+final case class RawResult(df: DataFrame)
+
+/** A belief node evaluated to scores over its candidate documents plus a
+  * composable background score for documents outside its match set
+  * (the NullScorer/background semantics of the inference network).
+  * df = (docId: Long, score: Double, doclen: Int).
+  */
+final case class Belief(df: DataFrame, bg: Int => Double)
+
+/** Global term statistics gathered in the stats round
+  * (reference two-round design: src/QueryEnvironment.cpp:957-984 — stats
+  * are summed across servers BEFORE scoring; here: one broadcast-sized
+  * collect from the dictionary, never a per-doc collect).
+  */
+final case class TermStats(ctf: Long, df: Long)
+
+/** The QueryEnvironment facade (reference:
+  * include/indri/QueryEnvironment.hpp:176-346) over Spark DataFrames.
+  *
+  * Scoring follows the inference-network semantics with the baseline
+  * rewrite applied automatically for okapi/tfidf rules
+  * (reference: src/QueryEnvironment.cpp:895-937): root #combine → plain
+  * sum (PlusNode), root #weight → raw-weighted sum (WPlusNode).
+  *
+  * Floating-point determinism: every combiner folds its children in
+  * query order (duplicates included), so scores are bit-reproducible and
+  * match the scalar oracle that does the same.
+  */
+final class Engine(
+    val spark: SparkSession,
+    val index: InvertedIndex,
+    val analyzer: Analyzer,
+    var rule: ScoringRule = ScoringRule(method = "okapi")
+) extends Serializable {
+
+  import spark.implicits._
+
+  def setScoringRules(spec: String): Unit = { rule = ScoringRule.parse(spec) }
+
+  private def stats: CorpusStats = index.stats
+  private def baseline: Boolean = rule.method == "okapi" || rule.method == "tfidf"
+
+  /** wildcard expansion cap (reference: include/indri/InferenceNetworkBuilder.hpp:64) */
+  val maxWildcardTerms = 100
+
+  // ------------------------------------------------------------------
+  // stats round
+  // ------------------------------------------------------------------
+
+  /** Gather per-term global stats for the query's term leaves — the
+    * ContextSimpleCountAccumulator path (reference:
+    * src/ContextSimpleCountAccumulator.cpp — answered from the lexicon,
+    * no posting scan). One tiny collect (#queryTerms rows).
+    */
+  def termStatsFor(terms: Seq[String]): Map[String, TermStats] = {
+    if (terms.isEmpty) return Map.empty
+    index.dictionary
+      .where(col("term").isin(terms.distinct: _*))
+      .select("term", "ctf", "df")
+      .collect()
+      .map(r => r.getString(0) -> TermStats(r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  // ------------------------------------------------------------------
+  // raw (extent) evaluation
+  // ------------------------------------------------------------------
+
+  private def termRaw(term: String): RawResult = {
+    val df = index.postings
+      .where(col("term") === term)
+      .select(
+        col("docId"),
+        col("positions").as("begins"),
+        transform(col("positions"), p => p + 1).as("ends"),
+        col("doclen"))
+    RawResult(df)
+  }
+
+  /** empty match list (stopped/OOV query term → NullScorerNode analogue) */
+  private def emptyRaw: RawResult = {
+    val schema = StructType(Seq(
+      StructField("docId", LongType), StructField("begins", ArrayType(IntegerType)),
+      StructField("ends", ArrayType(IntegerType)), StructField("doclen", IntegerType)))
+    RawResult(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  def evaluateRaw(node: QueryNode): RawResult = node match {
+    case TermNode(t) =>
+      val pt = analyzer.processTerm(t)
+      if (pt == null) emptyRaw else termRaw(pt)
+
+    case WildcardNode(prefix) =>
+      val pt = Option(analyzer.processTerm(prefix)).getOrElse(prefix.toLowerCase)
+      val expansions = index.dictionary
+        .where(col("term").startsWith(pt))
+        .orderBy("term").limit(maxWildcardTerms)
+        .select("term").as[String].collect().toSeq
+      if (expansions.isEmpty) emptyRaw
+      else evaluateRaw(SynNode(expansions.map(TermNode(_))))
+
+    case SynNode(children) =>
+      // union of extents (reference: src/ExtentOrNode.cpp — merged, sorted)
+      val raws = children.map(evaluateRaw).map(_.df)
+      val stacked = raws.reduce(_ union _)
+      val merged = stacked
+        .select(col("docId"), arrays_zip(col("begins"), col("ends")).as("ex"), col("doclen"))
+        .groupBy("docId")
+        .agg(array_sort(flatten(collect_list(col("ex")))).as("ex"),
+          first(col("doclen")).as("doclen"))
+      RawResult(merged.select(
+        col("docId"),
+        col("ex.begins").as("begins"),
+        col("ex.ends").as("ends"),
+        col("doclen")))
+
+    case WsynNode(children) =>
+      // weights only affect belief scoring via extent weights; for match
+      // semantics it is the synonym union (weights staged)
+      evaluateRaw(SynNode(children.map(_._2)))
+
+    case OdNode(window, children) =>
+      windowRaw(children, ordered = true, window)
+
+    case UwNode(window, children) =>
+      windowRaw(children, ordered = false, window)
+
+    case BandNode(children) =>
+      // boolean AND: extent = whole document when all children match
+      // (reference: src/BooleanAndNode.cpp)
+      val raws = children.map(evaluateRaw).map(_.df)
+      val joined = raws.map(_.select("docId", "doclen")).reduce { (a, b) =>
+        a.join(b.select("docId"), Seq("docId"), "inner")
+      }.dropDuplicates("docId")
+      RawResult(joined.select(
+        col("docId"),
+        array(lit(0)).as("begins"),
+        array(col("doclen")).as("ends"),
+        col("doclen")))
+
+    case other =>
+      throw new IllegalArgumentException(s"not a raw extent node: $other")
+  }
+
+  /** k-way positional intersection for #odN / #uwN. Children are joined
+    * on docId (all must match), then the per-document pointer walk runs
+    * in a UDF over the position arrays — the distributed analogue of
+    * OrderedWindowNode::prepare (reference: src/OrderedWindowNode.cpp:111-166)
+    * and UnorderedWindowNode::prepare (reference: src/UnorderedWindowNode.cpp:69-186).
+    */
+  private def windowRaw(children: Seq[QueryNode], ordered: Boolean, window: Int): RawResult = {
+    val raws = children.map(evaluateRaw)
+    val k = raws.length
+    require(k >= 2, "window operators need >= 2 children")
+    val joined = raws.zipWithIndex.map { case (r, i) =>
+      r.df.select(
+        col("docId"),
+        col("begins").as(s"b$i"),
+        col("ends").as(s"e$i"),
+        col("doclen"))
+    }.reduce { (a, b) => a.join(b.drop("doclen"), Seq("docId"), "inner") }
+
+    val beginsCols = array((0 until k).map(i => col(s"b$i")): _*)
+    val endsCols = array((0 until k).map(i => col(s"e$i")): _*)
+    val matchUdf = udf { (bs: Seq[Seq[Int]], es: Seq[Seq[Int]]) =>
+      val extents =
+        if (ordered) WindowMatcher.ordered(bs.map(_.toArray).toArray, es.map(_.toArray).toArray, window)
+        else WindowMatcher.unordered(bs.map(_.toArray).toArray, es.map(_.toArray).toArray, window)
+      extents
+    }
+    val out = joined
+      .withColumn("ex", matchUdf(beginsCols, endsCols))
+      .where(size(col("ex._1")) > 0)
+      .select(
+        col("docId"),
+        col("ex._1").as("begins"),
+        col("ex._2").as("ends"),
+        col("doclen"))
+    RawResult(out)
+  }
+
+  // ------------------------------------------------------------------
+  // belief evaluation
+  // ------------------------------------------------------------------
+
+  /** score function for a raw expression from globally-gathered stats */
+  private def scoreFnFor(node: QueryNode, raw: RawResult,
+                         termStats: Map[String, TermStats],
+                         qtf: Int, qtw: Option[Double]): TermScoreFunction = node match {
+    case TermNode(t) =>
+      val pt = analyzer.processTerm(t)
+      val ts = if (pt == null) TermStats(0, 0) else termStats.getOrElse(pt, TermStats(0, 0))
+      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble, ts.df.toDouble,
+        stats.totalDocs, qtf, qtw)
+    case _ =>
+      // complex expression: gather occurrences/df by evaluating the match
+      // list (ContextCountAccumulator analogue,
+      // reference: src/ContextCountAccumulator.cpp)
+      val r = raw.df.agg(
+        coalesce(sum(size(col("begins")).cast(LongType)), lit(0L)),
+        count(lit(1))).head()
+      Scorers.forTerm(rule, r.getLong(0).toDouble, stats.totalTerms.toDouble,
+        r.getLong(1).toDouble, stats.totalDocs, qtf, qtw)
+  }
+
+  private def isRawNode(n: QueryNode): Boolean = n match {
+    case _: TermNode | _: OdNode | _: UwNode | _: BandNode | _: SynNode |
+         _: WsynNode | _: WildcardNode => true
+    case _ => false
+  }
+
+  /** Raw node + smoothing = ListBeliefNode / TermFrequencyBeliefNode
+    * (reference: src/ListBeliefNode.cpp:119-127,
+    * src/TermFrequencyBeliefNode.cpp:60-135).
+    */
+  private def scoreRaw(node: QueryNode, termStats: Map[String, TermStats],
+                       qtf: Int = 1, qtw: Option[Double] = None): Belief = {
+    val raw = evaluateRaw(node)
+    val sf = scoreFnFor(node, raw, termStats, qtf, qtw)
+    val scoreUdf = udf { (tf: Int, dl: Int) => sf.scoreOccurrence(tf.toDouble, dl) }
+    Belief(
+      raw.df.select(col("docId"),
+        scoreUdf(size(col("begins")), col("doclen")).as("score"),
+        col("doclen")),
+      bg = dl => sf.scoreOccurrence(0.0, dl))
+  }
+
+  private sealed trait CombineOp
+  private case object OpSum extends CombineOp            // PlusNode / weighted sums
+  private case object OpWsum extends CombineOp           // log(Σ w·exp(s))
+  private case object OpOr extends CombineOp             // log(1 − Π(1 − exp(s)))
+  private case object OpMax extends CombineOp
+
+  private def fold(op: CombineOp, weights: Array[Double], scores: Array[Double]): Double = op match {
+    case OpSum =>
+      var acc = 0.0; var i = 0
+      while (i < scores.length) { acc += weights(i) * scores(i); i += 1 }
+      acc
+    case OpWsum =>
+      var acc = 0.0; var i = 0
+      while (i < scores.length) { acc += weights(i) * math.exp(scores(i)); i += 1 }
+      math.log(acc)
+    case OpOr =>
+      var notAny = 1.0; var i = 0
+      while (i < scores.length) { notAny *= (1.0 - math.exp(scores(i))); i += 1 }
+      math.log(1.0 - notAny)
+    case OpMax =>
+      var acc = Double.NegativeInfinity; var i = 0
+      while (i < scores.length) { if (scores(i) > acc) acc = scores(i); i += 1 }
+      acc
+  }
+
+  /** Generic combiner: one shuffle (union + groupBy docId), children
+    * folded in query order for FP determinism. Candidates = union of
+    * children candidates; a child missing a candidate contributes its
+    * composable background score.
+    */
+  private def combineBeliefs(children: Seq[Belief], weights: Seq[Double], op: CombineOp): Belief = {
+    val k = children.length
+    val w = weights.toArray
+    val bgs = children.map(_.bg).toArray
+    val stacked = children.zipWithIndex.map { case (c, i) =>
+      c.df.select(col("docId"), lit(i).as("idx"), col("score"), col("doclen"))
+    }.reduce(_ union _)
+    val agg = stacked.groupBy("docId").agg(
+      map_from_entries(collect_list(struct(col("idx"), col("score")))).as("m"),
+      first(col("doclen")).as("doclen"))
+    val scoreUdf = udf { (m: Map[Int, Double], dl: Int) =>
+      val scores = new Array[Double](k)
+      var i = 0
+      while (i < k) { scores(i) = m.getOrElse(i, bgs(i)(dl)); i += 1 }
+      fold(op, w, scores)
+    }
+    Belief(
+      agg.select(col("docId"), scoreUdf(col("m"), col("doclen")).as("score"), col("doclen")),
+      bg = dl => fold(op, w, bgs.map(_(dl))))
+  }
+
+  /** Evaluate a belief node. `root` marks the query root, where the
+    * baseline rewrite applies for okapi/tfidf
+    * (reference: src/QueryEnvironment.cpp:895-937).
+    */
+  def evaluate(node: QueryNode, root: Boolean = true): Belief = {
+    val leaves = QueryParser.termLeaves(node).flatMap(t => Option(analyzer.processTerm(t)))
+    val tstats = termStatsFor(leaves)
+    evaluateWith(node, tstats, root)
+  }
+
+  private def qtfMap(node: QueryNode): Map[String, Int] = {
+    // query term frequencies over processed leaves (QueryTFWalker
+    // analogue, reference: src/QueryEnvironment.cpp:976-980)
+    QueryParser.termLeaves(node)
+      .flatMap(t => Option(analyzer.processTerm(t)))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+  }
+
+  private def evaluateWith(node: QueryNode, tstats: Map[String, TermStats], root: Boolean): Belief = {
+    lazy val qtfs = qtfMap(node)
+    def childBelief(c: QueryNode): Belief = c match {
+      case t @ TermNode(raw) if baseline =>
+        val pt = analyzer.processTerm(raw)
+        val qtf = if (pt == null) 1 else qtfs.getOrElse(pt, 1)
+        scoreRaw(t, tstats, qtf = qtf)
+      case r if isRawNode(r) => scoreRaw(r, tstats)
+      case b => evaluateWith(b, tstats, root = false)
+    }
+
+    node match {
+      case r if isRawNode(r) =>
+        if (baseline) childBelief(r) else childBelief(r)
+
+      case CombineNode(children) =>
+        val beliefs = children.map(childBelief)
+        val weights =
+          if (root && baseline) children.map(_ => 1.0) // PlusNode: plain sum
+          else children.map(_ => 1.0 / children.size)  // WeightedAnd 1/k
+        combineBeliefs(beliefs, weights, OpSum)
+
+      case WeightNode(children) =>
+        val beliefs = children.map(c => childBelief(c._2))
+        val weights =
+          if (root && baseline) children.map(_._1)     // WPlusNode: raw weights
+          else {
+            val total = children.map(c => math.abs(c._1)).sum
+            children.map(_._1 / total)
+          }
+        combineBeliefs(beliefs, weights, OpSum)
+
+      case WsumNode(children) =>
+        val beliefs = children.map(c => childBelief(c._2))
+        val total = children.map(c => math.abs(c._1)).sum
+        combineBeliefs(beliefs, children.map(_._1 / total), OpWsum)
+
+      case SumNode(children) =>
+        // #sum = unweighted #wsum (reference: indrilang.g:316-329)
+        val beliefs = children.map(childBelief)
+        combineBeliefs(beliefs, children.map(_ => 1.0 / children.size), OpWsum)
+
+      case OrQNode(children) =>
+        combineBeliefs(children.map(childBelief), children.map(_ => 1.0), OpOr)
+
+      case MaxQNode(children) =>
+        combineBeliefs(children.map(childBelief), children.map(_ => 1.0), OpMax)
+
+      case NotQNode(child) =>
+        val c = childBelief(child)
+        val notUdf = udf { (s: Double) => math.log(1.0 - math.exp(s)) }
+        Belief(c.df.select(col("docId"), notUdf(col("score")).as("score"), col("doclen")),
+          bg = dl => math.log(1.0 - math.exp(c.bg(dl))))
+
+      case FilReqNode(filter, scored) =>
+        // score arg2 only on docs matching arg1 (semi join)
+        // (reference: src/FilterRequireNode.cpp)
+        val matchDocs = evaluateRaw(asRaw(filter)).df.select("docId").distinct()
+        val s = childBelief(scored)
+        Belief(s.df.join(matchDocs, Seq("docId"), "left_semi"), s.bg)
+
+      case FilRejNode(filter, scored) =>
+        // (reference: src/FilterRejectNode.cpp) — anti join
+        val matchDocs = evaluateRaw(asRaw(filter)).df.select("docId").distinct()
+        val s = childBelief(scored)
+        Belief(s.df.join(matchDocs, Seq("docId"), "left_anti"), s.bg)
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported belief node: $other")
+    }
+  }
+
+  private def asRaw(n: QueryNode): QueryNode =
+    if (isRawNode(n)) n
+    else throw new IllegalArgumentException(s"filter argument must be a raw match expression: $n")
+
+  // ------------------------------------------------------------------
+  // QueryEnvironment verbs
+  // ------------------------------------------------------------------
+
+  /** Top-k retrieval. Final order: score desc, docId asc — the stable
+    * sort + doc-order tiebreak (reference: src/QueryEnvironment.cpp:985-988).
+    */
+  def runQuery(query: String, k: Int): DataFrame = {
+    val ast = QueryParser.parse(query)
+    val belief = evaluate(ast)
+    belief.df
+      .select(col("docId"), col("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** total corpus term count (reference: src/LocalQueryServer.cpp:232-275) */
+  def termCount(): Long = stats.totalTerms
+  def termCountUnique(): Long = stats.uniqueTerms
+  def documentCount(): Long = stats.totalDocs
+
+  /** ctf of one term (stemmed through the chain) */
+  def termCount(term: String): Long = {
+    val pt = analyzer.processTerm(term)
+    if (pt == null) 0L
+    else index.dictionary.where(col("term") === pt)
+      .select("ctf").as[Long].collect().headOption.getOrElse(0L)
+  }
+
+  /** df of one term */
+  def documentCount(term: String): Long = {
+    val pt = analyzer.processTerm(term)
+    if (pt == null) 0L
+    else index.dictionary.where(col("term") === pt)
+      .select("df").as[Long].collect().headOption.getOrElse(0L)
+  }
+
+  /** total occurrences of an arbitrary match expression (dumpindex
+    * `xcount` analogue, reference: dumpindex/dumpindex.cpp:25-53)
+    */
+  def expressionCount(expr: String): Long = {
+    val raw = evaluateRaw(QueryParser.parse(expr))
+    val r = raw.df.agg(coalesce(sum(size(col("begins")).cast(LongType)), lit(0L))).head()
+    r.getLong(0)
+  }
+
+  /** number of documents matching an expression (`dxcount`) */
+  def documentExpressionCount(expr: String): Long =
+    evaluateRaw(QueryParser.parse(expr)).df.count()
+
+  /** all matching extents (dumpindex `expressionlist`) */
+  def expressionList(expr: String): DataFrame =
+    evaluateRaw(QueryParser.parse(expr)).df
+      .select(col("docId"), posexplode(arrays_zip(col("begins"), col("ends"))).as(Seq("i", "ex")))
+      .select(col("docId"), col("ex.begins").as("begin"), col("ex.ends").as("end"))
+      .orderBy("docId", "begin")
+
+  def documentLength(docId: Long): Int =
+    index.doclens.where(col("docId") === docId)
+      .select("length").as[Int].collect().headOption.getOrElse(0)
+}
+
+/** Per-document window matching kernels (pure Scala, executor-side). */
+object WindowMatcher {
+
+  /** Ordered window (reference: src/OrderedWindowNode.cpp:111-166):
+    * outer loop over first child's extents, inner pointers advance
+    * monotonically to the first occurrence after the previous child's
+    * end; match when begin_i − end_{i−1} + 1 ≤ windowSize (windowSize < 0
+    * = unlimited). Returns (begins, ends) of match extents.
+    */
+  def ordered(bs: Array[Array[Int]], es: Array[Array[Int]], window: Int): (Array[Int], Array[Int]) = {
+    val k = bs.length
+    val ptr = new Array[Int](k)
+    val outB = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val outE = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i0 = 0
+    while (i0 < bs(0).length) {
+      ptr(0) = i0
+      var matched = true
+      var prevEnd = es(0)(i0)
+      var i = 1
+      while (i < k && matched) {
+        // advance child i to the first extent with begin >= prevEnd
+        while (ptr(i) < bs(i).length && bs(i)(ptr(i)) < prevEnd) ptr(i) += 1
+        if (ptr(i) >= bs(i).length) {
+          // exhausted — no further matches possible at all
+          return (outB.toArray, outE.toArray)
+        }
+        if (window >= 0 && bs(i)(ptr(i)) - prevEnd + 1 > window) matched = false
+        else prevEnd = es(i)(ptr(i))
+        i += 1
+      }
+      if (matched) {
+        outB += bs(0)(i0)
+        outE += es(k - 1)(ptr(k - 1))
+      }
+      i0 += 1
+    }
+    (outB.toArray, outE.toArray)
+  }
+
+  /** Unordered window (reference: src/UnorderedWindowNode.cpp:69-186):
+    * all positions pooled and sorted by begin; for each position find the
+    * smallest window starting there that covers all children; `last`
+    * pointers give the new-term test.
+    */
+  def unordered(bs: Array[Array[Int]], es: Array[Array[Int]], window: Int): (Array[Int], Array[Int]) = {
+    val k = bs.length
+    val total = bs.map(_.length).sum
+    val begins = new Array[Int](total)
+    val ends = new Array[Int](total)
+    val types = new Array[Int](total)
+    var idx = 0
+    var t = 0
+    while (t < k) {
+      if (bs(t).isEmpty) return (Array.empty, Array.empty)
+      var j = 0
+      while (j < bs(t).length) {
+        begins(idx) = bs(t)(j); ends(idx) = es(t)(j); types(idx) = t
+        idx += 1; j += 1
+      }
+      t += 1
+    }
+    // sort by begin
+    val order = (0 until total).sortBy(begins(_)).toArray
+    val sb = order.map(begins(_)); val se = order.map(ends(_)); val st = order.map(types(_))
+    // last-occurrence back-pointers
+    val last = new Array[Int](total)
+    val lastOfType = Array.fill(k)(-1)
+    var i = 0
+    while (i < total) { last(i) = lastOfType(st(i)); lastOfType(st(i)) = i; i += 1 }
+
+    val outB = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val outE = scala.collection.mutable.ArrayBuffer.empty[Int]
+    i = 0
+    while (i < total) {
+      var termsFound = 1
+      var cur = i + 1
+      var stop = false
+      while (cur < total && termsFound != k && !stop) {
+        if (window >= 0 && se(cur) - sb(i) > window) stop = true
+        else {
+          if (last(cur) < i) termsFound += 1
+          cur += 1
+        }
+      }
+      if (termsFound == k) { outB += sb(i); outE += se(cur - 1) }
+      i += 1
+    }
+    (outB.toArray, outE.toArray)
+  }
+}

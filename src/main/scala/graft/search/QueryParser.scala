@@ -1,0 +1,226 @@
+package graft.search
+
+/** AST for the Indri query-language subset
+  * (reference: grammar src/indrilang.g:41-69,188-…;
+  * AST include/indri/QuerySpec.hpp).
+  */
+sealed trait QueryNode
+
+// ---- raw extent (match) operators ----
+final case class TermNode(term: String) extends QueryNode
+/** #odN(...) / #N(...) / "quoted phrase" (od1)
+  * (reference: indrilang.g:397-416, src/OrderedWindowNode.cpp:111-166) */
+final case class OdNode(window: Int, children: Seq[QueryNode]) extends QueryNode
+/** #uwN(...) (reference: indrilang.g:418-434, src/UnorderedWindowNode.cpp:69-186) */
+final case class UwNode(window: Int, children: Seq[QueryNode]) extends QueryNode
+/** #band(...) (reference: indrilang.g:435-445, src/BooleanAndNode.cpp) */
+final case class BandNode(children: Seq[QueryNode]) extends QueryNode
+/** <a b> / {a b} / #syn(...) (reference: indrilang.g:744-771, src/ExtentOrNode.cpp) */
+final case class SynNode(children: Seq[QueryNode]) extends QueryNode
+/** #wsyn(w1 t1 ...) (reference: indrilang.g:384-395, src/WeightedExtentOrNode.cpp) */
+final case class WsynNode(children: Seq[(Double, QueryNode)]) extends QueryNode
+/** term* (reference: indrilang.g:639-649; cap 100 expansions,
+  * include/indri/InferenceNetworkBuilder.hpp:64) */
+final case class WildcardNode(prefix: String) extends QueryNode
+
+// ---- belief (scoring) operators ----
+final case class CombineNode(children: Seq[QueryNode]) extends QueryNode
+final case class WeightNode(children: Seq[(Double, QueryNode)]) extends QueryNode
+final case class WsumNode(children: Seq[(Double, QueryNode)]) extends QueryNode
+final case class SumNode(children: Seq[QueryNode]) extends QueryNode
+final case class OrQNode(children: Seq[QueryNode]) extends QueryNode
+final case class NotQNode(child: QueryNode) extends QueryNode
+final case class MaxQNode(children: Seq[QueryNode]) extends QueryNode
+final case class FilReqNode(filter: QueryNode, scored: QueryNode) extends QueryNode
+final case class FilRejNode(filter: QueryNode, scored: QueryNode) extends QueryNode
+
+/** Recursive-descent parser for the implemented indrilang subset:
+  * bare terms, quoted phrases, #combine #weight #wsum #sum #or #not #max
+  * #band #odN #N #uwN #syn #wsyn <syn> {syn} #filreq #filrej #scoreif
+  * #scoreifnot, wildcard `term*`.
+  *
+  * A bare multi-term query parses as #combine(t1 ... tk), matching
+  * IndriRunQuery behavior.
+  */
+object QueryParser {
+
+  def parse(query: String): QueryNode = {
+    val toks = lex(query)
+    val p = new Parser(toks)
+    val nodes = p.parseSequence(stopAtClose = false)
+    nodes match {
+      case Seq(one) => one
+      case many => CombineNode(many)
+    }
+  }
+
+  // ---- lexer ----
+  private sealed trait Tok
+  private case class Op(name: String, num: Option[Int]) extends Tok // #combine, #od3, #5
+  private case class Word(w: String) extends Tok
+  private case class Num(v: Double) extends Tok
+  private case class Phrase(words: Seq[String]) extends Tok
+  private case object LParen extends Tok
+  private case object RParen extends Tok
+  private case object LAngle extends Tok
+  private case object RAngle extends Tok
+  private case object LBrace extends Tok
+  private case object RBrace extends Tok
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else c match {
+        case '(' => out += LParen; i += 1
+        case ')' => out += RParen; i += 1
+        case '<' => out += LAngle; i += 1
+        case '>' => out += RAngle; i += 1
+        case '{' => out += LBrace; i += 1
+        case '}' => out += RBrace; i += 1
+        case '"' =>
+          val end = s.indexOf('"', i + 1)
+          val inner = if (end < 0) s.substring(i + 1) else s.substring(i + 1, end)
+          out += Phrase(inner.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+          i = if (end < 0) n else end + 1
+        case '#' =>
+          var j = i + 1
+          while (j < n && (s.charAt(j).isLetter)) j += 1
+          val name = s.substring(i + 1, j).toLowerCase
+          var num: Option[Int] = None
+          if (name.isEmpty || name == "od" || name == "uw") {
+            var k2 = j
+            while (k2 < n && s.charAt(k2).isDigit) k2 += 1
+            if (k2 > j) { num = Some(s.substring(j, k2).toInt); j = k2 }
+          }
+          out += Op(if (name.isEmpty) "od" else name, num)
+          i = j
+        case _ =>
+          var j = i
+          while (j < n && !s.charAt(j).isWhitespace &&
+                 !"()<>{}\"#".contains(s.charAt(j))) j += 1
+          val w = s.substring(i, j)
+          if (w.nonEmpty) {
+            if (w.matches("-?\\d+(\\.\\d+)?")) out += Num(w.toDouble)
+            else out += Word(w)
+          }
+          i = j
+      }
+    }
+    out.result()
+  }
+
+  // ---- parser ----
+  private final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def advance(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expect(t: Tok): Unit = {
+      if (peek.contains(t)) pos += 1
+      else throw new IllegalArgumentException(s"expected $t at $pos in $toks")
+    }
+
+    def parseSequence(stopAtClose: Boolean): Seq[QueryNode] = {
+      val out = Seq.newBuilder[QueryNode]
+      var done = false
+      while (!done && pos < toks.length) {
+        peek match {
+          case Some(RParen) | Some(RAngle) | Some(RBrace) if stopAtClose => done = true
+          case Some(_) => out += parseNode()
+          case None => done = true
+        }
+      }
+      out.result()
+    }
+
+    /** weighted child list: w1 q1 w2 q2 ... */
+    private def parseWeighted(): Seq[(Double, QueryNode)] = {
+      val out = Seq.newBuilder[(Double, QueryNode)]
+      var done = false
+      while (!done) {
+        peek match {
+          case Some(Num(w)) =>
+            advance()
+            out += ((w, parseNode()))
+          case Some(RParen) | None => done = true
+          case Some(other) =>
+            throw new IllegalArgumentException(s"expected weight before child, got $other")
+        }
+      }
+      out.result()
+    }
+
+    def parseNode(): QueryNode = {
+      advance() match {
+        case Word(w) =>
+          if (w.endsWith("*") && w.length > 1) WildcardNode(w.dropRight(1))
+          else TermNode(w)
+        case Num(v) =>
+          // a bare number in term position is a term (e.g. query "42")
+          TermNode(if (v == v.toLong) v.toLong.toString else v.toString)
+        case Phrase(ws) =>
+          if (ws.length == 1) TermNode(ws.head) else OdNode(1, ws.map(TermNode(_)))
+        case LAngle =>
+          val kids = parseSequence(stopAtClose = true); expect(RAngle); SynNode(kids)
+        case LBrace =>
+          val kids = parseSequence(stopAtClose = true); expect(RBrace); SynNode(kids)
+        case Op(name, num) =>
+          expect(LParen)
+          val node = name match {
+            case "combine" => CombineNode(parseSequence(stopAtClose = true))
+            case "weight" | "wand" => WeightNode(parseWeighted())
+            case "wsum" => WsumNode(parseWeighted())
+            case "sum" => SumNode(parseSequence(stopAtClose = true))
+            case "or" => OrQNode(parseSequence(stopAtClose = true))
+            case "not" => NotQNode(parseSequence(stopAtClose = true).head)
+            case "max" => MaxQNode(parseSequence(stopAtClose = true))
+            case "band" => BandNode(parseSequence(stopAtClose = true))
+            case "od" => OdNode(num.getOrElse(1), parseSequence(stopAtClose = true))
+            case "uw" => UwNode(num.getOrElse(8), parseSequence(stopAtClose = true))
+            case "syn" => SynNode(parseSequence(stopAtClose = true))
+            case "wsyn" => WsynNode(parseWeighted())
+            case "filreq" | "scoreif" =>
+              val kids = parseSequence(stopAtClose = true)
+              require(kids.length == 2, s"#$name needs 2 args")
+              FilReqNode(kids(0), kids(1))
+            case "filrej" | "scoreifnot" =>
+              val kids = parseSequence(stopAtClose = true)
+              require(kids.length == 2, s"#$name needs 2 args")
+              FilRejNode(kids(0), kids(1))
+            case other =>
+              throw new IllegalArgumentException(s"unsupported operator #$other")
+          }
+          expect(RParen)
+          node
+        case other =>
+          throw new IllegalArgumentException(s"unexpected token $other")
+      }
+    }
+  }
+
+  /** Collect the raw term leaves in query order (duplicates preserved) —
+    * the analogue of RawScorerNodeExtractor
+    * (reference: src/QueryEnvironment.cpp:943-950).
+    */
+  def termLeaves(node: QueryNode): Seq[String] = node match {
+    case TermNode(t) => Seq(t)
+    case OdNode(_, cs) => cs.flatMap(termLeaves)
+    case UwNode(_, cs) => cs.flatMap(termLeaves)
+    case BandNode(cs) => cs.flatMap(termLeaves)
+    case SynNode(cs) => cs.flatMap(termLeaves)
+    case WsynNode(cs) => cs.flatMap(c => termLeaves(c._2))
+    case WildcardNode(p) => Seq(p)
+    case CombineNode(cs) => cs.flatMap(termLeaves)
+    case WeightNode(cs) => cs.flatMap(c => termLeaves(c._2))
+    case WsumNode(cs) => cs.flatMap(c => termLeaves(c._2))
+    case SumNode(cs) => cs.flatMap(termLeaves)
+    case OrQNode(cs) => cs.flatMap(termLeaves)
+    case NotQNode(c) => termLeaves(c)
+    case MaxQNode(cs) => cs.flatMap(termLeaves)
+    case FilReqNode(f, s) => termLeaves(f) ++ termLeaves(s)
+    case FilRejNode(f, s) => termLeaves(f) ++ termLeaves(s)
+  }
+}

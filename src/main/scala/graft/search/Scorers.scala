@@ -1,0 +1,190 @@
+package graft.search
+
+/** Term score functions — exact ports of the reference formulas with the
+  * SAME factored arithmetic so doubles match bit-for-bit
+  * (reference: include/indri/TFIDFTermScoreFunction.hpp:44-60,92-128;
+  * src/TermScoreFunctionFactory.cpp:42-106;
+  * include/indri/DirichletTermScoreFunction.hpp:37-47;
+  * include/indri/JelinekMercerTermScoreFunction.hpp:40-76).
+  */
+trait TermScoreFunction extends Serializable {
+  /** score of `occurrences` in a context of length `contextSize`
+    * (= document length for whole-doc scoring).
+    */
+  def scoreOccurrence(occurrences: Double, contextSize: Int): Double
+  /** upper bound used by max-score/block-max pruning
+    * (reference: src/TermFrequencyBeliefNode.cpp:105-135).
+    */
+  def maximumScore(minimumDocumentLength: Int, maximumOccurrences: Int): Double =
+    scoreOccurrence(maximumOccurrences.toDouble, minimumDocumentLength)
+}
+
+/** Okapi BM25 / lemur tfidf
+  * (reference: include/indri/TFIDFTermScoreFunction.hpp:92-128).
+  *
+  * okapi idf = log((N − df + 0.5)/(df + 0.5)); tfidf idf = log((N + 1)/(df + 0.5))
+  * (reference: src/TermScoreFunctionFactory.cpp:81,94). avgdl global.
+  */
+final class TfIdfScoreFunction(
+    idf: Double,
+    averageDocumentLength: Double,
+    termWeight: Double,
+    k1: Double,
+    b: Double,
+    okapi: Boolean
+) extends TermScoreFunction {
+  // precomputed constants, same factoring as _precomputeConstants
+  // (reference: include/indri/TFIDFTermScoreFunction.hpp:53-60)
+  private val idfTimesK1PlusOne = idf * (k1 + 1)
+  private val k1TimesOneMinusB = k1 * (1 - b)
+  private val bOverAvgDocLength = b / averageDocumentLength
+  private val k1TimesBOverAvgDocLength = k1 * bOverAvgDocLength
+  private val termWeightTimesIDFTimesK1 = termWeight * idf * k1
+  private val termWeightTimesidfTimesK1PlusOne = termWeight * idfTimesK1PlusOne
+
+  def scoreOccurrence(occurrences: Double, documentLength: Int): Double = {
+    if (okapi) {
+      val numerator = termWeightTimesidfTimesK1PlusOne * occurrences
+      val denominator = occurrences + k1TimesOneMinusB + k1TimesBOverAvgDocLength * documentLength
+      numerator / denominator
+    } else {
+      val numerator = termWeightTimesIDFTimesK1 * occurrences
+      val denominator = occurrences + k1TimesOneMinusB + k1TimesBOverAvgDocLength * documentLength
+      numerator / denominator
+    }
+  }
+}
+
+/** Dirichlet (reference: include/indri/DirichletTermScoreFunction.hpp:37-47).
+  * Default μ = 2500 (reference: src/TermScoreFunctionFactory.cpp:57).
+  */
+final class DirichletScoreFunction(
+    mu: Double,
+    collectionFrequency: Double
+) extends TermScoreFunction {
+  private val muTimesCollectionFrequency = mu * collectionFrequency
+  def scoreOccurrence(occurrences: Double, contextSize: Int): Double = {
+    val seen = (occurrences + muTimesCollectionFrequency) / (contextSize.toDouble + mu)
+    math.log(seen)
+  }
+}
+
+/** Jelinek-Mercer (reference: include/indri/JelinekMercerTermScoreFunction.hpp:40-76).
+  * Defaults collectionLambda = 0.4, documentLambda = 0.0
+  * (reference: src/TermScoreFunctionFactory.cpp:62-68).
+  */
+final class JelinekMercerScoreFunction(
+    collectionFrequency: Double,
+    collectionLambda: Double,
+    documentLambda: Double = 0.0
+) extends TermScoreFunction {
+  private val foregroundLambda = 1 - collectionLambda
+  private val collectionComponent = collectionLambda * collectionFrequency
+  def scoreOccurrence(occurrences: Double, contextSize: Int): Double = {
+    val contextFrequency = if (contextSize != 0) occurrences / contextSize.toDouble else 0.0
+    math.log(foregroundLambda * contextFrequency + collectionComponent)
+  }
+}
+
+/** Two-stage smoothing: Dirichlet inner, JM outer
+  * (reference: include/indri/TwoStageTermScoreFunction.hpp; defaults
+  * μ = 2500, λ = 0.4, src/TermScoreFunctionFactory.cpp:72-77).
+  */
+final class TwoStageScoreFunction(
+    mu: Double,
+    lambda: Double,
+    collectionFrequency: Double
+) extends TermScoreFunction {
+  private val muTimesCollectionFrequency = mu * collectionFrequency
+  def scoreOccurrence(occurrences: Double, contextSize: Int): Double = {
+    val dirichlet = (occurrences + muTimesCollectionFrequency) / (contextSize.toDouble + mu)
+    math.log((1 - lambda) * dirichlet + lambda * collectionFrequency)
+  }
+}
+
+/** Scoring-rule spec, the analogue of the reference's
+  * `method:okapi,k1:1.2,...` rule strings
+  * (reference: src/TermScoreFunctionFactory.cpp:28-40).
+  */
+final case class ScoringRule(
+    method: String = "okapi",
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    k3: Double = 7.0,
+    mu: Double = 2500.0,
+    lambda: Double = 0.4,
+    documentLambda: Double = 0.0
+)
+
+object ScoringRule {
+  /** parse "method:okapi,k1:1.2" rule strings */
+  def parse(spec: String): ScoringRule = {
+    val kv = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
+      val Array(k, v) = p.split(":", 2)
+      k.trim -> v.trim
+    }.toMap
+    val base = ScoringRule(method = kv.getOrElse("method", "dirichlet"))
+    base.copy(
+      k1 = kv.get("k1").map(_.toDouble).getOrElse(base.k1),
+      b = kv.get("b").map(_.toDouble).getOrElse(base.b),
+      k3 = kv.get("k3").map(_.toDouble).getOrElse(base.k3),
+      mu = kv.get("mu").map(_.toDouble).getOrElse(base.mu),
+      lambda = kv.get("lambda").orElse(kv.get("collectionLambda")).map(_.toDouble).getOrElse(base.lambda),
+      documentLambda = kv.get("documentLambda").map(_.toDouble).getOrElse(base.documentLambda)
+    )
+  }
+}
+
+object Scorers {
+
+  /** Okapi query-term weight (k3+1)·qtf/(k3+qtf)
+    * (reference: include/indri/TFIDFTermScoreFunction.hpp:140-143).
+    */
+  def okapiQueryTermWeight(k3: Double, qtf: Double): Double =
+    ((k3 + 1) * qtf) / (k3 + qtf)
+
+  /** Build a score function for one term from global statistics, exactly
+    * like the factory (reference: src/TermScoreFunctionFactory.cpp:42-106).
+    *
+    * @param occurrences ctf of the term (global)
+    * @param contextSize total term count (global)
+    * @param documentOccurrences df of the term (global)
+    * @param documentCount N (global)
+    * @param qtf query term frequency (for okapi/tfidf weight)
+    */
+  def forTerm(rule: ScoringRule, occurrences: Double, contextSize0: Double,
+              documentOccurrences: Double, documentCount: Long,
+              qtf: Int = 1, qtw: Option[Double] = None): TermScoreFunction = {
+    val contextSize = if (contextSize0 == 0) 1.0 else contextSize0
+    val collectionFrequency =
+      if (occurrences != 0) occurrences / contextSize else 1.0 / (contextSize * 2.0)
+    rule.method match {
+      case "okapi" =>
+        val idf = math.log((documentCount - documentOccurrences + 0.5) / (documentOccurrences + 0.5))
+        val avgDocLength = contextSize / documentCount.toDouble
+        // _termWeight = queryTermWeight(1000, 0, qTF) / qTF, then each of
+        // the qTF duplicate query nodes adds the same score — we multiply
+        // back by qtf at combine time via the duplicate-expansion in the
+        // engine (reference: TFIDFTermScoreFunction.hpp:70-73)
+        val tw = qtw.getOrElse(okapiQueryTermWeight(rule.k3, qtf.toDouble) / qtf)
+        new TfIdfScoreFunction(idf, avgDocLength, tw, rule.k1, rule.b, okapi = true)
+      case "tfidf" =>
+        val idf = math.log((documentCount + 1) / (documentOccurrences + 0.5))
+        val avgDocLength = contextSize / documentCount.toDouble
+        val tw = qtw.getOrElse {
+          // queryTermWeight(1000, 0, qTF)/qTF for the non-okapi branch
+          // (reference: TFIDFTermScoreFunction.hpp:144-148)
+          ((idf * 1000.0 * qtf.toDouble) / (qtf.toDouble + 1000.0)) / qtf
+        }
+        new TfIdfScoreFunction(idf, avgDocLength, tw, rule.k1, rule.b, okapi = false)
+      case "dirichlet" | "d" | "dir" =>
+        new DirichletScoreFunction(rule.mu, collectionFrequency)
+      case "linear" | "jm" | "jelinek-mercer" =>
+        new JelinekMercerScoreFunction(collectionFrequency, rule.lambda, rule.documentLambda)
+      case "two" | "two-stage" | "twostage" =>
+        new TwoStageScoreFunction(rule.mu, rule.lambda, collectionFrequency)
+      case _ =>
+        new DirichletScoreFunction(2500.0, collectionFrequency)
+    }
+  }
+}

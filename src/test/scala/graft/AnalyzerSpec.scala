@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis._
+
+/** Rule-by-rule vectors from the reference tokenizer spec
+  * (reference: src/TextTokenizer.l:46-58) and normalization
+  * (reference: src/NormalizationTransformation.cpp:45-92).
+  */
+class AnalyzerSpec extends AnyFunSuite {
+  private val az = Analyzer()
+
+  private def terms(s: String): Seq[String] = az.analyze(s).toSeq
+
+  test("acronym rule: U.S.A. -> usa") {
+    assert(terms("U.S.A. policy") == Seq("usa", "policy"))
+  }
+
+  test("apostrophe removal: don't -> dont") {
+    assert(terms("don't") == Seq("dont"))
+  }
+
+  test("markup tags stripped") {
+    assert(terms("<b>bold</b> text") == Seq("bold", "text"))
+  }
+
+  test("html comments stripped") {
+    assert(terms("a <!-- hidden words --> b") == Seq("a", "b"))
+  }
+
+  test("entities dropped") {
+    assert(terms("x &amp; y &#123; z &#xAB; w") == Seq("x", "y", "z", "w"))
+  }
+
+  test("negative decimals kept as one token") {
+    assert(terms("val = -3.14;") == Seq("val", "-314"))
+    // the '-' prefix token rule keeps "-3.14" whole
+    // (reference: TextTokenizer.l:57); normalization strips only '.'
+    // and '\'' (reference: NormalizationTransformation.cpp:72-80)
+  }
+
+  test("plain decimal splits at the period rule") {
+    // "3.14": acronym rule eats "3.", word rule then "14"
+    assert(terms("3.14") == Seq("3", "14"))
+  }
+
+  test("utf8 run kept and lowercased") {
+    assert(terms("Naïve Café") == Seq("naïve", "café"))
+  }
+
+  test("stopword becomes null slot, position preserved, doclen counts it") {
+    val azStop = Analyzer(stopwords = Set("the"))
+    val slots = azStop.analyze("the quick fox")
+    assert(slots.length == 3)
+    assert(slots(0) == null)
+    assert(slots(1) == "quick" && slots(2) == "fox")
+  }
+
+  test("over-long token becomes null slot") {
+    val long = "a" * 600
+    val slots = az.analyze(s"$long ok")
+    assert(slots.length == 2)
+    assert(slots(0) == null && slots(1) == "ok")
+  }
+
+  test("query-side processTerm parity with indexing chain") {
+    val azStop = Analyzer(stopwords = Set("the"))
+    assert(azStop.processTerm("DON'T") == "dont")
+    assert(azStop.processTerm("THE") == null)
+    assert(azStop.processTerm("U.S.A.") == "usa")
+  }
+
+  test("simple mode matches duckdb regexp_extract_all semantics") {
+    val simple = Analyzer(mode = "simple")
+    assert(simple.analyze("Hello, World-42 foo").toSeq == Seq("hello", "world", "42", "foo"))
+    assert(simple.analyze("don't").toSeq == Seq("don", "t"))
+  }
+
+  test("porter stemmer classic vectors") {
+    val p = PorterStemmer
+    assert(p.stem("caresses") == "caress")
+    assert(p.stem("ponies") == "poni")
+    assert(p.stem("running") == "run")
+    assert(p.stem("relational") == "relat")
+    assert(p.stem("conditional") == "condit")
+    assert(p.stem("hopping") == "hop")
+    assert(p.stem("sized") == "size")
+    assert(p.stem("agreed") == "agre")
+    assert(p.stem("troubled") == "troubl")
+    assert(p.stem("cats") == "cat")
+  }
+
+  test("krovetz-lite vectors") {
+    val kz = KrovetzStemmer
+    assert(kz.stem("indices") == "index")
+    assert(kz.stem("running") == "run")
+    assert(kz.stem("tables") == "table")
+    // >25 chars passthrough (reference: KrovetzStemmer.hpp:48)
+    val long = "a" * 26
+    assert(kz.stem(long) == long)
+  }
+}

@@ -149,6 +149,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_bm25_daat" -> ((s, dir) => {
+      // same query through the block-max WAND kernel over compressed
+      // segments — must agree with the SQL oracle (and thus with
+      // q_bm25_topk's DataFrame path)
+      val eng = engine(s, dir)
+      eng.runDaat(BmTerms.map(_ -> 1.0), 20, exhaustive = false)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_od1_phrase" -> ((s, dir) => {
       // #od1 ordered-window match counts (reference: OrderedWindowNode)
       val eng = engine(s, dir)
@@ -295,6 +305,7 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bm25_topk" -> bm25Sql(BmTerms, 20),
+    "q_bm25_daat" -> bm25Sql(BmTerms, 20),
 
     "q_od1_phrase" ->
       s"""$DTok

@@ -392,14 +392,61 @@ final class Engine(
 
   /** Top-k retrieval. Final order: score desc, docId asc — the stable
     * sort + doc-order tiebreak (reference: src/QueryEnvironment.cpp:985-988).
+    *
+    * Flat okapi/tfidf bags with non-negative weights dispatch to the
+    * block-max WAND DAAT kernel over the compressed segments (the
+    * max-score physical path); everything else evaluates on the
+    * DataFrame inference-network path. Both produce bit-identical
+    * scores (WandPropertySpec).
     */
-  def runQuery(query: String, k: Int): DataFrame = {
+  def runQuery(query: String, k: Int, useDaat: Boolean = true): DataFrame = {
     val ast = QueryParser.parse(query)
-    val belief = evaluate(ast)
-    belief.df
-      .select(col("docId"), col("score"))
-      .orderBy(col("score").desc, col("docId").asc)
-      .limit(k)
+    daatBag(ast) match {
+      case Some(termWeights) if useDaat && baseline =>
+        runDaat(termWeights, k, exhaustive = false)
+      case _ =>
+        val belief = evaluate(ast)
+        belief.df
+          .select(col("docId"), col("score"))
+          .orderBy(col("score").desc, col("docId").asc)
+          .limit(k)
+    }
+  }
+
+  /** (rawTerm, weight) children in query order when the AST is a flat
+    * non-negative bag the WAND kernel can serve; None otherwise.
+    * Baseline weights: root #combine → 1.0 each (PlusNode), root
+    * #weight → raw weights (WPlusNode).
+    */
+  private def daatBag(ast: QueryNode): Option[Seq[(String, Double)]] = ast match {
+    case TermNode(t) => Some(Seq(t -> 1.0))
+    case CombineNode(cs) if cs.forall(_.isInstanceOf[TermNode]) =>
+      Some(cs.map { case TermNode(t) => t -> 1.0 })
+    case WeightNode(cs) if cs.forall(_._2.isInstanceOf[TermNode]) && cs.forall(_._1 >= 0) =>
+      Some(cs.map { case (w, TermNode(t)) => t -> w })
+    case _ => None
+  }
+
+  /** Score a bag through the DAAT/WAND kernel. Stopped/OOV terms drop
+    * out (okapi background = 0 — NullScorerNode semantics).
+    */
+  def runDaat(termWeights: Seq[(String, Double)], k: Int, exhaustive: Boolean): DataFrame = {
+    val processed = termWeights.flatMap { case (t, w) =>
+      Option(analyzer.processTerm(t)).map(_ -> w)
+    }
+    if (processed.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
+    }
+    val tstats = termStatsFor(processed.map(_._1))
+    val qtfs = processed.groupBy(_._1).map { case (t, xs) => t -> xs.length }
+    val engineTerms = processed.map { case (t, w) =>
+      val ts = tstats.getOrElse(t, TermStats(0, 0))
+      val fn = Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+        ts.df.toDouble, stats.totalDocs, qtf = qtfs(t))
+      (t, w, fn)
+    }
+    Daat.topK(index, Daat.plan(engineTerms), k, exhaustive)
   }
 
   /** total corpus term count (reference: src/LocalQueryServer.cpp:232-275) */

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.Analyzer
+import graft.corpus.CorpusSynthesizer
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search._
+
+/** Pruning-safety property (FIXTURES.md: block-max WAND result ==
+  * exhaustive DAAT == DataFrame inference-network path, exact doubles).
+  */
+class WandPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val docsDf = {
+    val corpus = CorpusSynthesizer.corpus(spark, 600, seed = 7L)
+    IndexBuilder.assignDocIds(corpus, Seq("repo", "path", "commit"))
+      .select("docId", "content").cache()
+  }
+  // small blocks force many block boundaries — the skip logic gets real work
+  private lazy val index = IndexBuilder.build(docsDf, IndexConfig(blockSize = 16, numBuckets = 8))
+
+  private val queries = Seq(
+    "return",
+    "#combine(return license)",
+    "#combine(class def val import)",
+    "#combine(return return class)",
+    "#weight(0.7 return 0.3 license)",
+    "#weight(3.0 val 1.0 static 2.0 import)",
+    "#combine(zzznotaword return)",
+    "#combine(uniq1x5 return)" // df=1 + hot term: extreme UB spread
+  )
+
+  private def run(engine: Engine, q: String, k: Int, mode: String): Seq[(Long, Double)] = {
+    val df = mode match {
+      case "wand" => engine.runQuery(q, k, useDaat = true)
+      case "exhaustive" =>
+        engine.runDaat(QueryParser.parse(q) match {
+          case TermNode(t) => Seq(t -> 1.0)
+          case CombineNode(cs) => cs.map { case TermNode(t) => t -> 1.0 }
+          case WeightNode(cs) => cs.map { case (w, TermNode(t)) => t -> w }
+          case other => fail(s"unexpected $other")
+        }, k, exhaustive = true)
+      case "dataframe" => engine.runQuery(q, k, useDaat = false)
+    }
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("WAND == exhaustive DAAT == DataFrame path, k=10 and k=1000, exact doubles") {
+    val engine = new Engine(spark, index, Analyzer(), ScoringRule(method = "okapi"))
+    for (q <- queries; k <- Seq(10, 1000)) {
+      val wand = run(engine, q, k, "wand")
+      val exh = run(engine, q, k, "exhaustive")
+      val dfp = run(engine, q, k, "dataframe")
+      assert(wand == exh, s"WAND != exhaustive for '$q' k=$k\n wand=${wand.take(5)}\n exh=${exh.take(5)}")
+      assert(wand == dfp, s"WAND != DataFrame for '$q' k=$k\n wand=${wand.take(5)}\n df=${dfp.take(5)}")
+    }
+  }
+
+  test("WAND pruning actually skips block decodes on selective queries") {
+    // direct kernel exercise: rare term + mid-frequency term, k=1 — once
+    // the rare doc sets θ above the mid term's UB, its remaining blocks
+    // must never decode. (A near-universal term like `return` has
+    // NEGATIVE idf here, UB=0, and legitimately cannot be pruned when θ
+    // is negative — so pick a positive-idf term with many blocks.)
+    val analyzer = Analyzer()
+    val engine = new Engine(spark, index, analyzer, ScoringRule(method = "okapi"))
+    import org.apache.spark.sql.functions.col
+    // a real df=1 term whose single posting has a small docId
+    val rareTerm = index.dictionary.where(col("df") === 1)
+      .join(index.postings, "term")
+      .orderBy("docId").select("term")
+      .head().getString(0)
+    val n = index.stats.totalDocs
+    val midTerm = index.dictionary
+      .where(col("df") > n / 10 && col("df") < n / 3)
+      .orderBy(col("df").desc).select("term")
+      .head().getString(0)
+    val tstats = engine.termStatsFor(Seq(midTerm, rareTerm))
+    import graft.search.Daat._
+    val engineTerms = Seq(rareTerm, midTerm).map { t =>
+      val ts = tstats.getOrElse(t, TermStats(0, 0))
+      (t, 1.0, Scorers.forTerm(ScoringRule(method = "okapi"), ts.ctf.toDouble,
+        index.stats.totalTerms.toDouble, ts.df.toDouble, index.stats.totalDocs))
+    }
+    val p = Daat.plan(engineTerms)
+    // gather all blocks locally and run the kernel twice
+    import spark.implicits._
+    val rows = index.segments.where($"term".isin(rareTerm, midTerm))
+      .select("term", "firstDoc", "lastDoc", "numDocs", "maxTf", "minDl",
+        "docsDelta", "tfs", "dls").collect()
+    def mkCursors() = {
+      val byTerm = rows.groupBy(_.getString(0))
+      p.terms.map { tp =>
+        val bs = byTerm.getOrElse(tp.term, Array.empty).map { r =>
+          Block(r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5),
+            r.getAs[Array[Byte]](6), r.getAs[Array[Byte]](7), r.getAs[Array[Byte]](8))
+        }.sortBy(_.firstDoc)
+        new Cursor(bs, tp)
+      }
+    }
+    val cPruned = mkCursors()
+    val rPruned = Daat.wand(cPruned, p, 1, exhaustive = false)
+    val cFull = mkCursors()
+    val rFull = Daat.wand(cFull, p, 1, exhaustive = true)
+    assert(rPruned == rFull)
+    val decodedPruned = cPruned.map(_.decodedBlocks).sum
+    val decodedFull = cFull.map(_.decodedBlocks).sum
+    assert(decodedPruned < decodedFull,
+      s"pruning decoded $decodedPruned blocks, exhaustive $decodedFull — no skipping happened")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.index.{IndexBuilder, IndexConfig}
+import graft.index.{FieldAnnotators, IndexBuilder, IndexConfig}
 import graft.pipeline.{Similarity, TextPipeline}
 import graft.search.{Engine, QueryParser, ScoringRule}
 
@@ -46,6 +46,19 @@ object SparkEntry {
 
   private def engine(s: SparkSession, dir: String): Engine =
     new Engine(s, buildIndex(s, dir), cfg.analyzer, ScoringRule(method = "okapi"))
+
+  /** engine with annotator-injected fields: positional `head` (first 10
+    * token positions) + whole-doc numeric `nchars` from the n_chars
+    * column (OffsetAnnotation/NumericFieldAnnotator analogues).
+    */
+  private def fieldEngine(s: SparkSession, dir: String): Engine = {
+    val docs = documents(s, dir)
+      .select(col("doc_id").as("docId"), col("text").as("content"), col("n_chars"))
+    val idx = IndexBuilder.build(docs, cfg,
+      annotate = df => FieldAnnotators.numericField("nchars", "n_chars")(
+        FieldAnnotators.headField(10)(df)))
+    new Engine(s, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+  }
 
   /** Flagship: BM25 top-k on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -196,6 +209,33 @@ object SparkEntry {
       s.createDataFrame(Seq((x, dx))).toDF("xcount", "dxcount")
     }),
 
+    // ---- field / extent operators (SURVEY §2.C raw extent ops) ----
+    "q_field_restrict" -> ((s, dir) => {
+      // data.head: occurrences of `data` inside the head field [0,10)
+      val eng = fieldEngine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("data.head")).df
+        .select(col("docId").as("doc_id"), size(col("begins")).cast(LongType).as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    "q_any_field" -> ((s, dir) => {
+      // #any:head extent dump (FieldIteratorNode analogue)
+      val eng = fieldEngine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("#any:head")).df
+        .select(col("docId").as("doc_id"),
+          element_at(col("begins"), 1).cast(LongType).as("begin"),
+          element_at(col("ends"), 1).cast(LongType).as("end"))
+        .where(col("end") > col("begin")) // drop degenerate extents of empty docs
+        .orderBy("doc_id")
+    }),
+
+    "q_num_between" -> ((s, dir) => {
+      // #between(nchars 500 1000): inclusive numeric field predicate
+      val eng = fieldEngine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("#between(nchars 500 1000)")).df
+        .select(col("docId").as("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- dedup suite ----
     "q_dedup_exact" -> ((s, dir) =>
       TextPipeline.exactDedup(documents(s, dir), "doc_id", "text")
@@ -342,6 +382,21 @@ object SparkEntry {
          |  GROUP BY a.doc_id
          |)
          |SELECT coalesce(sum(tf), 0)::BIGINT AS xcount, count(*)::BIGINT AS dxcount FROM m""".stripMargin,
+
+    "q_field_restrict" ->
+      s"""$DTok
+         |SELECT doc_id, count(*) AS tf FROM tok
+         |WHERE term = 'data' AND pos <= 10
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_any_field" ->
+      s"""$DTok
+         |SELECT doc_id, 0::BIGINT AS begin, least(10, doclen)::BIGINT AS "end"
+         |FROM dl WHERE doclen > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_num_between" ->
+      """SELECT doc_id FROM documents
+        |WHERE n_chars BETWEEN 500 AND 1000 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id,

@@ -302,6 +302,30 @@ final case class Analyzer(
     out
   }
 
+  /** analyze() plus tag (field) extents in token-position space.
+    * "simple" mode has no markup semantics → no tag events (fields can
+    * still be injected by annotators, the OffsetAnnotationAnnotator
+    * analogue — reference: src/OffsetAnnotationAnnotator.cpp).
+    */
+  def analyzeWithFields(text: String): (Array[String], Array[TagExtent]) = {
+    mode match {
+      case "simple" => (analyze(text), Array.empty[TagExtent])
+      case _ =>
+        val (raw, tags) = Tokenizer.tokenizeWithTags(text)
+        val out = new Array[String](raw.length)
+        var i = 0
+        while (i < raw.length) {
+          var t = Normalizer.normalize(raw(i))
+          if (t != null && t.length > maxTermLength) t = null
+          if (t != null && stopwords.contains(t)) t = null
+          if (t != null) t = stemmer.stem(t)
+          out(i) = t
+          i += 1
+        }
+        (out, tags)
+    }
+  }
+
   /** Query-side term processing — same chain as indexing
     * (reference: Repository::processTerm, src/Repository.cpp:1087-1113).
     * Returns null for terms that stop out / normalize to empty.

@@ -26,17 +26,59 @@ final case class Token(term: String, pos: Int)
   * are separate stages (see [[Analyzer]]), matching the reference
   * transformation chain order (reference: src/Repository.cpp:137-177).
   */
+/** A tag (field) extent in token-position space, with the char span of
+  * the covered text for numeric/date payload parsing
+  * (reference: include/indri/FieldExtent.hpp:30-46 — begin/end token
+  * positions + INT64 number; src/Repository.cpp:151-158 Numeric/Date
+  * field annotators parse the covered text).
+  */
+final case class TagExtent(name: String, begin: Int, end: Int,
+                           charBegin: Int, charEnd: Int)
+
 object Tokenizer {
 
-  def tokenize(text: String): Array[String] = {
+  def tokenize(text: String): Array[String] = scan(text, null)
+
+  /** Tokenize AND record tag events as token-position extents — the
+    * TagEvent path of the reference lexer (reference:
+    * src/TextTokenizer.l:46-48 tag rules; TokenizedDocument tag events).
+    * Open tags match the most recent same-name open; unclosed tags run
+    * to the end of the document.
+    */
+  def tokenizeWithTags(text: String): (Array[String], Array[TagExtent]) = {
+    val tags = new ArrayBuffer[TagExtent](8)
+    val toks = scan(text, tags)
+    (toks, tags.toArray)
+  }
+
+  private def scan(text: String, tagsOut: ArrayBuffer[TagExtent]): Array[String] = {
     if (text == null) return Array.empty
     val out = new ArrayBuffer[String](math.max(8, text.length / 6))
+    // open-tag stack entries: (name, tokenBegin, charBegin)
+    val open = if (tagsOut == null) null
+               else new ArrayBuffer[(String, Int, Int)](8)
     val n = text.length
     var i = 0
     while (i < n) {
       val c = text.charAt(i)
       if (c == '<') {
-        i = scanAngle(text, i, n)
+        if (tagsOut == null) i = scanAngle(text, i, n)
+        else {
+          val (j, name, isClose) = scanAngleTag(text, i, n)
+          if (name != null) {
+            if (!isClose) open += ((name, out.length, j))
+            else {
+              // close the most recent matching open tag
+              var k = open.length - 1
+              while (k >= 0 && open(k)._1 != name) k -= 1
+              if (k >= 0) {
+                val (nm, tb, cb) = open.remove(k)
+                tagsOut += TagExtent(nm, tb, out.length, cb, i)
+              }
+            }
+          }
+          i = j
+        }
       } else if (c == '&') {
         val j = scanEntity(text, i, n)
         if (j > i) i = j
@@ -57,7 +99,38 @@ object Tokenizer {
         }
       }
     }
+    if (open != null && open.nonEmpty) {
+      // unclosed tags extend to end-of-document
+      open.foreach { case (nm, tb, cb) =>
+        tagsOut += TagExtent(nm, tb, out.length, cb, n)
+      }
+      // keep document order by token begin (stack pops emit out of order)
+      val sorted = tagsOut.sortBy(t => (t.begin, t.end))
+      tagsOut.clear(); tagsOut ++= sorted
+    }
     out.toArray
+  }
+
+  /** Like scanAngle but also classifies markup tags: returns
+    * (endIndex, lowercasedTagName | null, isCloseTag).
+    */
+  private def scanAngleTag(s: String, i: Int, n: Int): (Int, String, Boolean) = {
+    if (i + 1 < n) {
+      val c1 = s.charAt(i + 1)
+      val isClose = c1 == '/'
+      val nameStart = if (isClose) i + 2 else i + 1
+      if (isClose || isAlpha(c1)) {
+        val end = s.indexOf('>', i + 1)
+        if (end >= 0 && nameStart < end) {
+          var j = nameStart
+          while (j < end && (isAlpha(s.charAt(j)) || isDigit(s.charAt(j)))) j += 1
+          val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          if (name.nonEmpty && !s.startsWith("<?xml", i))
+            return (end + 1, name, isClose)
+        }
+      }
+    }
+    (scanAngle(s, i, n), null, false)
   }
 
   /** Comment / directive / markup zapping starting at '<'.

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,15 +29,46 @@ final case class IndexConfig(
     numBuckets: Int = 32,
     topdocsMinDf: Long = 1000L,
     topdocsFraction: Double = 0.01,
-    storePositions: Boolean = true
+    storePositions: Boolean = true,
+    fields: Seq[FieldSpec] = Nil
 ) {
   def analyzer: Analyzer =
     Analyzer(analyzerMode, stopwords, graft.analysis.Stemmers.byName(stemmerName))
   /** stable fingerprint for resume checks */
   def fingerprint: String = {
-    val s = s"$analyzerMode|${stopwords.toSeq.sorted.mkString(",")}|$stemmerName|$blockSize|$numBuckets|$topdocsMinDf|$topdocsFraction|$storePositions"
+    val s = s"$analyzerMode|${stopwords.toSeq.sorted.mkString(",")}|$stemmerName|$blockSize|$numBuckets|$topdocsMinDf|$topdocsFraction|$storePositions|${fields.map(f => s"${f.name}:${f.parse}").mkString(",")}"
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
+
+/** An indexed field (tag) declaration — the field descriptor analogue
+  * (reference: include/indri/Index.hpp:42-53 {name, numeric, parserName}).
+  *
+  * @param parse payload parser for the covered text:
+  *   "none" → number = 0;
+  *   "int"  → leading [-]digits of the trimmed text
+  *            (NumericFieldAnnotator, reference: src/Repository.cpp:151-155);
+  *   "date" → ISO yyyy-MM-dd → epoch day
+  *            (DateFieldAnnotator, reference: src/Repository.cpp:156-158).
+  */
+final case class FieldSpec(name: String, parse: String = "none") {
+  def parseNumber(text: String): Long = parse match {
+    case "int" =>
+      val t = text.trim
+      var i = 0; var neg = false
+      if (i < t.length && (t.charAt(i) == '-' || t.charAt(i) == '+')) {
+        neg = t.charAt(i) == '-'; i += 1
+      }
+      var v = 0L; var any = false
+      while (i < t.length && t.charAt(i) >= '0' && t.charAt(i) <= '9') {
+        v = v * 10 + (t.charAt(i) - '0'); i += 1; any = true
+      }
+      if (!any) 0L else if (neg) -v else v
+    case "date" =>
+      try java.time.LocalDate.parse(text.trim.take(10)).toEpochDay
+      catch { case _: Exception => 0L }
+    case _ => 0L
   }
 }
 
@@ -65,7 +96,8 @@ final case class InvertedIndex(
     dictionary: DataFrame, // (term, df, ctf, maxDocLen, minDocLen)
     doclens: DataFrame,    // (docId, length)
     stats: CorpusStats,
-    segments: DataFrame    // SegmentBlock schema
+    segments: DataFrame,   // SegmentBlock schema
+    fieldExtents: DataFrame = null // (docId, field, begin, end, number) | null when no fields indexed
 )
 
 final case class CorpusStats(totalDocs: Long, totalTerms: Long, uniqueTerms: Long) {
@@ -99,8 +131,33 @@ object IndexBuilder {
   def tokenize(docs: DataFrame, cfg: IndexConfig,
                contentCol: String = "content"): DataFrame = {
     val az = cfg.analyzer
-    val analyzeUdf = udf((text: String) => az.analyze(text))
-    docs.withColumn("slots", analyzeUdf(col(contentCol)))
+    if (cfg.fields.isEmpty) {
+      val analyzeUdf = udf((text: String) => az.analyze(text))
+      docs.withColumn("slots", analyzeUdf(col(contentCol)))
+        .withColumn("fields",
+          lit(null).cast("array<struct<field:string,begin:int,end:int,number:bigint>>"))
+    } else {
+      // one pass: slots + tag extents with numeric/date payloads for the
+      // declared fields (only configured fields are kept, like the
+      // reference's field descriptor list)
+      val specs = cfg.fields.map(f => f.name -> f).toMap
+      val analyzeUdf = udf { (text: String) =>
+        val (slots, tags) = az.analyzeWithFields(text)
+        val fs = tags.flatMap { t =>
+          specs.get(t.name).map { spec =>
+            val num = if (spec.parse == "none") 0L
+                      else spec.parseNumber(text.substring(t.charBegin, t.charEnd))
+            (t.name, t.begin, t.end, num)
+          }
+        }
+        (slots, fs)
+      }
+      docs.withColumn("az", analyzeUdf(col(contentCol)))
+        .withColumn("slots", col("az._1"))
+        .withColumn("fields", col("az._2")
+          .cast("array<struct<field:string,begin:int,end:int,number:bigint>>"))
+        .drop("az")
+    }
   }
 
   /** Positional postings with denormalized doclen:
@@ -143,6 +200,19 @@ object IndexBuilder {
     */
   def buildDocLens(tokenized: DataFrame): DataFrame =
     tokenized.select(col("docId"), size(col("slots")).as("length"))
+
+  /** Field-extent table (docId, field, begin, end, number) — the extent
+    * list analogue (reference fieldsFile, src/IndexWriter.cpp:412-508;
+    * FieldExtent include/indri/FieldExtent.hpp:30-46). Extents come from
+    * markup tags (tokenize) and/or injected annotator columns.
+    */
+  def buildFieldExtents(tokenized: DataFrame): DataFrame =
+    tokenized
+      .where(col("fields").isNotNull && size(col("fields")) > 0)
+      .select(col("docId"), explode(col("fields")).as("f"))
+      .select(col("docId"), col("f.field").as("field"),
+        col("f.begin").as("begin"), col("f.end").as("end"),
+        col("f.number").as("number"))
 
   def buildStats(doclens: DataFrame, dictionary: DataFrame): CorpusStats = {
     val r = doclens.agg(
@@ -270,14 +340,65 @@ object IndexBuilder {
     build(docs.select(col("docId"), col("content")), cfg)
   }
 
-  /** Full build from (docId, content). */
-  def build(docs: DataFrame, cfg: IndexConfig = IndexConfig()): InvertedIndex = {
-    val tokenized = tokenize(docs, cfg).persist()
+  /** Full build from (docId, content).
+    *
+    * @param annotate post-tokenize annotator chain (FieldAnnotators.*) —
+    *                 the OffsetAnnotation/Numeric/Date annotator slot in
+    *                 the reference transformation chain
+    *                 (reference: src/Repository.cpp:137-177)
+    */
+  def build(docs: DataFrame, cfg: IndexConfig = IndexConfig(),
+            annotate: DataFrame => DataFrame = identity): InvertedIndex = {
+    val tokenized = annotate(tokenize(docs, cfg)).persist()
     val postings = buildPostings(tokenized, cfg)
     val dictionary = buildDictionary(postings)
     val doclens = buildDocLens(tokenized)
     val stats = buildStats(doclens, dictionary)
     val segments = buildSegments(postings, stats.totalDocs, cfg).toDF()
-    InvertedIndex(postings, dictionary, doclens, stats, segments)
+    val extents = buildFieldExtents(tokenized)
+    InvertedIndex(postings, dictionary, doclens, stats, segments, extents)
   }
+}
+
+/** Injected field extents over an already-tokenized corpus — the
+  * external-annotation path (reference: src/OffsetAnnotationAnnotator.cpp,
+  * src/Repository.cpp:141-158). Each annotator appends rows to the
+  * `fields` column produced by [[IndexBuilder.tokenize]].
+  */
+object FieldAnnotators {
+
+  private def appendField(df: DataFrame, entry: Column): DataFrame =
+    df.withColumn("fields",
+      when(col("fields").isNull, array(entry))
+        .otherwise(array_union(col("fields"), array(entry))))
+
+  /** Positional field covering the first `n` token positions — a
+    * document-structure field like title/header.
+    */
+  def headField(n: Int, name: String = "head")(df: DataFrame): DataFrame =
+    appendField(df, struct(
+      lit(name).as("field"),
+      lit(0).as("begin"),
+      least(lit(n), size(col("slots"))).cast("int").as("end"),
+      lit(0L).as("number")))
+
+  /** Whole-document numeric field whose payload comes from a column —
+    * the NumericFieldAnnotator analogue over tabular metadata.
+    */
+  def numericField(name: String, valueCol: String)(df: DataFrame): DataFrame =
+    appendField(df, struct(
+      lit(name).as("field"),
+      lit(0).as("begin"),
+      size(col("slots")).cast("int").as("end"),
+      col(valueCol).cast(LongType).as("number")))
+
+  /** Whole-document date field: ISO yyyy-MM-dd string column → epoch day
+    * (DateFieldAnnotator analogue).
+    */
+  def dateField(name: String, valueCol: String)(df: DataFrame): DataFrame =
+    appendField(df, struct(
+      lit(name).as("field"),
+      lit(0).as("begin"),
+      size(col("slots")).cast("int").as("end"),
+      datediff(to_date(col(valueCol)), lit("1970-01-01")).cast(LongType).as("number")))
 }

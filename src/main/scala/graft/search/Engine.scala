@@ -154,9 +154,70 @@ final class Engine(
         array(col("doclen")).as("ends"),
         col("doclen")))
 
+    case AnyFieldNode(f) =>
+      RawResult(fieldRaw(f))
+
+    case FieldNumNode(op, f, lo, hi) =>
+      // (reference: src/FieldLessNode.cpp:41 x < c; FieldGreaterNode x > c;
+      // FieldBetweenNode.cpp:42 low <= x <= high; FieldEqualsNode x == c)
+      val pred = op match {
+        case "less"    => col("number") < hi
+        case "greater" => col("number") > lo
+        case "between" => col("number") >= lo && col("number") <= hi
+        case "equals"  => col("number") === lo
+      }
+      RawResult(fieldRaw(f, pred))
+
+    case FieldRestrictNode(child, f) =>
+      // ExtentInside: child extents fully contained in a field extent
+      // (reference: src/ExtentInsideNode.cpp — inner.begin >= outer.begin
+      // && inner.end <= outer.end)
+      val c = evaluateRaw(child)
+      val fx = fieldExtents.where(col("field") === f)
+        .groupBy("docId").agg(
+          sort_array(collect_list(struct(col("begin"), col("end")))).as("fex"))
+      val insideUdf = udf { (bs: Seq[Int], es: Seq[Int], fb: Seq[Int], fe: Seq[Int]) =>
+        val ob = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val oe = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < bs.length) {
+          var j = 0
+          var in = false
+          while (j < fb.length && !in) {
+            if (bs(i) >= fb(j) && es(i) <= fe(j)) in = true
+            j += 1
+          }
+          if (in) { ob += bs(i); oe += es(i) }
+          i += 1
+        }
+        (ob.toArray, oe.toArray)
+      }
+      val joined = c.df.join(fx, Seq("docId"), "inner")
+        .withColumn("ex", insideUdf(col("begins"), col("ends"),
+          col("fex.begin"), col("fex.end")))
+        .where(size(col("ex._1")) > 0)
+        .select(col("docId"), col("ex._1").as("begins"),
+          col("ex._2").as("ends"), col("doclen"))
+      RawResult(joined)
+
     case other =>
       throw new IllegalArgumentException(s"not a raw extent node: $other")
   }
+
+  private def fieldExtents: DataFrame = {
+    require(index.fieldExtents != null,
+      "no field extents indexed — declare IndexConfig.fields or add a FieldAnnotator")
+    index.fieldExtents
+  }
+
+  /** extents of field f (optionally filtered) as a RawResult */
+  private def fieldRaw(f: String, pred: Column = lit(true)): DataFrame =
+    fieldExtents.where(col("field") === f && pred)
+      .groupBy("docId").agg(
+        sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
+      .join(index.doclens, Seq("docId"), "inner")
+      .select(col("docId"), col("ex.begin").as("begins"),
+        col("ex.end").as("ends"), col("length").as("doclen"))
 
   /** k-way positional intersection for #odN / #uwN. Children are joined
     * on docId (all must match), then the per-document pointer walk runs
@@ -221,7 +282,8 @@ final class Engine(
 
   private def isRawNode(n: QueryNode): Boolean = n match {
     case _: TermNode | _: OdNode | _: UwNode | _: BandNode | _: SynNode |
-         _: WsynNode | _: WildcardNode => true
+         _: WsynNode | _: WildcardNode | _: FieldRestrictNode |
+         _: AnyFieldNode | _: FieldNumNode => true
     case _ => false
   }
 

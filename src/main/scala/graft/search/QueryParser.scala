@@ -22,6 +22,17 @@ final case class WsynNode(children: Seq[(Double, QueryNode)]) extends QueryNode
 /** term* (reference: indrilang.g:639-649; cap 100 expansions,
   * include/indri/InferenceNetworkBuilder.hpp:64) */
 final case class WildcardNode(prefix: String) extends QueryNode
+/** t.f field restriction — extents of `child` contained in an extent of
+  * `field` (reference: indrilang.g:690-743, src/ExtentInsideNode.cpp) */
+final case class FieldRestrictNode(child: QueryNode, field: String) extends QueryNode
+/** #any:f — every extent of field f (reference: indrilang.g:490-527,
+  * FieldIteratorNode builder src/InferenceNetworkBuilder.cpp:135-150) */
+final case class AnyFieldNode(field: String) extends QueryNode
+/** numeric/date predicates over field payloads
+  * (reference: indrilang.g:1022-1074; src/FieldLessNode.cpp:41 x < c,
+  * FieldGreaterNode x > c, FieldBetweenNode.cpp:42 low <= x <= high,
+  * FieldEqualsNode x == c). op ∈ less|greater|between|equals. */
+final case class FieldNumNode(op: String, field: String, lo: Long, hi: Long) extends QueryNode
 
 // ---- belief (scoring) operators ----
 final case class CombineNode(children: Seq[QueryNode]) extends QueryNode
@@ -89,12 +100,19 @@ object QueryParser {
         case '#' =>
           var j = i + 1
           while (j < n && (s.charAt(j).isLetter)) j += 1
-          val name = s.substring(i + 1, j).toLowerCase
+          var name = s.substring(i + 1, j).toLowerCase
           var num: Option[Int] = None
           if (name.isEmpty || name == "od" || name == "uw") {
             var k2 = j
             while (k2 < n && s.charAt(k2).isDigit) k2 += 1
             if (k2 > j) { num = Some(s.substring(j, k2).toInt); j = k2 }
+          }
+          // `#any:field` (reference: indrilang.g:490-527)
+          if (name == "any" && j < n && s.charAt(j) == ':') {
+            var k2 = j + 1
+            while (k2 < n && (s.charAt(k2).isLetterOrDigit)) k2 += 1
+            name = "any:" + s.substring(j + 1, k2).toLowerCase
+            j = k2
           }
           out += Op(if (name.isEmpty) "od" else name, num)
           i = j
@@ -157,7 +175,17 @@ object QueryParser {
       advance() match {
         case Word(w) =>
           if (w.endsWith("*") && w.length > 1) WildcardNode(w.dropRight(1))
-          else TermNode(w)
+          else {
+            // qualifiedTerm t.f (reference: indrilang.g:690-743); the
+            // field name must be alphanumeric — other dots stay in the
+            // term (the analyzer strips them, e.g. acronyms "u.s.a.")
+            val dot = w.lastIndexOf('.')
+            if (dot > 0 && dot < w.length - 1 &&
+                w.substring(dot + 1).forall(_.isLetterOrDigit) &&
+                w.substring(dot + 1).exists(_.isLetter))
+              FieldRestrictNode(TermNode(w.substring(0, dot)), w.substring(dot + 1).toLowerCase)
+            else TermNode(w)
+          }
         case Num(v) =>
           // a bare number in term position is a term (e.g. query "42")
           TermNode(if (v == v.toLong) v.toLong.toString else v.toString)
@@ -167,8 +195,20 @@ object QueryParser {
           val kids = parseSequence(stopAtClose = true); expect(RAngle); SynNode(kids)
         case LBrace =>
           val kids = parseSequence(stopAtClose = true); expect(RBrace); SynNode(kids)
+        case Op(name, _) if name.startsWith("any:") =>
+          AnyFieldNode(name.stripPrefix("any:"))
         case Op(name, num) =>
           expect(LParen)
+          def fieldArg(): String = advance() match {
+            case Word(f) => f.toLowerCase
+            case other => throw new IllegalArgumentException(s"expected field name, got $other")
+          }
+          def numArg(): Long = advance() match {
+            case Num(v) => v.toLong
+            case Word(d) => // ISO date literal for the #date* forms
+              java.time.LocalDate.parse(d.take(10)).toEpochDay
+            case other => throw new IllegalArgumentException(s"expected number/date, got $other")
+          }
           val node = name match {
             case "combine" => CombineNode(parseSequence(stopAtClose = true))
             case "weight" | "wand" => WeightNode(parseWeighted())
@@ -190,6 +230,15 @@ object QueryParser {
               val kids = parseSequence(stopAtClose = true)
               require(kids.length == 2, s"#$name needs 2 args")
               FilRejNode(kids(0), kids(1))
+            case "any" => AnyFieldNode(fieldArg())
+            case "less" | "datebefore" =>
+              val f = fieldArg(); FieldNumNode("less", f, Long.MinValue, numArg())
+            case "greater" | "dateafter" =>
+              val f = fieldArg(); FieldNumNode("greater", f, numArg(), Long.MaxValue)
+            case "between" | "datebetween" =>
+              val f = fieldArg(); FieldNumNode("between", f, numArg(), numArg())
+            case "equals" | "dateequals" =>
+              val f = fieldArg(); val v = numArg(); FieldNumNode("equals", f, v, v)
             case other =>
               throw new IllegalArgumentException(s"unsupported operator #$other")
           }
@@ -213,6 +262,9 @@ object QueryParser {
     case SynNode(cs) => cs.flatMap(termLeaves)
     case WsynNode(cs) => cs.flatMap(c => termLeaves(c._2))
     case WildcardNode(p) => Seq(p)
+    case FieldRestrictNode(c, _) => termLeaves(c)
+    case AnyFieldNode(_) => Nil
+    case FieldNumNode(_, _, _, _) => Nil
     case CombineNode(cs) => cs.flatMap(termLeaves)
     case WeightNode(cs) => cs.flatMap(c => termLeaves(c._2))
     case WsumNode(cs) => cs.flatMap(c => termLeaves(c._2))

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.Tokenizer
+import graft.index._
+import graft.search.{Engine, QueryParser, ScoringRule}
+
+/** Field/extent operator semantics
+  * (reference: FieldExtent include/indri/FieldExtent.hpp:30-46;
+  * ExtentInsideNode src/ExtentInsideNode.cpp; FieldIteratorNode;
+  * numeric nodes src/FieldLessNode.cpp:41, src/FieldBetweenNode.cpp:42).
+  */
+class FieldOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("tokenizeWithTags: extents in token space, nesting, unclosed tags") {
+    val (toks, tags) = Tokenizer.tokenizeWithTags(
+      "<title>alpha beta</title> gamma <sec>delta <b>eps</b> zeta</sec> <open>tail")
+    assert(toks.toSeq == Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "tail"))
+    val byName = tags.map(t => t.name -> (t.begin, t.end)).toMap
+    assert(byName("title") == (0, 2))
+    assert(byName("sec") == (3, 6))
+    assert(byName("b") == (4, 5))
+    assert(byName("open") == (6, 7)) // unclosed → end of doc
+  }
+
+  test("numeric/date payload parsing per FieldSpec") {
+    assert(FieldSpec("p", "int").parseNumber("  1234 tail") == 1234L)
+    assert(FieldSpec("p", "int").parseNumber("-55") == -55L)
+    assert(FieldSpec("p", "int").parseNumber("x") == 0L)
+    assert(FieldSpec("d", "date").parseNumber("1970-01-03") == 2L)
+  }
+
+  // tagged corpus: title field + numeric price + date field
+  private lazy val taggedIndex = {
+    val rows = Seq(
+      (1L, "<title>merge sort</title> body merge text <price>10</price> <when>2020-01-01</when>"),
+      (2L, "<title>hash scan</title> merge body body <price>25</price> <when>2020-06-01</when>"),
+      (3L, "no fields here merge merge sort"),
+      (4L, "<title>sort merge sort</title> tail <price>40</price> <when>2021-01-01</when>")
+    ).toDF("docId", "content")
+    val cfg = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("title"), FieldSpec("price", "int"), FieldSpec("when", "date")))
+    (IndexBuilder.build(rows, cfg), cfg)
+  }
+
+  private def engine = {
+    val (idx, cfg) = taggedIndex
+    new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+  }
+
+  test("#any:f returns every extent of the field") {
+    val eng = engine
+    val rows = eng.evaluateRaw(QueryParser.parse("#any:title")).df
+      .select("docId", "begins", "ends").as[(Long, Seq[Int], Seq[Int])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(rows(0)._2 == Seq(0) && rows(0)._3 == Seq(2))
+    assert(rows(2)._3 == Seq(3)) // 3-token title in doc 4
+  }
+
+  test("t.f field restriction keeps only extents inside the field") {
+    val eng = engine
+    // merge.title: doc1 has merge at pos 0 (inside title [0,2)); doc3 has
+    // merge but no title; doc4 title=[0,3) contains merge at pos 1
+    val rows = eng.evaluateRaw(QueryParser.parse("merge.title")).df
+      .select("docId", "begins").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 4L))
+    assert(rows(0)._2 == Seq(0))
+    assert(rows(1)._2 == Seq(1))
+    // and the parser really produced a FieldRestrictNode
+    assert(QueryParser.parse("merge.title").isInstanceOf[graft.search.FieldRestrictNode])
+  }
+
+  test("numeric predicates: strict less/greater, inclusive between, equals") {
+    val eng = engine
+    def docs(q: String): Seq[Long] =
+      eng.evaluateRaw(QueryParser.parse(q)).df.select("docId").as[Long].collect().sorted.toSeq
+    assert(docs("#less(price 25)") == Seq(1L))            // 10 < 25, not 25
+    assert(docs("#greater(price 10)") == Seq(2L, 4L))     // strict
+    assert(docs("#between(price 10 25)") == Seq(1L, 2L))  // inclusive both
+    assert(docs("#equals(price 40)") == Seq(4L))
+  }
+
+  test("date operators map to epoch-day numerics") {
+    val eng = engine
+    def docs(q: String): Seq[Long] =
+      eng.evaluateRaw(QueryParser.parse(q)).df.select("docId").as[Long].collect().sorted.toSeq
+    assert(docs("#datebefore(when 2020-06-01)") == Seq(1L))
+    assert(docs("#dateafter(when 2020-06-01)") == Seq(4L))
+    assert(docs("#datebetween(when 2020-01-01 2020-12-31)") == Seq(1L, 2L))
+    assert(docs("#dateequals(when 2021-01-01)") == Seq(4L))
+  }
+
+  test("field-restricted belief query scores with ListBelief stats") {
+    val eng = engine
+    // #combine(merge.title) in okapi baseline: stats from the match list
+    // (ContextCount path): occurrences=2, df=2
+    val out = eng.runQuery("#combine(merge.title)", 10).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 4L))
+    // equal tf (1) and equal doclen? doc1 len=8 (merge sort body merge
+    // text 10 + date tokens) — scores must be deterministic and ordered
+    assert(out.map(_.getDouble(1)).forall(s => !s.isNaN))
+  }
+
+  test("annotator fields: headField + numericField on the simple analyzer") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", 4L),
+      (2L, "beta beta beta", 3L)
+    ).toDF("docId", "content", "nval")
+    val cfg = IndexConfig(analyzerMode = "simple", blockSize = 16, numBuckets = 2)
+    val idx = IndexBuilder.build(docs, cfg,
+      annotate = df => FieldAnnotators.numericField("nval", "nval")(
+        FieldAnnotators.headField(2)(df)))
+    val eng = new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+    val heads = eng.evaluateRaw(QueryParser.parse("beta.head")).df
+      .select("docId", "begins").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(heads.map(_._1).toSeq == Seq(1L, 2L))
+    assert(heads(0)._2 == Seq(1))       // beta at pos 1 in doc1
+    assert(heads(1)._2 == Seq(0, 1))    // first two betas in doc2
+    val eq = eng.evaluateRaw(QueryParser.parse("#equals(nval 3)")).df
+      .select("docId").as[Long].collect().toSeq
+    assert(eq == Seq(2L))
+  }
+}

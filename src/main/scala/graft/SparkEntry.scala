@@ -100,6 +100,61 @@ object SparkEntry {
        |SELECT doc_id, round(s, 6) AS score FROM sc
        |ORDER BY round(s, 6) DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Dirichlet LM SQL (μ=2500, #combine = mean of logs over the union
+    * candidate set, missing term → background; mirrors
+    * DirichletTermScoreFunction + WeightedAndNode 1/k weights).
+    */
+  private def dirichletSql(terms: Seq[String], k: Int): String =
+    s"""$DTok, st AS (
+       |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+       |), p AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(terms)} GROUP BY term, doc_id
+       |), ctf AS (
+       |  SELECT term, count(*) AS ctf FROM tok
+       |  WHERE term IN ${inList(terms)} GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT doc_id FROM p
+       |), grid AS (
+       |  SELECT c.doc_id, t.term, t.ctf, coalesce(p.tf, 0) AS tf
+       |  FROM cand c CROSS JOIN ctf t
+       |  LEFT JOIN p ON p.doc_id = c.doc_id AND p.term = t.term
+       |), sc AS (
+       |  SELECT g.doc_id,
+       |    sum(ln((g.tf + 2500.0 * g.ctf / st.tt) / (dl.doclen + 2500.0)))
+       |      / ${terms.size} AS s
+       |  FROM grid g JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN st
+       |  GROUP BY g.doc_id
+       |)
+       |SELECT doc_id, round(s, 6) AS score FROM sc
+       |ORDER BY round(s, 6) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Jelinek-Mercer LM SQL (λ_collection=0.4, document λ=0) */
+  private def jmSql(terms: Seq[String], k: Int): String =
+    s"""$DTok, st AS (
+       |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+       |), p AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(terms)} GROUP BY term, doc_id
+       |), ctf AS (
+       |  SELECT term, count(*) AS ctf FROM tok
+       |  WHERE term IN ${inList(terms)} GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT doc_id FROM p
+       |), grid AS (
+       |  SELECT c.doc_id, t.term, t.ctf, coalesce(p.tf, 0) AS tf
+       |  FROM cand c CROSS JOIN ctf t
+       |  LEFT JOIN p ON p.doc_id = c.doc_id AND p.term = t.term
+       |), sc AS (
+       |  SELECT g.doc_id,
+       |    sum(ln(0.6 * g.tf / dl.doclen + 0.4 * g.ctf / st.tt))
+       |      / ${terms.size} AS s
+       |  FROM grid g JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN st
+       |  GROUP BY g.doc_id
+       |)
+       |SELECT doc_id, round(s, 6) AS score FROM sc
+       |ORDER BY round(s, 6) DESC, doc_id LIMIT $k""".stripMargin
+
   /** 16-bit simhash SQL, generated bit-by-bit (mirrors TextPipeline.simhash) */
   private def simhash16Sql: String = {
     val votes = (0 until 16).map { bit =>
@@ -168,6 +223,99 @@ object SparkEntry {
       // q_bm25_topk's DataFrame path)
       val eng = engine(s, dir)
       eng.runDaat(BmTerms.map(_ -> 1.0), 20, exhaustive = false)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_lm_dirichlet" -> ((s, dir) => {
+      // non-baseline #combine = mean of log Dirichlet scores
+      // (reference: DirichletTermScoreFunction, WeightedAndNode 1/k)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_lm_jm" -> ((s, dir) => {
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:jm,collectionLambda:0.4")
+      eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_filreq" -> ((s, dir) => {
+      // #filreq(#band(spark table) data): BM25 of `data` restricted to
+      // docs containing both filter terms (semi join)
+      val eng = engine(s, dir)
+      eng.evaluate(QueryParser.parse("#filreq(#band(spark table) data)")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_filrej" -> ((s, dir) => {
+      val eng = engine(s, dir)
+      eng.evaluate(QueryParser.parse("#filrej(#band(spark table) data)")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_wildcard" -> ((s, dir) => {
+      // s* → synonym union of all vocabulary terms with the prefix
+      val eng = engine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("s*")).df
+        .select(col("docId").as("doc_id"), size(col("begins")).cast(LongType).as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    "q_prior" -> ((s, dir) => {
+      // #combine(data #prior(boost)) under Dirichlet: stored log-prior
+      // participates as a belief child (PriorNode)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      val priorTable = documents(s, dir).select(
+        col("doc_id").as("docId"),
+        log(lit(1.0) / (lit(1.0) + col("doc_id") % 5)).as("logPrior"))
+      eng.setPrior("boost", priorTable)
+      eng.runQuery("#combine(data #prior(boost))", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_lengthprior" -> ((s, dir) => {
+      // score += 0.5·log(doclen) (LengthPriorNode)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.evaluate(QueryParser.parse("#lengthprior(0.5 data)")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_wsyn_score" -> ((s, dir) => {
+      // #wsyn(0.7 sort 0.3 filter): weighted extent union scored as a
+      // weighted occurrence count (WeightedExtentOrNode)
+      val eng = engine(s, dir)
+      eng.evaluate(QueryParser.parse(s"#wsyn(0.7 ${SynPair._1} 0.3 ${SynPair._2})")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docvector" -> ((s, dir) => {
+      // dumpindex `dv` analogue over the forward view
+      val eng = engine(s, dir)
+      val ids = documents(s, dir).where(col("doc_id") < 30).select(col("doc_id"))
+      eng.documentVectors(ids)
+        .select(col("docId").as("doc_id"), col("pos").cast(LongType).as("pos"), col("term"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_bm25_deleted" -> ((s, dir) => {
+      // DeletedDocumentList: docs with doc_id % 7 == 0 deleted, then BM25
+      val eng = engine(s, dir)
+      eng.deleteDocuments(documents(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id")))
+      eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 20)
         .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
@@ -346,6 +494,121 @@ object SparkEntry {
 
     "q_bm25_topk" -> bm25Sql(BmTerms, 20),
     "q_bm25_daat" -> bm25Sql(BmTerms, 20),
+
+    "q_lm_dirichlet" -> dirichletSql(BmTerms, 20),
+    "q_lm_jm" -> jmSql(BmTerms, 20),
+
+    "q_filreq" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), ts AS (
+         |  SELECT count(*) AS df FROM p
+         |), band AS (
+         |  SELECT doc_id FROM tok WHERE term IN ('spark','table')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |)
+         |SELECT p.doc_id,
+         |  round( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |       / (p.tf + 0.3 + (0.9 / (st.tt / st.n)) * dl.doclen), 6) AS score
+         |FROM p JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN ts
+         |WHERE p.doc_id IN (SELECT doc_id FROM band)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q_filrej" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), ts AS (
+         |  SELECT count(*) AS df FROM p
+         |), band AS (
+         |  SELECT doc_id FROM tok WHERE term IN ('spark','table')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |)
+         |SELECT p.doc_id,
+         |  round( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |       / (p.tf + 0.3 + (0.9 / (st.tt / st.n)) * dl.doclen), 6) AS score
+         |FROM p JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN ts
+         |WHERE p.doc_id NOT IN (SELECT doc_id FROM band)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q_wildcard" ->
+      s"""$DTok
+         |SELECT doc_id, count(*) AS tf FROM tok WHERE term LIKE 's%'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_prior" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), ctf AS (
+         |  SELECT count(*) AS ctf FROM tok WHERE term = 'data'
+         |), sc AS (
+         |  SELECT dl.doc_id,
+         |    0.5 * ln((coalesce(p.tf, 0) + 2500.0 * ctf.ctf / st.tt) / (dl.doclen + 2500.0))
+         |    + 0.5 * ln(1.0 / (1.0 + dl.doc_id % 5)) AS s
+         |  FROM dl LEFT JOIN p USING(doc_id) CROSS JOIN st CROSS JOIN ctf
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_lengthprior" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), ctf AS (
+         |  SELECT count(*) AS ctf FROM tok WHERE term = 'data'
+         |)
+         |SELECT p.doc_id,
+         |  round(ln((p.tf + 2500.0 * ctf.ctf / st.tt) / (dl.doclen + 2500.0))
+         |        + 0.5 * ln(dl.doclen), 6) AS score
+         |FROM p JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN ctf
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q_wsyn_score" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT doc_id,
+         |    0.7 * count(*) FILTER (WHERE term = '${SynPair._1}')
+         |    + 0.3 * count(*) FILTER (WHERE term = '${SynPair._2}') AS wocc
+         |  FROM tok WHERE term IN ('${SynPair._1}','${SynPair._2}') GROUP BY doc_id
+         |), ts AS (
+         |  SELECT sum(wocc)::DOUBLE AS occ, count(*) AS df FROM p
+         |)
+         |SELECT p.doc_id,
+         |  round( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.wocc
+         |       / (p.wocc + 0.3 + (0.9 / (st.tt / st.n)) * dl.doclen), 6) AS score
+         |FROM p JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN ts
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q_docvector" ->
+      s"""$DTok
+         |SELECT doc_id, (pos - 1)::BIGINT AS pos, term FROM tok
+         |WHERE doc_id < 30 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_bm25_deleted" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  WHERE p.doc_id % 7 <> 0
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_od1_phrase" ->
       s"""$DTok

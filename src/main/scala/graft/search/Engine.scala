@@ -53,6 +53,28 @@ final class Engine(
 
   def setScoringRules(spec: String): Unit = { rule = ScoringRule.parse(spec) }
 
+  /** named per-doc log-prior tables: name → ((docId, logPrior), default
+    * log-prior for docs missing from the table) — the makeprior/PriorNode
+    * pair (reference: makeprior/makeprior.cpp, src/PriorNode.cpp)
+    */
+  private var priors: Map[String, (DataFrame, Double)] = Map.empty
+
+  def setPrior(name: String, table: DataFrame, defaultLog: Double = 0.0): Unit =
+    priors += name -> (table.select(col("docId"), col("logPrior")), defaultLog)
+
+  /** Deleted-document list (reference: src/DeletedDocumentList.cpp —
+    * bitmap consulted during evaluation and merge). Queries anti-join it;
+    * the segment-level DAAT path requires compaction first, mirroring
+    * merge-time skipping (reference: src/IndexWriter.cpp:575-580), so
+    * runQuery falls back to the DataFrame path while deletions pend.
+    */
+  private var deletedDocs: Option[DataFrame] = None
+
+  def deleteDocuments(docIds: DataFrame): Unit = {
+    val d = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
+    deletedDocs = Some(deletedDocs.map(_.union(d).distinct()).getOrElse(d))
+  }
+
   private def stats: CorpusStats = index.stats
   private def baseline: Boolean = rule.method == "okapi" || rule.method == "tfidf"
 
@@ -292,15 +314,37 @@ final class Engine(
     * src/TermFrequencyBeliefNode.cpp:60-135).
     */
   private def scoreRaw(node: QueryNode, termStats: Map[String, TermStats],
-                       qtf: Int = 1, qtw: Option[Double] = None): Belief = {
-    val raw = evaluateRaw(node)
-    val sf = scoreFnFor(node, raw, termStats, qtf, qtw)
-    val scoreUdf = udf { (tf: Int, dl: Int) => sf.scoreOccurrence(tf.toDouble, dl) }
-    Belief(
-      raw.df.select(col("docId"),
-        scoreUdf(size(col("begins")), col("doclen")).as("score"),
-        col("doclen")),
-      bg = dl => sf.scoreOccurrence(0.0, dl))
+                       qtf: Int = 1, qtw: Option[Double] = None): Belief = node match {
+    case WsynNode(children) =>
+      // WeightedExtentOr: each child's extents carry its weight; the
+      // belief occurrence count is the weighted sum of extent counts
+      // (reference: src/WeightedExtentOrNode.cpp — extents carry weights,
+      // consumed by ListBeliefNode occurrence accumulation)
+      val stacked = children.map { case (w, c) =>
+        evaluateRaw(c).df.select(col("docId"),
+          (size(col("begins")).cast(DoubleType) * w).as("wocc"),
+          col("doclen"))
+      }.reduce(_ union _)
+      val occ = stacked.groupBy("docId").agg(
+        sum(col("wocc")).as("wocc"), first(col("doclen")).as("doclen"))
+      // stats round (ContextCount analogue) over the weighted occurrences
+      val r = occ.agg(coalesce(sum(col("wocc")), lit(0.0)), count(lit(1))).head()
+      val sf = Scorers.forTerm(rule, r.getDouble(0), stats.totalTerms.toDouble,
+        r.getLong(1).toDouble, stats.totalDocs, qtf, qtw)
+      val scoreUdf = udf { (wocc: Double, dl: Int) => sf.scoreOccurrence(wocc, dl) }
+      Belief(
+        occ.select(col("docId"), scoreUdf(col("wocc"), col("doclen")).as("score"),
+          col("doclen")),
+        bg = dl => sf.scoreOccurrence(0.0, dl))
+    case _ =>
+      val raw = evaluateRaw(node)
+      val sf = scoreFnFor(node, raw, termStats, qtf, qtw)
+      val scoreUdf = udf { (tf: Int, dl: Int) => sf.scoreOccurrence(tf.toDouble, dl) }
+      Belief(
+        raw.df.select(col("docId"),
+          scoreUdf(size(col("begins")), col("doclen")).as("score"),
+          col("doclen")),
+        bg = dl => sf.scoreOccurrence(0.0, dl))
   }
 
   private sealed trait CombineOp
@@ -439,6 +483,26 @@ final class Engine(
         val s = childBelief(scored)
         Belief(s.df.join(matchDocs, Seq("docId"), "left_anti"), s.bg)
 
+      case PriorQNode(name) =>
+        val (table, dflt) = priors.getOrElse(name,
+          throw new IllegalArgumentException(s"prior '$name' not set — call setPrior"))
+        // per-doc stored log-prior; docs outside the table contribute the
+        // default (reference: src/PriorNode.cpp — prior read per document)
+        Belief(
+          table.join(index.doclens, Seq("docId"), "inner")
+            .select(col("docId"), col("logPrior").as("score"),
+              col("length").as("doclen")),
+          bg = _ => dflt)
+
+      case LengthPriorQNode(exp, child) =>
+        // score += exponent·log(doclen) (reference: src/LengthPriorNode.cpp)
+        val c = childBelief(child)
+        val lpUdf = udf { (s: Double, dl: Int) => s + exp * math.log(dl.toDouble) }
+        Belief(
+          c.df.select(col("docId"), lpUdf(col("score"), col("doclen")).as("score"),
+            col("doclen")),
+          bg = dl => c.bg(dl) + exp * math.log(dl.toDouble))
+
       case other =>
         throw new IllegalArgumentException(s"unsupported belief node: $other")
     }
@@ -464,11 +528,15 @@ final class Engine(
   def runQuery(query: String, k: Int, useDaat: Boolean = true): DataFrame = {
     val ast = QueryParser.parse(query)
     daatBag(ast) match {
-      case Some(termWeights) if useDaat && baseline =>
+      case Some(termWeights) if useDaat && baseline && deletedDocs.isEmpty =>
         runDaat(termWeights, k, exhaustive = false)
       case _ =>
         val belief = evaluate(ast)
-        belief.df
+        val scored = deletedDocs match {
+          case Some(d) => belief.df.join(d, Seq("docId"), "left_anti")
+          case None => belief.df
+        }
+        scored
           .select(col("docId"), col("score"))
           .orderBy(col("score").desc, col("docId").asc)
           .limit(k)
@@ -551,6 +619,18 @@ final class Engine(
       .select(col("docId"), posexplode(arrays_zip(col("begins"), col("ends"))).as(Seq("i", "ex")))
       .select(col("docId"), col("ex.begins").as("begin"), col("ex.ends").as("end"))
       .orderBy("docId", "begin")
+
+  /** Document vectors — the direct (forward) index view rebuilt from the
+    * positional postings (reference: TermList include/indri/TermList.hpp:32-66,
+    * dumpindex `dv`). One row per (docId, position, term); unindexed
+    * (stopped) slots are absent, exactly like termID 0 entries.
+    */
+  def documentVectors(docIds: DataFrame): DataFrame = {
+    val ids = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
+    index.postings.join(ids, Seq("docId"), "left_semi")
+      .select(col("docId"), col("term"), explode(col("positions")).as("pos"))
+      .select(col("docId"), col("pos"), col("term"))
+  }
 
   def documentLength(docId: Long): Int =
     index.doclens.where(col("docId") === docId)

@@ -44,6 +44,15 @@ final case class NotQNode(child: QueryNode) extends QueryNode
 final case class MaxQNode(children: Seq[QueryNode]) extends QueryNode
 final case class FilReqNode(filter: QueryNode, scored: QueryNode) extends QueryNode
 final case class FilRejNode(filter: QueryNode, scored: QueryNode) extends QueryNode
+/** #prior(name) — stored per-doc log-prior (reference: builder
+  * src/InferenceNetworkBuilder.cpp:788-795, src/PriorNode.cpp; built by
+  * makeprior/makeprior.cpp) */
+final case class PriorQNode(name: String) extends QueryNode
+/** length prior: score += exponent·log(doclen) (reference:
+  * src/LengthPriorNode.cpp, builder :1057-1073; engine-extension syntax
+  * #lengthprior(exponent child) for what the reference wires via the
+  * `lengthprior` parameter) */
+final case class LengthPriorQNode(exponent: Double, child: QueryNode) extends QueryNode
 
 /** Recursive-descent parser for the implemented indrilang subset:
   * bare terms, quoted phrases, #combine #weight #wsum #sum #or #not #max
@@ -231,6 +240,13 @@ object QueryParser {
               require(kids.length == 2, s"#$name needs 2 args")
               FilRejNode(kids(0), kids(1))
             case "any" => AnyFieldNode(fieldArg())
+            case "prior" => PriorQNode(fieldArg())
+            case "lengthprior" =>
+              val exp = advance() match {
+                case Num(v) => v
+                case other => throw new IllegalArgumentException(s"expected exponent, got $other")
+              }
+              LengthPriorQNode(exp, parseNode())
             case "less" | "datebefore" =>
               val f = fieldArg(); FieldNumNode("less", f, Long.MinValue, numArg())
             case "greater" | "dateafter" =>
@@ -274,5 +290,7 @@ object QueryParser {
     case MaxQNode(cs) => cs.flatMap(termLeaves)
     case FilReqNode(f, s) => termLeaves(f) ++ termLeaves(s)
     case FilRejNode(f, s) => termLeaves(f) ++ termLeaves(s)
+    case PriorQNode(_) => Nil
+    case LengthPriorQNode(_, c) => termLeaves(c)
   }
 }

@@ -320,6 +320,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_rm3_terms" -> ((s, dir) => {
+      // RM1 feedback term distribution from the top-10 BM25 docs
+      // (RelevanceModel/RMExpander)
+      val eng = engine(s, dir)
+      graft.search.RelevanceModel.rm1(eng, s"#combine(${BmTerms.mkString(" ")})",
+        graft.search.RelevanceModel.Params(fbDocs = 10, fbTerms = 10))
+        .select(col("term"), round(col("weight"), 6).as("weight"))
+        .orderBy(col("weight").desc, col("term").asc)
+    }),
+
     "q_od1_phrase" -> ((s, dir) => {
       // #od1 ordered-window match counts (reference: OrderedWindowNode)
       val eng = engine(s, dir)
@@ -382,6 +392,39 @@ object SparkEntry {
       val eng = fieldEngine(s, dir)
       eng.evaluateRaw(QueryParser.parse("#between(nchars 500 1000)")).df
         .select(col("docId").as("doc_id")).orderBy("doc_id")
+    }),
+
+    // ---- streaming / incremental (SURVEY §2.I) ----
+    "q_incremental_build" -> ((s, dir) => {
+      // three foreachBatch-style generations == one batch build: the
+      // dictionary over the union view must equal q_dictionary's oracle
+      import graft.streaming.IncrementalIndexer
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+      val docs = corpusDocs(s, dir)
+      IncrementalIndexer.appendBatch(docs.where(col("docId") % 3 === 0), 0L, tmp, cfg)
+      IncrementalIndexer.appendBatch(docs.where(col("docId") % 3 === 1), 1L, tmp, cfg)
+      IncrementalIndexer.appendBatch(docs.where(col("docId") % 3 === 2), 2L, tmp, cfg)
+      IncrementalIndexer.compact(s, tmp, cfg)
+      IncrementalIndexer.open(s, tmp, cfg).dictionary
+        .select(col("term"), col("df"), col("ctf"),
+          col("maxDocLen").cast(LongType).as("max_dl"),
+          col("minDocLen").cast(LongType).as("min_dl"))
+        .orderBy("term")
+    }),
+
+    "q_kba_filter" -> ((s, dir) => {
+      // KBA standing-query stream filter (kba/BM25Scorer.cc semantics)
+      import graft.streaming.StreamFilter
+      val idx = buildIndex(s, dir)
+      val termDf = idx.dictionary.select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val queries = Seq(
+        StreamFilter.StandingQuery("e1", "data merge"),
+        StreamFilter.StandingQuery("e2", "query join"))
+      StreamFilter.score(corpusDocs(s, dir), queries, idx.stats, termDf,
+        cfg.analyzer, cutoff = Double.NegativeInfinity)
+        .select(col("docId").as("doc_id"), col("qid"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "qid")
     }),
 
     // ---- dedup suite ----
@@ -494,6 +537,39 @@ object SparkEntry {
 
     "q_bm25_topk" -> bm25Sql(BmTerms, 20),
     "q_bm25_daat" -> bm25Sql(BmTerms, 20),
+
+    "q_rm3_terms" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |), fb AS (
+         |  SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 10
+         |), mx AS (
+         |  SELECT max(s) AS m FROM fb
+         |), ex AS (
+         |  SELECT doc_id, exp(s - mx.m) AS e FROM fb CROSS JOIN mx
+         |), post AS (
+         |  SELECT doc_id, e / (SELECT sum(e) FROM ex) AS w FROM ex
+         |), tw AS (
+         |  SELECT cnt.term, sum(post.w * cnt.tf::DOUBLE / dl.doclen) AS weight
+         |  FROM (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term) cnt
+         |  JOIN post USING(doc_id) JOIN dl USING(doc_id)
+         |  WHERE regexp_matches(cnt.term, '^[a-zA-Z0-9]+$$')
+         |  GROUP BY cnt.term HAVING sum(post.w * cnt.tf::DOUBLE / dl.doclen) > 0
+         |), sel AS (
+         |  SELECT term, weight FROM tw ORDER BY weight DESC, term LIMIT 10
+         |)
+         |SELECT term, round(weight, 6) AS weight FROM sel""".stripMargin,
 
     "q_lm_dirichlet" -> dirichletSql(BmTerms, 20),
     "q_lm_jm" -> jmSql(BmTerms, 20),
@@ -645,6 +721,38 @@ object SparkEntry {
          |  GROUP BY a.doc_id
          |)
          |SELECT coalesce(sum(tf), 0)::BIGINT AS xcount, count(*)::BIGINT AS dxcount FROM m""".stripMargin,
+
+    "q_incremental_build" ->
+      s"""$DTok, p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+         |)
+         |SELECT p.term, count(*) AS df, sum(p.tf)::BIGINT AS ctf,
+         |       max(dl.doclen) AS max_dl, min(dl.doclen) AS min_dl
+         |FROM p JOIN dl USING(doc_id)
+         |GROUP BY p.term ORDER BY p.term""".stripMargin,
+
+    "q_kba_filter" -> {
+      val e1 = Seq("data", "merge"); val e2 = Seq("query", "join")
+      def qScore(terms: Seq[String], qid: String) =
+        s"""SELECT dl.doc_id, '$qid' AS qid,
+           |  coalesce(sum( ln((st.n - ts.df + 0.5) / (ts.df + 0.5))
+           |    * p.tf / (p.tf + 0.4375 + (1.3125 / (st.tt / st.n)) * dl.doclen) ), 0.0) AS s
+           |FROM dl CROSS JOIN st
+           |LEFT JOIN (SELECT doc_id, term, count(*) AS tf FROM tok
+           |           WHERE term IN ${inList(terms)} GROUP BY doc_id, term) p
+           |  ON p.doc_id = dl.doc_id
+           |LEFT JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term) ts
+           |  ON ts.term = p.term
+           |GROUP BY dl.doc_id, st.n, st.tt""".stripMargin
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), u AS (
+         |${qScore(e1, "e1")}
+         |UNION ALL
+         |${qScore(e2, "e2")}
+         |)
+         |SELECT doc_id, qid, round(s, 6) AS score FROM u ORDER BY doc_id, qid""".stripMargin
+    },
 
     "q_field_restrict" ->
       s"""$DTok

@@ -89,6 +89,37 @@ class BeliefOpsSpec extends AnyFunSuite {
     assert(dv == Seq("alpha", "delta", "delta", "delta", "beta"))
   }
 
+  test("RM1/RM3 expansion matches hand-computed relevance model") {
+    import graft.search.RelevanceModel
+    val eng = newEngine("okapi")
+    val p = RelevanceModel.Params(fbDocs = 2, fbTerms = 3, fbOrigWeight = 0.5)
+    // top-2 for "beta": compute okapi scores by hand (df=3)
+    val cands = Map(1L -> 1, 2L -> 2, 3L -> 1) // docId -> tf
+    val scored = cands.map { case (d, tf) => d -> okapi(tf, 3, dl(d)) }.toSeq
+      .sortBy { case (d, s) => (-s, d) }.take(2)
+    val got = eng.runQuery("#combine(beta)", 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == scored.map(_._1))
+    // posterior + gram weights over the two feedback docs
+    val post = RelevanceModel.posterior(scored).toMap
+    val slots = corpus.toMap
+    val expected = scored.flatMap { case (d, _) =>
+      slots(d).split(" ").map(t => t -> post(d) * 1.0 / dl(d))
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (t, w) => (-w, t) }.take(3)
+    val rm1 = RelevanceModel.rm1(eng, "#combine(beta)", p).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rm1.map(_._1) == expected.map(_._1))
+    rm1.zip(expected).foreach { case ((_, w1), (_, w2)) =>
+      assert(math.abs(w1 - w2) < 1e-12)
+    }
+    // expanded query wiring (QueryExpander.cpp:111-137 shape)
+    val q = RelevanceModel.expandedQuery("beta", rm1, p)
+    assert(q.startsWith("#weight( 0.5 #combine( beta ) 0.5 #weight("))
+    // expanded run returns k results without error
+    assert(RelevanceModel.runRm3(eng, "#combine(beta)", 4, p).count() > 0)
+  }
+
   test("wildcard expansion caps and unions prefix matches") {
     val eng = newEngine("okapi")
     val raw = eng.evaluateRaw(QueryParser.parse("d*")).df

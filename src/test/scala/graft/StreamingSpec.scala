@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Engine, ScoringRule}
+import graft.streaming.{IncrementalIndexer, StreamFilter}
+
+/** Streaming: incremental index generations via foreachBatch (the
+  * MemoryIndex flush/merge lifecycle, reference: src/Repository.cpp:
+  * 720-814) and the KBA standing-query filter
+  * (reference: kba/BM25Scorer.cc:6-64).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 8, numBuckets = 2)
+
+  private val allDocs = Seq(
+    (1L, "alpha beta alpha gamma"),
+    (2L, "beta beta delta"),
+    (3L, "alpha delta delta delta beta"),
+    (4L, "gamma gamma"),
+    (5L, "alpha alpha beta"),
+    (6L, "delta gamma beta alpha")
+  )
+
+  test("foreachBatch generations == batch build; compact preserves results") {
+    val dir = Files.tmp("inc-index")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("docId", "content")
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch(IncrementalIndexer.sink(dir, cfg))
+      .start()
+    input.addData(allDocs.slice(0, 2))
+    q.processAllAvailable()
+    input.addData(allDocs.slice(2, 4))
+    q.processAllAvailable()
+    input.addData(allDocs.slice(4, 6))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = IncrementalIndexer.open(spark, dir, cfg)
+    val batch = IndexBuilder.build(allDocs.toDF("docId", "content"), cfg)
+
+    // identical postings and dictionary
+    assert(streamed.postings.select("term", "docId", "tf")
+      .exceptAll(batch.postings.select("term", "docId", "tf")).count() == 0)
+    assert(batch.postings.select("term", "docId", "tf")
+      .exceptAll(streamed.postings.select("term", "docId", "tf")).count() == 0)
+    assert(streamed.stats == batch.stats)
+
+    // identical BM25 results through the full engine (DAAT over segments)
+    val eS = new Engine(spark, streamed, cfg.analyzer, ScoringRule(method = "okapi"))
+    val eB = new Engine(spark, batch, cfg.analyzer, ScoringRule(method = "okapi"))
+    val rS = eS.runQuery("#combine(alpha beta)", 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rB = eB.runQuery("#combine(alpha beta)", 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rS == rB)
+
+    // replayed batch id is idempotent (restart contract)
+    IncrementalIndexer.appendBatch(allDocs.slice(0, 2).toDF("docId", "content"), 0L, dir, cfg)
+    assert(IncrementalIndexer.open(spark, dir, cfg).stats == batch.stats)
+
+    // compaction (TRIM merge) keeps the same index content
+    IncrementalIndexer.compact(spark, dir, cfg)
+    val compacted = IncrementalIndexer.open(spark, dir, cfg)
+    assert(compacted.stats == batch.stats)
+    val rC = new Engine(spark, compacted, cfg.analyzer, ScoringRule(method = "okapi"))
+      .runQuery("#combine(alpha beta)", 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rC == rB)
+  }
+
+  test("KBA standing-query stream filter matches scalar BM25 (k1=1.75)") {
+    // background stats from the full corpus
+    val idx = IndexBuilder.build(allDocs.toDF("docId", "content"), cfg)
+    val termDf = idx.dictionary.select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val queries = Seq(
+      StreamFilter.StandingQuery("e1", "alpha gamma"),
+      StreamFilter.StandingQuery("e2", "delta missingterm"))
+
+    val got = StreamFilter.score(
+      allDocs.toDF("docId", "content"), queries, idx.stats, termDf,
+      cfg.analyzer, cutoff = Double.NegativeInfinity)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    // scalar oracle, straight from kba/BM25Scorer.cc
+    val n = idx.stats.totalDocs.toDouble
+    val avgdl = idx.stats.avgDocLength
+    def idf(t: String) = math.log((n - termDf(t) + 0.5) / (termDf(t) + 0.5))
+    def score(content: String, terms: Seq[String]): Double = {
+      val toks = content.split(" ")
+      val dl = toks.length
+      val denom = 1.75 * 0.25 + (dl / avgdl) * 1.75 * 0.75
+      terms.filter(termDf.contains).map { t =>
+        val f = toks.count(_ == t)
+        if (f > 0) idf(t) * (f.toDouble / (f + denom)) else 0.0
+      }.sum
+    }
+    allDocs.foreach { case (id, content) =>
+      assert(math.abs(got((id, "e1")) - score(content, Seq("alpha", "gamma"))) < 1e-9)
+      assert(math.abs(got((id, "e2")) - score(content, Seq("delta", "missingterm"))) < 1e-9)
+    }
+
+    // and the same transform runs as a real stream
+    val input = MemoryStream[(Long, String)](spark)
+    val out = StreamFilter.score(
+      input.toDF().toDF("docId", "content"), queries, idx.stats, termDf,
+      cfg.analyzer, cutoff = -0.5)
+    val sq = out.writeStream.format("memory").queryName("kba_out").start()
+    input.addData(allDocs)
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.sql("select * from kba_out").count()
+    val static = StreamFilter.score(allDocs.toDF("docId", "content"), queries,
+      idx.stats, termDf, cfg.analyzer, cutoff = -0.5).count()
+    assert(streamed == static && streamed > 0)
+  }
+}
+
+private object Files {
+  def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

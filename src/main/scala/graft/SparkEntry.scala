@@ -480,6 +480,44 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // ---- auxiliary: multimodal / snippets / pagerank / metadata ----
+    "q_multimodal" -> ((s, dir) => {
+      // binary media plumbing: deterministic byte features (decode STUB)
+      val media = graft.pipeline.Multimodal.attach(documents(s, dir), "doc_id", "text")
+      graft.pipeline.Multimodal.decodeFeatures(media)
+        .select(col("id").as("doc_id"), col("n_bytes"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q_snippets" -> ((s, dir) => {
+      // SnippetBuilder analogue; no SQL oracle (string assembly) →
+      // rows-only driver check; semantics pinned by AuxOpsSpec
+      val docs = corpusDocs(s, dir)
+      graft.search.Snippets.build(docs, "#combine(data merge)", cfg.analyzer,
+        windowWidth = 12)
+        .select(col("docId").as("doc_id"), col("snippet"))
+        .orderBy("doc_id")
+    }),
+
+    "q_pagerank" -> ((s, dir) => {
+      // harvestlinks/pagerank aux (c=0.7, 10 iters) over a deterministic
+      // link table derived from events
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val edges = ev.select((col("user_id") % 20).as("src"), (col("event_id") % 20).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val nodes = s.range(0, 20).toDF("id")
+      graft.pipeline.PageRank.compute(nodes, edges)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
+
+    "q_meta_lookup" -> ((s, dir) => {
+      // documentIDsFromMetadata / documentMetadata analogue
+      documents(s, dir).where(col("source").isin("src7", "src13"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) =>
       TextPipeline.languageId(documents(s, dir), "doc_id", "text")
@@ -851,6 +889,39 @@ object SparkEntry {
         |  FROM pr
         |)
         |SELECT qid, nid, sim, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" -> {
+      val prs = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.id, 0.7 * coalesce(s.acc, 0) + 0.015 AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.pr / od.outdeg) AS acc
+           |    FROM e JOIN od USING(src) JOIN pr${i - 1} p ON p.id = e.src
+           |    GROUP BY e.dst
+           |  ) s ON s.id = n.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id % 20 AS src, event_id % 20 AS dst
+         |  FROM events WHERE user_id % 20 <> event_id % 20
+         |), od AS (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+         |), n AS (
+         |  SELECT range AS id FROM range(20)
+         |), pr0 AS (
+         |  SELECT id, 0.015 AS pr FROM n
+         |),
+         |$prs
+         |SELECT id, round(pr, 6) AS pr FROM pr10 ORDER BY id""".stripMargin
+    },
+
+    "q_meta_lookup" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE source IN ('src7', 'src13') ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
       val cases = TextPipeline.LangMarkers.map { case (l, ms) =>

@@ -326,6 +326,14 @@ final case class Analyzer(
     }
   }
 
+  /** Raw (pre-normalization) tokens in the same position space as
+    * `analyze` — for snippet rendering.
+    */
+  def rawTokens(text: String): Array[String] = mode match {
+    case "simple" => simpleTokens(text)
+    case _ => Tokenizer.tokenize(text)
+  }
+
   /** Query-side term processing — same chain as indexing
     * (reference: Repository::processTerm, src/Repository.cpp:1087-1113).
     * Returns null for terms that stop out / normalize to empty.

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.pipeline.{Multimodal, PageRank}
+import graft.search.Snippets
+
+/** Multimodal plumbing, snippets, PageRank — auxiliary operator suite. */
+class AuxOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("multimodal: binary payload features, frame sampling, resize") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "abc")).toDF("id", "text")
+    val media = Multimodal.attach(docs, "id", "text")
+    assert(media.schema("media").dataType.typeName == "binary")
+
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getInt(3))).toMap
+    val md5hello = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(feats(1L) == ((11L, md5hello, 'h'.toInt)))
+    assert(feats(2L)._1 == 0L && feats(2L)._3 == -1)
+
+    val frames = Multimodal.frameSample(media, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    assert(frames(1L)._1 == 3L) // bytes 0,4,8 of "hello world"
+    assert(frames(1L)._2 == Seq('h'.toInt, 'o'.toInt, 'r'.toInt))
+    assert(frames(2L)._1 == 0L)
+
+    val resized = Multimodal.resize(media, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(resized.values.forall(_.length == 4))
+    assert(new String(resized(3L).filter(_ != 0), "UTF-8").nonEmpty)
+  }
+
+  test("snippets merge match regions and highlight terms") {
+    val az = Analyzer(mode = "simple")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+           "lambda mu alpha nu"),
+      (2L, "nothing matches here")
+    ).toDF("docId", "content")
+    val out = Snippets.build(docs, "#combine(alpha)", az, windowWidth = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // two alpha matches farther apart than windowWidth → two regions
+    assert(out(1L) ==
+      "<b>alpha</b> beta gamma ... lambda mu <b>alpha</b> nu")
+    assert(!out.contains(2L))
+    // close matches merge into one region
+    val one = Snippets.build(
+      Seq((3L, "x alpha y alpha z")).toDF("docId", "content"),
+      "alpha", az, windowWidth = 5).collect()
+    assert(one.head.getString(1) == "x <b>alpha</b> y <b>alpha</b> z")
+  }
+
+  test("PageRank matches scalar power iteration (c=0.7, 10 iters)") {
+    val nodes = (0L to 4L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = PageRank.compute(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // scalar oracle (reference: src/PageRank.cpp:103-117)
+    val n = 5.0; val c = 0.7; val base = (1 - c) / n
+    val out = Map(0L -> Seq(1L, 2L), 1L -> Seq(2L), 2L -> Seq(0L), 3L -> Seq(2L))
+    var pr = Map(0L -> base, 1L -> base, 2L -> base, 3L -> base, 4L -> base)
+    for (_ <- 1 to 10) {
+      val acc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      out.foreach { case (s, ds) => ds.foreach { d => acc(d) += pr(s) / ds.size } }
+      pr = pr.keys.map(k => k -> (c * acc(k) + base)).toMap
+    }
+    pr.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"node $k") }
+    // node 4 is isolated: stays at the base score
+    assert(math.abs(got(4L) - base) < 1e-15)
+  }
+}

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[n,cores,mem] (multi-executor-JVM bench mode) needs these
+// to launch executor processes from the driver JVM
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+  // standalone workers ignore spark.local.dir; the env var is the only
+  // way to put executor shuffle dirs on tmpfs (cluster-local-disk stand-in)
+  "SPARK_LOCAL_DIRS" -> "/dev/shm/spark-local",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC: local[32] runs 32 task threads in ONE JVM; G1's
+  // concurrent cycles throttle allocation-heavy tokenize/shuffle stages
+  "-XX:+UseParallelGC",
 )

@@ -1,24 +1,264 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusSynthesizer
+import graft.index.{IndexBuilder, IndexConfig, SegmentStore}
+import graft.search.{Engine, ScoringRule}
+
+/** Benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "build":{...},"query_batch":{...},"scaling":{...}}
+  *
+  * Phases:
+  *  1. per-query seconds over every SparkEntry.queries entry on the
+  *     sfDir tables (the driver's headline comparison);
+  *  2. engine build throughput: synthesize a corpus (seeded), full
+  *     buildFromCorpus + SegmentStore.writeAll (forces materialization);
+  *  3. BM25 query batch (FIXTURES-style mix, k=1000) over the built
+  *     segments through the WAND DAAT kernel;
+  *  4. scaling evidence (north rule; sandbox stand-in for N vs 4N
+  *     executors): phases 2+3 repeated at local[N] and local[4N] in
+  *     sequential SparkSessions; efficiency = (rate4N / rateN) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+      .config("spark.driver.host", "localhost")
+    // shuffle spill dir on tmpfs: on a cluster, shuffle goes to
+    // per-executor local disks whose aggregate bandwidth scales with
+    // the node count; the sandbox's single /tmp disk would serialize it
+    if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      b.config("spark.local.dir", "/dev/shm/spark-local")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val benchQueries: Seq[String] = {
+    // df spectrum singles + bags + weighted, from the synthesized vocab
+    val singles = Seq("return", "license", "class", "query", "merge", "sort",
+      "buffer", "stream", "handler", "factory")
+    val bags = Seq(
+      "#combine(return license)", "#combine(query parse token)",
+      "#combine(merge sort scan)", "#combine(read write buffer stream)",
+      "#combine(hash key value index)", "#combine(class object trait)",
+      "#combine(data meta config)", "#combine(node tree list)",
+      "#combine(get set run map)", "#combine(import public static void)")
+    val weighted = Seq(
+      "#weight(2 return 1 license)", "#weight(1 query 3 parse)",
+      "#weight(0.5 merge 0.5 sort 1 scan)", "#weight(4 class 1 def)",
+      "#weight(1 buffer 1 stream 1 block)")
+    singles ++ bags ++ weighted
+  }
+
+  /** Multi-executor-JVM session — the sandbox stand-in for an N-executor
+    * cluster (north rule: N vs 4N executors). Each executor is its OWN
+    * JVM with `coresPerExec` task threads, so scaling executors scales
+    * JVM count exactly like adding cluster nodes — local[32]'s 32
+    * threads in one JVM would instead measure single-JVM GC contention.
+    */
+  private def clusterSession(executors: Int, coresPerExec: Int = 4,
+                             memMb: Int = 6144): SparkSession = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val b = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
+      // the master string caps WORKER capacity; the executor JVM heap is
+      // spark.executor.memory and defaults to 1g — set it explicitly or
+      // every level runs on 1 GiB executors
+      .config("spark.executor.memory", s"${memMb}m")
+      // 3× cores: keeps per-partition cache/shuffle buffers bounded and
+      // gives the scheduler slack — coarse partitions leave agg buffers whose
+      // columnar cache batches OOM a 12g executor
+      .config("spark.sql.shuffle.partitions", executors * coresPerExec * 6)
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      // cache batches of wide array columns (token slots, positions)
+      // blow past the executor heap at the default 10000 rows/batch
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", 1000)
+      // ActiveProcessorCount: each executor JVM must size GC/JIT/netty
+      // pools for ITS core share, not the whole host — 8 executors that
+      // each think they own 32 cores oversubscribe the box ~8×
+      .config("spark.executor.extraJavaOptions",
+        s"$addOpens -XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPerExec")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+    if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      b.config("spark.local.dir", "/dev/shm/spark-local")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def rmTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  /** untimed JIT/codegen warmup — without it the first timed level pays
+    * all JVM compilation and the N-vs-4N comparison is meaningless
+    */
+  private def warmup(): Unit = {
+    val spark = session(4)
+    try {
+      val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024, numBuckets = 4)
+      val corpus = CorpusSynthesizer.corpus(spark, 2000)
+      val idx = IndexBuilder.buildFromCorpus(corpus, cfg)
+      val eng = new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+      eng.runQuery("#combine(return license)", 100).count()
+      eng.runQuery("#weight(2 query 1 parse)", 100).count()
+    } finally spark.stop()
+  }
+
+  /** build + query-batch rates at one parallelism level (N executors ×
+    * 4 cores each, separate executor JVMs)
+    */
+  private def engineBench(executors: Int, nDocs: Int): (Double, Double, Long) = {
+    val cpus = executors * 4
+    val spark = clusterSession(executors)
+    try {
+      val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024, numBuckets = 8)
+      // in-session warmup: executor JVMs are fresh per level — let them
+      // register and JIT the tokenize/shuffle/encode paths untimed, or
+      // the level with fewer rows-per-JVM pays proportionally more
+      // compilation inside the timed region
+      locally {
+        val wcfg = cfg.copy(numBuckets = cpus)
+        val wDir = java.nio.file.Files.createTempDirectory("bench-warm").toString
+        val wIdx = IndexBuilder.buildFromCorpus(CorpusSynthesizer.corpus(spark, 20000), wcfg)
+        SegmentStore.writeAll(wIdx, wDir, wcfg)
+        val wEng = new Engine(spark, wIdx, wcfg.analyzer, ScoringRule(method = "okapi"))
+        wEng.runQuery("#combine(return license)", 1000).count()
+        wEng.runQuery("#weight(2 query 1 parse)", 1000).count()
+        wIdx.postings.unpersist(); wIdx.segments.unpersist()
+        rmTree(wDir)
+      }
+      val corpus = CorpusSynthesizer.corpus(spark, nDocs)
+      // segment tables go to tmpfs: the sandbox stand-in for HDFS/S3,
+      // whose aggregate write bandwidth scales with executors — a single
+      // local disk would put a fixed ~6s serial term into every level
+      // and cap measurable scaling regardless of the engine
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val outDir = (if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, s"bench-idx-$cpus")
+      else java.nio.file.Files.createTempDirectory(s"bench-idx-$cpus")).toString
+      val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+      def lap(tag: String, t: Long): Long = {
+        val now = System.nanoTime()
+        if (profile) System.err.println(f"[profile cpus=$cpus] $tag ${(now - t) / 1e9}%.2fs")
+        now
+      }
+      val t0 = System.nanoTime()
+      var t = t0
+      val idx = if (profile) {
+        val withSha = corpus.withColumn("content_sha256", org.apache.spark.sql.functions.sha2(org.apache.spark.sql.functions.col("content"), 256))
+        val docs = IndexBuilder.assignDocIdsScalable(withSha, Seq("repo", "path", "commit"))
+        docs.count(); t = lap("docIds", t)
+        val i = IndexBuilder.build(docs.select("docId", "content"), cfg)
+        i.postings.count(); t = lap("postings", t)
+        i.dictionary.count(); t = lap("dictionary", t)
+        t = lap("noop", t)
+        i
+      } else IndexBuilder.buildFromCorpus(corpus, cfg)
+      SegmentStore.writeAll(idx, outDir, cfg) // forces full build
+      t = lap("writeAll", t)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val postings = idx.postings.count()
+
+      val stored = SegmentStore.open(spark, outDir)
+      // lexicon is tiny — a handful of cache partitions keeps the
+      // per-query stats-round job from scheduling one task per shuffle
+      // partition; segments cache pre-bucketed so the DAAT repartition
+      // is the only exchange
+      val idxQ = graft.index.InvertedIndex(null,
+        stored.dictionary.coalesce(4).cache(),
+        stored.doclens, stored.stats, stored.segments.cache(),
+        numBuckets = cfg.numBuckets)
+      idxQ.dictionary.count(); idxQ.segments.count() // warm cache
+      val eng = new Engine(spark, idxQ, cfg.analyzer, ScoringRule(method = "okapi"))
+      // concurrent query streams, like IndriRunQuery's QueryThreads
+      // (reference: runquery/IndriRunQuery.cpp:710-726) — per-query
+      // latency is overhead-bound at this corpus size, so THROUGHPUT
+      // (queries/sec under concurrency) is the scaling metric
+      val reps = 4
+      val work = Seq.fill(reps)(benchQueries).flatten
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(cpus / 2, 2))
+      val tq = System.nanoTime()
+      val futures = work.map { q =>
+        pool.submit(new Runnable { def run(): Unit = eng.runQuery(q, 1000).count() })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      val querySec = (System.nanoTime() - tq) / 1e9
+      rmTree(outDir)
+      (nDocs / buildSec, work.size / querySec, postings)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toInt
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+
+    // ---- phase 1: driver-contract queries on the sf tables ----
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // ---- phases 2-4: engine build/query throughput + scaling ----
+    // protocol: untimed warmup (driver JIT/codegen), then N executors
+    // BEFORE 4N (each level spawns fresh executor JVMs, equally cold);
+    // best-of-R de-noises the shared sandbox
+    val execs4N = sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "4").toInt
+    val execsN = math.max(execs4N / 4, 1)
+    warmup()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    def best(e: Int): (Double, Double, Long) =
+      (1 to reps).map(_ => engineBench(e, nDocs))
+        .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), a._3))
+    val (bHi, qHi, postings, scalingJson) =
+      if (doScaling) {
+        val (bl, ql, _) = best(execsN)
+        val (bh, qh, p) = best(execs4N)
+        val effB = (bh / bl) / (execs4N.toDouble / execsN)
+        val effQ = (qh / ql) / (execs4N.toDouble / execsN)
+        (bh, qh, p,
+          s""","scaling":{"n_executors":$execsN,"n4_executors":$execs4N,"cores_per_executor":4,
+             |"build_docs_per_sec_n":$bl,"build_docs_per_sec_4n":$bh,
+             |"query_qps_n":$ql,"query_qps_4n":$qh,
+             |"build_efficiency":$effB,"query_efficiency":$effQ}"""
+            .stripMargin.replace("\n", ""))
+      } else {
+        val (bh, qh, p) = best(execs4N)
+        (bh, qh, p, "")
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
+      s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
+      scalingJson + "}")
   }
 }

@@ -41,8 +41,20 @@ object SparkEntry {
 
   private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 256, numBuckets = 8)
 
+  // one index build per sf dir per JVM: Verify/Bench run ~40 queries
+  // against the same corpus — rebuilding per query would dominate wall
+  // time. Cached DataFrames are persisted (MEMORY_AND_DISK default).
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.index.InvertedIndex]()
+
   private def buildIndex(s: SparkSession, dir: String) =
-    IndexBuilder.build(corpusDocs(s, dir), cfg)
+    indexCache.computeIfAbsent(dir, _ => {
+      val idx = IndexBuilder.build(corpusDocs(s, dir), cfg)
+      idx.copy(
+        postings = idx.postings.persist(),
+        dictionary = idx.dictionary.persist(),
+        doclens = idx.doclens.persist(),
+        segments = idx.segments.persist())
+    })
 
   private def engine(s: SparkSession, dir: String): Engine =
     new Engine(s, buildIndex(s, dir), cfg.analyzer, ScoringRule(method = "okapi"))
@@ -51,12 +63,18 @@ object SparkEntry {
     * token positions) + whole-doc numeric `nchars` from the n_chars
     * column (OffsetAnnotation/NumericFieldAnnotator analogues).
     */
+  private val fieldIndexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.index.InvertedIndex]()
+
   private def fieldEngine(s: SparkSession, dir: String): Engine = {
-    val docs = documents(s, dir)
-      .select(col("doc_id").as("docId"), col("text").as("content"), col("n_chars"))
-    val idx = IndexBuilder.build(docs, cfg,
-      annotate = df => FieldAnnotators.numericField("nchars", "n_chars")(
-        FieldAnnotators.headField(10)(df)))
+    val idx = fieldIndexCache.computeIfAbsent(dir, _ => {
+      val docs = documents(s, dir)
+        .select(col("doc_id").as("docId"), col("text").as("content"), col("n_chars"))
+      val built = IndexBuilder.build(docs, cfg,
+        annotate = df => FieldAnnotators.numericField("nchars", "n_chars")(
+          FieldAnnotators.headField(10)(df)))
+      built.copy(fieldExtents = built.fieldExtents.persist(),
+        doclens = built.doclens.persist(), postings = built.postings.persist())
+    })
     new Engine(s, idx, cfg.analyzer, ScoringRule(method = "okapi"))
   }
 
@@ -320,6 +338,63 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_lm_twostage" -> ((s, dir) => {
+      // two-stage smoothing: JM over Dirichlet (μ=2500, λ=0.4)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:two,mu:2500,lambda:0.4")
+      eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_wsum" -> ((s, dir) => {
+      // #wsum: log of |w|-normalized weighted sum of exp(scores)
+      // (reference: src/WeightedSumNode.cpp:67-100)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.evaluate(QueryParser.parse("#wsum(2 data 1 merge)")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_or" -> ((s, dir) => {
+      // #or: log(1 − Π(1 − exp(s))) (reference: src/OrNode.cpp:51-75)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.evaluate(QueryParser.parse("#or(data merge)")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_max" -> ((s, dir) => {
+      // #max of child beliefs (reference: include/indri/MaxNode.hpp)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.evaluate(QueryParser.parse("#max(data merge)")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_not" -> ((s, dir) => {
+      // #not: log(1 − exp(s)) (reference: src/NotNode.cpp:47-60)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.evaluate(QueryParser.parse("#not(data)")).df
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_topdocs" -> ((s, dir) => {
+      // topdocs lists for hot terms: top 1% by tf/len, trigger df>50 here
+      // (reference: src/IndexWriter.cpp:530-534,585-608)
+      val idx = buildIndex(s, dir)
+      IndexBuilder.buildTopdocs(idx.postings,
+        cfg.copy(topdocsMinDf = 50L, topdocsFraction = 0.01))
+        .select(col("term"), col("docId").as("doc_id"),
+          col("tf").cast(LongType).as("tf"), col("length").cast(LongType).as("length"))
+        .orderBy("term", "doc_id")
+    }),
+
     "q_rm3_terms" -> ((s, dir) => {
       // RM1 feedback term distribution from the top-10 BM25 docs
       // (RelevanceModel/RMExpander)
@@ -575,6 +650,113 @@ object SparkEntry {
 
     "q_bm25_topk" -> bm25Sql(BmTerms, 20),
     "q_bm25_daat" -> bm25Sql(BmTerms, 20),
+
+    "q_lm_twostage" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM p
+         |), grid AS (
+         |  SELECT c.doc_id, t.term, t.ctf, coalesce(p.tf, 0) AS tf
+         |  FROM cand c CROSS JOIN ctf t
+         |  LEFT JOIN p ON p.doc_id = c.doc_id AND p.term = t.term
+         |), sc AS (
+         |  SELECT g.doc_id,
+         |    sum(ln(0.6 * ((g.tf + 2500.0 * g.ctf / st.tt) / (dl.doclen + 2500.0))
+         |           + 0.4 * g.ctf / st.tt)) / ${BmTerms.size} AS s
+         |  FROM grid g JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN st
+         |  GROUP BY g.doc_id
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_wsum" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), tfs AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data') AS tf1,
+         |    count(*) FILTER (WHERE term = 'merge') AS tf2
+         |  FROM tok WHERE term IN ('data','merge') GROUP BY doc_id
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS c1,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS c2
+         |)
+         |SELECT t.doc_id,
+         |  round(ln( (2.0/3.0) * ((t.tf1 + 2500.0 * cf.c1 / st.tt) / (dl.doclen + 2500.0))
+         |          + (1.0/3.0) * ((t.tf2 + 2500.0 * cf.c2 / st.tt) / (dl.doclen + 2500.0)) ), 6) AS score
+         |FROM tfs t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_or" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), tfs AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data') AS tf1,
+         |    count(*) FILTER (WHERE term = 'merge') AS tf2
+         |  FROM tok WHERE term IN ('data','merge') GROUP BY doc_id
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS c1,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS c2
+         |)
+         |SELECT t.doc_id,
+         |  round(ln(1.0 - (1.0 - (t.tf1 + 2500.0 * cf.c1 / st.tt) / (dl.doclen + 2500.0))
+         |               * (1.0 - (t.tf2 + 2500.0 * cf.c2 / st.tt) / (dl.doclen + 2500.0)) ), 6) AS score
+         |FROM tfs t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_max" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), tfs AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data') AS tf1,
+         |    count(*) FILTER (WHERE term = 'merge') AS tf2
+         |  FROM tok WHERE term IN ('data','merge') GROUP BY doc_id
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS c1,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS c2
+         |)
+         |SELECT t.doc_id,
+         |  round(greatest(
+         |    ln((t.tf1 + 2500.0 * cf.c1 / st.tt) / (dl.doclen + 2500.0)),
+         |    ln((t.tf2 + 2500.0 * cf.c2 / st.tt) / (dl.doclen + 2500.0))), 6) AS score
+         |FROM tfs t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_not" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS c1
+         |)
+         |SELECT p.doc_id,
+         |  round(ln(1.0 - (p.tf + 2500.0 * cf.c1 / st.tt) / (dl.doclen + 2500.0)), 6) AS score
+         |FROM p JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q_topdocs" ->
+      s"""$DTok, p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+         |), r AS (
+         |  SELECT p.term, p.doc_id, p.tf, dl.doclen,
+         |    row_number() OVER (PARTITION BY p.term
+         |                       ORDER BY p.tf::DOUBLE / dl.doclen DESC, p.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY p.term) AS dfw
+         |  FROM p JOIN dl USING(doc_id)
+         |)
+         |SELECT term, doc_id, tf, doclen AS length FROM r
+         |WHERE dfw > 50 AND rk <= greatest(1, ceil(dfw * 0.01))
+         |ORDER BY term, doc_id""".stripMargin,
 
     "q_rm3_terms" ->
       s"""$DTok, st AS (

@@ -97,7 +97,8 @@ final case class InvertedIndex(
     doclens: DataFrame,    // (docId, length)
     stats: CorpusStats,
     segments: DataFrame,   // SegmentBlock schema
-    fieldExtents: DataFrame = null // (docId, field, begin, end, number) | null when no fields indexed
+    fieldExtents: DataFrame = null, // (docId, field, begin, end, number) | null when no fields indexed
+    numBuckets: Int = 0    // docId-range buckets in segments (0 = unknown)
 )
 
 final case class CorpusStats(totalDocs: Long, totalTerms: Long, uniqueTerms: Long) {
@@ -125,6 +126,36 @@ object IndexBuilder {
     corpus.withColumn("docId", row_number().over(w).cast(LongType))
   }
 
+  /** Scale-path docId assignment: identical ids to [[assignDocIds]] with
+    * NO single-reducer global window. Range-partition by the key, count
+    * rows per partition (tiny collect), then number within partitions
+    * and add the partition offset — the distributed zipWithIndex shape,
+    * expressed with DataFrame ops only (per input_hint: no RDD).
+    *
+    * The range-partitioned Dataset is persisted so the count pass and
+    * the numbering pass see the SAME sampled partition boundaries.
+    */
+  def assignDocIdsScalable(corpus: DataFrame, keyCols: Seq[String],
+                           partitions: Int = 0): DataFrame = {
+    val keys = keyCols.map(col)
+    val n = if (partitions > 0) partitions
+            else corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = corpus.repartitionByRange(n, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    }.toArray // offsets(p) = rows before partition p
+    val bcOff = corpus.sparkSession.sparkContext.broadcast(offsets)
+    val offUdf = udf { (pid: Int) => bcOff.value(pid) }
+    val w = Window.partitionBy("__pid").orderBy(keys: _*)
+    ranged
+      .withColumn("docId", (row_number().over(w).cast(LongType) + offUdf(col("__pid"))))
+      .drop("__pid")
+  }
+
   /** (docId, content) → (docId, slots) where slots has one entry per token
     * position; null slot = stopped/over-long term (position still counts).
     */
@@ -135,27 +166,56 @@ object IndexBuilder {
       val analyzeUdf = udf((text: String) => az.analyze(text))
       docs.withColumn("slots", analyzeUdf(col(contentCol)))
         .withColumn("fields",
-          lit(null).cast("array<struct<field:string,begin:int,end:int,number:bigint>>"))
+          lit(null).cast("array<struct<field:string,begin:int,end:int,number:bigint,ordinal:int,parentField:string,parentOrdinal:int>>"))
     } else {
       // one pass: slots + tag extents with numeric/date payloads for the
       // declared fields (only configured fields are kept, like the
-      // reference's field descriptor list)
+      // reference's field descriptor list). Ordinals number each field's
+      // extents 1.. in document order; parent links point to the nearest
+      // enclosing kept extent — the FieldExtent {ordinal, parentOrdinal}
+      // tree (reference: include/indri/FieldExtent.hpp:30-46,
+      // DocumentStructure nesting).
       val specs = cfg.fields.map(f => f.name -> f).toMap
       val analyzeUdf = udf { (text: String) =>
         val (slots, tags) = az.analyzeWithFields(text)
-        val fs = tags.flatMap { t =>
-          specs.get(t.name).map { spec =>
-            val num = if (spec.parse == "none") 0L
-                      else spec.parseNumber(text.substring(t.charBegin, t.charEnd))
-            (t.name, t.begin, t.end, num)
+        val kept = tags.filter(t => specs.contains(t.name))
+        val ordinal = new Array[Int](kept.length)
+        val counters = scala.collection.mutable.HashMap.empty[String, Int]
+        var i = 0
+        while (i < kept.length) {
+          val o = counters.getOrElse(kept(i).name, 0) + 1
+          counters(kept(i).name) = o
+          ordinal(i) = o
+          i += 1
+        }
+        val fs = kept.indices.map { k =>
+          val t = kept(k)
+          val spec = specs(t.name)
+          val num = if (spec.parse == "none") 0L
+                    else spec.parseNumber(text.substring(t.charBegin, t.charEnd))
+          // parent = smallest-span kept extent strictly containing this one
+          var pField: String = null
+          var pOrd = 0
+          var bestSpan = Int.MaxValue
+          var j = 0
+          while (j < kept.length) {
+            val p = kept(j)
+            if (j != k && p.begin <= t.begin && t.end <= p.end &&
+                (p.end - p.begin) > (t.end - t.begin) &&
+                (p.end - p.begin) < bestSpan) {
+              bestSpan = p.end - p.begin
+              pField = p.name; pOrd = ordinal(j)
+            }
+            j += 1
           }
+          (t.name, t.begin, t.end, num, ordinal(k), pField, pOrd)
         }
         (slots, fs)
       }
       docs.withColumn("az", analyzeUdf(col(contentCol)))
         .withColumn("slots", col("az._1"))
         .withColumn("fields", col("az._2")
-          .cast("array<struct<field:string,begin:int,end:int,number:bigint>>"))
+          .cast("array<struct<field:string,begin:int,end:int,number:bigint,ordinal:int,parentField:string,parentOrdinal:int>>"))
         .drop("az")
     }
   }
@@ -212,7 +272,9 @@ object IndexBuilder {
       .select(col("docId"), explode(col("fields")).as("f"))
       .select(col("docId"), col("f.field").as("field"),
         col("f.begin").as("begin"), col("f.end").as("end"),
-        col("f.number").as("number"))
+        col("f.number").as("number"), col("f.ordinal").as("ordinal"),
+        col("f.parentField").as("parentField"),
+        col("f.parentOrdinal").as("parentOrdinal"))
 
   def buildStats(doclens: DataFrame, dictionary: DataFrame): CorpusStats = {
     val r = doclens.agg(
@@ -336,7 +398,7 @@ object IndexBuilder {
     */
   def buildFromCorpus(corpus: DataFrame, cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     val withSha = corpus.withColumn("content_sha256", sha2(col("content"), 256))
-    val docs = assignDocIds(withSha, Seq("repo", "path", "commit"))
+    val docs = assignDocIdsScalable(withSha, Seq("repo", "path", "commit"))
     build(docs.select(col("docId"), col("content")), cfg)
   }
 
@@ -349,14 +411,21 @@ object IndexBuilder {
     */
   def build(docs: DataFrame, cfg: IndexConfig = IndexConfig(),
             annotate: DataFrame => DataFrame = identity): InvertedIndex = {
-    val tokenized = annotate(tokenize(docs, cfg)).persist()
-    val postings = buildPostings(tokenized, cfg)
+    // serialized storage: the token/positions arrays triple in size as
+    // deserialized JVM objects and evict each other at scale; SER keeps
+    // the cache compact (CPU to re-decode is cheap next to re-tokenizing)
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val tokenized = annotate(tokenize(docs, cfg)).persist(ser)
+    // postings feed dictionary, stats, and segments — persist instead of
+    // re-running tokenize+explode+agg per consumer
+    val postings = buildPostings(tokenized, cfg).persist(ser)
     val dictionary = buildDictionary(postings)
     val doclens = buildDocLens(tokenized)
     val stats = buildStats(doclens, dictionary)
     val segments = buildSegments(postings, stats.totalDocs, cfg).toDF()
     val extents = buildFieldExtents(tokenized)
-    InvertedIndex(postings, dictionary, doclens, stats, segments, extents)
+    InvertedIndex(postings, dictionary, doclens, stats, segments, extents,
+      numBuckets = cfg.numBuckets)
   }
 }
 
@@ -380,7 +449,10 @@ object FieldAnnotators {
       lit(name).as("field"),
       lit(0).as("begin"),
       least(lit(n), size(col("slots"))).cast("int").as("end"),
-      lit(0L).as("number")))
+      lit(0L).as("number"),
+      lit(1).as("ordinal"),
+      lit(null).cast("string").as("parentField"),
+      lit(0).as("parentOrdinal")))
 
   /** Whole-document numeric field whose payload comes from a column —
     * the NumericFieldAnnotator analogue over tabular metadata.
@@ -390,7 +462,10 @@ object FieldAnnotators {
       lit(name).as("field"),
       lit(0).as("begin"),
       size(col("slots")).cast("int").as("end"),
-      col(valueCol).cast(LongType).as("number")))
+      col(valueCol).cast(LongType).as("number"),
+      lit(1).as("ordinal"),
+      lit(null).cast("string").as("parentField"),
+      lit(0).as("parentOrdinal")))
 
   /** Whole-document date field: ISO yyyy-MM-dd string column → epoch day
     * (DateFieldAnnotator analogue).
@@ -400,5 +475,8 @@ object FieldAnnotators {
       lit(name).as("field"),
       lit(0).as("begin"),
       size(col("slots")).cast("int").as("end"),
-      datediff(to_date(col(valueCol)), lit("1970-01-01")).cast(LongType).as("number")))
+      datediff(to_date(col(valueCol)), lit("1970-01-01")).cast(LongType).as("number"),
+      lit(1).as("ordinal"),
+      lit(null).cast("string").as("parentField"),
+      lit(0).as("parentOrdinal")))
 }

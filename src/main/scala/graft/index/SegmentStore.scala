@@ -43,22 +43,34 @@ object SegmentStore {
     val fp = cfg.fingerprint
     Files.createDirectories(Paths.get(dir))
     var written = Set.empty[String]
+    // segments feed two tables (segments + manifest) — persist so the
+    // shuffle+encode pipeline runs once
+    index.segments.persist()
 
+    val lock = new Object
     def writeTable(name: String)(df: => DataFrame): Unit = {
       if (!isComplete(dir, name, fp)) {
         df.write.mode("overwrite").parquet(s"$dir/$name")
         commit(dir, name, fp)
-        written += name
+        lock.synchronized { written += name }
       }
     }
 
     writeTable("segments")(index.segments)
-    writeTable("dictionary")(index.dictionary)
-    writeTable("doclens")(index.doclens)
-    writeTable("stats") {
-      import spark.implicits._
-      Seq(index.stats).toDF()
-    }
+    // the small tables are independent jobs — run them concurrently so
+    // their driver-side commit latencies overlap instead of summing
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val fs = Seq(
+        pool.submit(new Runnable { def run(): Unit = writeTable("dictionary")(index.dictionary) }),
+        pool.submit(new Runnable { def run(): Unit = writeTable("doclens")(index.doclens) }),
+        pool.submit(new Runnable { def run(): Unit = writeTable("stats") {
+          import spark.implicits._
+          Seq(index.stats).toDF()
+        } })
+      )
+      fs.foreach(_.get())
+    } finally pool.shutdown()
     // Per-partition lineage rows: one per (bucket) shuffle output, with
     // row counts and an order-insensitive checksum — the audit trail for
     // partial-rerun equality (north-rule lineage requirement).
@@ -68,11 +80,13 @@ object SegmentStore {
         sum(col("numDocs").cast("long")).as("postings"),
         countDistinct(col("term")).as("terms"),
         // xor of per-block hashes — associative+commutative, so stable
-        // under any partition evaluation order
-        sum(xxhash64(col("term"), col("firstDoc"), col("lastDoc"), col("numDocs"))).as("checksum")
+        // under any partition evaluation order (and overflow-free under
+        // ANSI mode, unlike a sum)
+        expr("bit_xor(xxhash64(term, firstDoc, lastDoc, numDocs))").as("checksum")
       ).withColumn("status", lit("complete"))
        .withColumn("fingerprint", lit(fp))
     }
+    index.segments.unpersist()
     written
   }
 

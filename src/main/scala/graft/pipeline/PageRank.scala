@@ -26,13 +26,17 @@ object PageRank {
     val node = nodes.columns.head
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = edges.join(outDeg, "src")
+    val eCached = e.persist()
     var pr = nodes.select(col(node).as("id"), lit(base).as("pr"))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(pr, e("src") === pr("id"), "inner")
+      val contrib = eCached.join(pr, eCached("src") === pr("id"), "inner")
         .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("w"))
         .groupBy("id").agg(sum("w").as("acc"))
       pr = pr.select(col("id")).join(contrib, Seq("id"), "left")
         .select(col("id"), (lit(c) * coalesce(col("acc"), lit(0.0)) + base).as("pr"))
+        // truncate lineage each iteration — 10 chained join plans
+        // otherwise grow the optimizer time superlinearly
+        .localCheckpoint(true)
     }
     pr
   }

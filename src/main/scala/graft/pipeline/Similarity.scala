@@ -77,7 +77,7 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val b = hyperplaneBuckets(df, idCol, vecCol, dim, nBits, seed)
+    val b = hyperplaneBuckets(df, idCol, vecCol, dim, nBits, seed).persist()
     val a = b.select(col("bucket"), col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = b.select(col("bucket"), col(idCol).as("nid"), col(vecCol).as("cv"))
     val pairs = a.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
@@ -94,7 +94,7 @@ object Similarity {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double, nBits: Int = 6, seed: Long = 42L): DataFrame = {
-    val b = hyperplaneBuckets(df, idCol, vecCol, dim, nBits, seed)
+    val b = hyperplaneBuckets(df, idCol, vecCol, dim, nBits, seed).persist()
     val a = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
     val c = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     a.join(c, Seq("bucket")).where(col("a") < col("b"))

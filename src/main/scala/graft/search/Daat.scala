@@ -74,11 +74,16 @@ object Daat {
     val terms = p.terms.map(_.term).toSeq
     val bcPlan = spark.sparkContext.broadcast(p)
 
-    val segs = index.segments
+    val segs0 = index.segments
       .where(col("term").isin(terms: _*))
       .select("term", "bucket", "firstDoc", "lastDoc", "numDocs", "maxTf",
         "minDl", "docsDelta", "tfs", "dls")
-      .repartition(col("bucket"))
+    // one task per docId-range bucket — NOT spark.sql.shuffle.partitions:
+    // a query touches only |terms| posting lists, and padding it to the
+    // session-wide partition count schedules mostly-empty tasks
+    val segs = if (index.numBuckets > 0)
+      segs0.repartition(index.numBuckets, col("bucket"))
+    else segs0.repartition(col("bucket"))
 
     val locals = segs.mapPartitions { rows =>
       val plan = bcPlan.value

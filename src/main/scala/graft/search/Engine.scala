@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -190,6 +190,57 @@ final class Engine(
       }
       RawResult(fieldRaw(f, pred))
 
+    case FieldPathNode(op, a, b) =>
+      // (reference: src/ExtentChildNode.cpp fast loop over index-recorded
+      // ordinal/parent links; ExtentDescendantNode; ExtentParentNode)
+      val ex = fieldExtents
+      val selected = op match {
+        case "child" =>
+          // a extents whose DIRECT parent is a b extent
+          ex.where(col("field") === a && col("parentField") === b)
+        case "parent" =>
+          // a extents that are the direct parent of some b extent
+          val kids = ex.where(col("field") === b && col("parentField") === a)
+            .select(col("docId"), col("parentOrdinal").as("ordinal")).distinct()
+          ex.where(col("field") === a).join(kids, Seq("docId", "ordinal"), "left_semi")
+        case "descendant" =>
+          // a extents with ANY ancestor of field b: walk the parent chain
+          // per document (extent trees are small per doc)
+          val grouped = ex.groupBy("docId").agg(
+            collect_list(struct(col("field"), col("begin"), col("end"),
+              col("ordinal"), col("parentField"), col("parentOrdinal"))).as("all"))
+          val descUdf = udf { (all: Seq[Row]) =>
+            val byKey = all.map(r => (r.getString(0), r.getInt(3)) -> r).toMap
+            all.filter { r =>
+              r.getString(0) == a && {
+                var pf = r.getString(4); var po = r.getInt(5)
+                var found = false
+                var hops = 0
+                while (pf != null && !found && hops < 64) {
+                  if (pf == b) found = true
+                  else byKey.get((pf, po)) match {
+                    case Some(p) => pf = p.getString(4); po = p.getInt(5)
+                    case None => pf = null
+                  }
+                  hops += 1
+                }
+                found
+              }
+            }.map(r => (r.getInt(1), r.getInt(2)))
+          }
+          grouped.select(col("docId"), explode(descUdf(col("all"))).as("be"))
+            .select(col("docId"), col("be._1").as("begin"), col("be._2").as("end"),
+              lit(0L).as("number"), lit(0).as("ordinal"),
+              lit(null).cast("string").as("parentField"), lit(0).as("parentOrdinal"),
+              lit(a).as("field"))
+      }
+      RawResult(selected
+        .groupBy("docId").agg(
+          sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
+        .join(index.doclens, Seq("docId"), "inner")
+        .select(col("docId"), col("ex.begin").as("begins"),
+          col("ex.end").as("ends"), col("length").as("doclen")))
+
     case FieldRestrictNode(child, f) =>
       // ExtentInside: child extents fully contained in a field extent
       // (reference: src/ExtentInsideNode.cpp — inner.begin >= outer.begin
@@ -305,7 +356,7 @@ final class Engine(
   private def isRawNode(n: QueryNode): Boolean = n match {
     case _: TermNode | _: OdNode | _: UwNode | _: BandNode | _: SynNode |
          _: WsynNode | _: WildcardNode | _: FieldRestrictNode |
-         _: AnyFieldNode | _: FieldNumNode => true
+         _: AnyFieldNode | _: FieldNumNode | _: FieldPathNode => true
     case _ => false
   }
 
@@ -578,6 +629,134 @@ final class Engine(
     }
     Daat.topK(index, Daat.plan(engineTerms), k, exhaustive)
   }
+
+  /** Extent-restricted retrieval `#combine[f](…)` / `#combine[passageW:I](…)`:
+    * every extent of the field (or every fixed sliding passage) in a
+    * candidate document is scored as its own context — tf counted inside
+    * the extent, contextSize = extent length — and ranked extents are
+    * returned (reference: ExtentRestrictionNode/FixedPassageNode,
+    * src/InferenceNetworkBuilder.cpp:152-185; ListBeliefNode scores with
+    * the extent as context, src/ListBeliefNode.cpp:119-127). Candidate
+    * docs = docs with ≥1 query-term occurrence (the WeightedAnd union).
+    *
+    * Child shape: flat #combine of terms (the passage-retrieval shape);
+    * the okapi/tfidf baseline rejects extent restrictions exactly like
+    * the reference (src/QueryEnvironment.cpp:912-918).
+    */
+  def runExtentQuery(query: String, k: Int): DataFrame = {
+    val ast = QueryParser.parse(query)
+    val er = ast match {
+      case e: ExtentRestrictNode => e
+      case _ => throw new IllegalArgumentException(s"not an extent-restricted query: $query")
+    }
+    require(!baseline, "extent restriction is rejected in okapi/tfidf baseline mode " +
+      "(reference: src/QueryEnvironment.cpp:912-918) — use an LM rule")
+    val childTerms: Seq[String] = er.child match {
+      case TermNode(t) => Seq(t)
+      case CombineNode(cs) if cs.forall(_.isInstanceOf[TermNode]) =>
+        cs.map { case TermNode(t) => t }
+      case other => throw new IllegalArgumentException(
+        s"extent restriction supports flat term bags, got $other")
+    }
+    val processed = childTerms.map(analyzer.processTerm)
+    val live = processed.filter(_ != null).distinct
+    val tstats = termStatsFor(live)
+    // per-child score functions (1/k weights, query order)
+    val fns: Array[TermScoreFunction] = processed.map { pt =>
+      val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
+      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+        ts.df.toDouble, stats.totalDocs)
+    }.toArray
+    val w = 1.0 / processed.length
+    val termIdx: Map[String, Seq[Int]] =
+      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
+
+    val perDoc = index.postings
+      .where(col("term").isin(live: _*))
+      .groupBy("docId")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
+
+    val extentsDf = er.passage match {
+      case Some((width, inc)) =>
+        // fixed sliding passages over [0, doclen) (FixedPassageNode)
+        perDoc.join(index.doclens, Seq("docId"), "inner")
+          .withColumn("begins",
+            sequence(lit(0), greatest(col("length") - 1, lit(0)), lit(inc)))
+          .withColumn("ex", transform(col("begins"),
+            b => struct(b.as("begin"), least(b + width, col("length")).as("end"))))
+          .select(col("docId"), col("tp"), col("ex"))
+      case None =>
+        val fx = fieldExtents.where(col("field") === er.field)
+          .groupBy("docId").agg(
+            sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
+        perDoc.join(fx, Seq("docId"), "inner").select(col("docId"), col("tp"), col("ex"))
+    }
+
+    val bcFns = spark.sparkContext.broadcast(fns)
+    val bcIdx = spark.sparkContext.broadcast(termIdx)
+    val scoreUdf = udf { (tp: Map[String, Seq[Int]], bs: Seq[Int], es: Seq[Int]) =>
+      val fs = bcFns.value
+      val tIdx = bcIdx.value
+      bs.indices.map { i =>
+        val b = bs(i); val e = es(i)
+        val ctx = e - b
+        var acc = 0.0
+        var child = 0
+        val tfByChild = new Array[Int](fs.length)
+        tp.foreach { case (t, ps) =>
+          tIdx.getOrElse(t, Nil).foreach { ci =>
+            var c = 0
+            ps.foreach { p => if (p >= b && p < e) c += 1 }
+            tfByChild(ci) = c
+          }
+        }
+        while (child < fs.length) {
+          acc += w * fs(child).scoreOccurrence(tfByChild(child).toDouble, ctx)
+          child += 1
+        }
+        (b, e, acc)
+      }
+    }
+    extentsDf
+      .withColumn("scored", explode(scoreUdf(col("tp"), col("ex.begin"), col("ex.end"))))
+      .select(col("docId"), col("scored._1").as("begin"),
+        col("scored._2").as("end"), col("scored._3").as("score"))
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .limit(k)
+  }
+
+  /** runQuery restricted to a working set of docIds — the FilterNode
+    * wrap (reference: QueryEnvironment::_scoredQuery adds FilterNode,
+    * src/QueryEnvironment.cpp:694-707).
+    */
+  def runQuery(query: String, k: Int, workingSet: DataFrame): DataFrame = {
+    val ws = workingSet.select(col(workingSet.columns.head).cast(LongType).as("docId"))
+    val belief = evaluate(QueryParser.parse(query))
+    belief.df.join(ws, Seq("docId"), "left_semi")
+      .select(col("docId"), col("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** swap the query-side stopword list (reference:
+    * QueryEnvironment::setStopwords) — affects processTerm only; the
+    * index keeps its build-time chain.
+    */
+  def setStopwords(words: Seq[String]): Engine =
+    new Engine(spark, index, analyzer.copy(stopwords = words.toSet), rule)
+
+  /** occurrences of `term` inside field `f`
+    * (reference: QueryEnvironment::termFieldCount)
+    */
+  def termFieldCount(term: String, field: String): Long =
+    expressionCount(s"$term.$field")
+
+  /** names of indexed fields (reference: QueryEnvironment::fieldList) */
+  def fieldList(): Seq[String] =
+    if (index.fieldExtents == null) Nil
+    else index.fieldExtents.select("field").distinct()
+      .as[String].collect().toSeq.sorted
 
   /** total corpus term count (reference: src/LocalQueryServer.cpp:232-275) */
   def termCount(): Long = stats.totalTerms

@@ -28,6 +28,14 @@ final case class FieldRestrictNode(child: QueryNode, field: String) extends Quer
 /** #any:f — every extent of field f (reference: indrilang.g:490-527,
   * FieldIteratorNode builder src/InferenceNetworkBuilder.cpp:135-150) */
 final case class AnyFieldNode(field: String) extends QueryNode
+/** path operators over the field-extent tree (reference: indrilang.g:
+  * 713-743 — `a/b` child, `a//b` descendant, `a\b` parent; nodes
+  * src/ExtentChildNode.cpp, ExtentDescendantNode, ExtentParentNode with
+  * index-recorded {ordinal, parent} links). Engine syntax:
+  * #child(a b) / #descendant(a b) / #parent(a b). op ∈ child|descendant|parent.
+  * child: extents of a directly nested in a b extent; descendant: nested
+  * at any depth; parent: extents of a that directly contain a b extent. */
+final case class FieldPathNode(op: String, inner: String, outer: String) extends QueryNode
 /** numeric/date predicates over field payloads
   * (reference: indrilang.g:1022-1074; src/FieldLessNode.cpp:41 x < c,
   * FieldGreaterNode x > c, FieldBetweenNode.cpp:42 low <= x <= high,
@@ -53,6 +61,13 @@ final case class PriorQNode(name: String) extends QueryNode
   * #lengthprior(exponent child) for what the reference wires via the
   * `lengthprior` parameter) */
 final case class LengthPriorQNode(exponent: Double, child: QueryNode) extends QueryNode
+/** #combine[f](…) / #combine[passageW:I](…) — score each extent of f
+  * (or each fixed sliding passage) as its own context; results are
+  * ranked EXTENTS (reference: indrilang.g:650-689; builder
+  * src/InferenceNetworkBuilder.cpp:152-185; ExtentRestrictionNode,
+  * FixedPassageNode). `passage` is (width, increment) when set. */
+final case class ExtentRestrictNode(field: String, passage: Option[(Int, Int)],
+                                    child: QueryNode) extends QueryNode
 
 /** Recursive-descent parser for the implemented indrilang subset:
   * bare terms, quoted phrases, #combine #weight #wsum #sum #or #not #max
@@ -122,6 +137,15 @@ object QueryParser {
             while (k2 < n && (s.charAt(k2).isLetterOrDigit)) k2 += 1
             name = "any:" + s.substring(j + 1, k2).toLowerCase
             j = k2
+          }
+          // extent restriction `#combine[f]` / `#combine[passageW:I]`
+          // (reference: indrilang.g:650-689)
+          if (j < n && s.charAt(j) == '[') {
+            val close = s.indexOf(']', j + 1)
+            if (close > j) {
+              name = name + "[" + s.substring(j + 1, close).toLowerCase + "]"
+              j = close + 1
+            }
           }
           out += Op(if (name.isEmpty) "od" else name, num)
           i = j
@@ -206,6 +230,19 @@ object QueryParser {
           val kids = parseSequence(stopAtClose = true); expect(RBrace); SynNode(kids)
         case Op(name, _) if name.startsWith("any:") =>
           AnyFieldNode(name.stripPrefix("any:"))
+        case Op(name, _) if name.contains("[") && name.endsWith("]") =>
+          val base = name.substring(0, name.indexOf('['))
+          val spec = name.substring(name.indexOf('[') + 1, name.length - 1)
+          require(base == "combine", s"extent restriction only on #combine, got #$base")
+          expect(LParen)
+          val kids = parseSequence(stopAtClose = true)
+          expect(RParen)
+          val child = if (kids.length == 1) kids.head else CombineNode(kids)
+          if (spec.startsWith("passage")) {
+            // passageW:I (reference: FixedPassageNode)
+            val Array(w, inc) = spec.stripPrefix("passage").split(":", 2)
+            ExtentRestrictNode("", Some((w.toInt, inc.toInt)), child)
+          } else ExtentRestrictNode(spec, None, child)
         case Op(name, num) =>
           expect(LParen)
           def fieldArg(): String = advance() match {
@@ -240,6 +277,9 @@ object QueryParser {
               require(kids.length == 2, s"#$name needs 2 args")
               FilRejNode(kids(0), kids(1))
             case "any" => AnyFieldNode(fieldArg())
+            case "child" => FieldPathNode("child", fieldArg(), fieldArg())
+            case "descendant" => FieldPathNode("descendant", fieldArg(), fieldArg())
+            case "parent" => FieldPathNode("parent", fieldArg(), fieldArg())
             case "prior" => PriorQNode(fieldArg())
             case "lengthprior" =>
               val exp = advance() match {
@@ -281,6 +321,7 @@ object QueryParser {
     case FieldRestrictNode(c, _) => termLeaves(c)
     case AnyFieldNode(_) => Nil
     case FieldNumNode(_, _, _, _) => Nil
+    case FieldPathNode(_, _, _) => Nil
     case CombineNode(cs) => cs.flatMap(termLeaves)
     case WeightNode(cs) => cs.flatMap(c => termLeaves(c._2))
     case WsumNode(cs) => cs.flatMap(c => termLeaves(c._2))
@@ -292,5 +333,6 @@ object QueryParser {
     case FilRejNode(f, s) => termLeaves(f) ++ termLeaves(s)
     case PriorQNode(_) => Nil
     case LengthPriorQNode(_, c) => termLeaves(c)
+    case ExtentRestrictNode(_, _, c) => termLeaves(c)
   }
 }

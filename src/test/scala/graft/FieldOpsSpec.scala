@@ -105,6 +105,80 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).forall(s => !s.isNaN))
   }
 
+  test("path operators: #child / #descendant / #parent over the tag tree") {
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps</sec> <par>tail</par>"),
+      (2L, "<par>solo</par> <sec>plain</sec>")
+    ).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par"), FieldSpec("b")))
+    val idx = IndexBuilder.build(rows, cfg2)
+    val eng = new Engine(spark, idx, cfg2.analyzer, ScoringRule(method = "okapi"))
+    def ext(q: String): Seq[(Long, Seq[Int], Seq[Int])] =
+      eng.evaluateRaw(QueryParser.parse(q)).df
+        .select("docId", "begins", "ends").as[(Long, Seq[Int], Seq[Int])]
+        .collect().sortBy(_._1).toSeq
+
+    // doc1 token positions: alpha0 beta1 gamma2 delta3 eps4 tail5
+    // sec=[0,5); par(in sec)=[1,4); b=[2,3); par(top)=[5,6)
+    // par/sec: only the nested par
+    assert(ext("#child(par sec)") == Seq((1L, Seq(1), Seq(4))))
+    // b//sec: b is nested (through par) inside sec
+    assert(ext("#descendant(b sec)") == Seq((1L, Seq(2), Seq(3))))
+    // b/sec: NOT a direct child of sec
+    assert(ext("#child(b sec)").isEmpty)
+    // par extents that directly contain a b extent
+    assert(ext("#parent(par b)") == Seq((1L, Seq(1), Seq(4))))
+    // doc2 has no nesting at all
+    assert(ext("#descendant(par sec)") == Seq((1L, Seq(1), Seq(4))))
+  }
+
+  test("#combine[f] scores each field extent as its own context (dirichlet)") {
+    val (idx, tcfg) = taggedIndex
+    val eng = new Engine(spark, idx, tcfg.analyzer, ScoringRule(method = "dirichlet"))
+    val got = eng.runExtentQuery("#combine[title](merge sort)", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+
+    // scalar: candidates = docs with merge or sort; titles:
+    // d1 [0,2) merge@0 sort@1; d2 [0,2) neither inside... d2 terms: hash
+    // scan (title) merge body body — merge at pos 2 outside title; d4
+    // [0,3) sort@0 merge@1 sort@2
+    val T = idx.stats.totalTerms.toDouble
+    def ctf(t: String) = idx.dictionary.where(col("term") === t)
+      .select("ctf").as[Long].head().toDouble
+    def dir(tf: Int, cf: Double, ctx: Int) =
+      math.log((tf + 2500.0 * cf) / (ctx + 2500.0))
+    val cfM = ctf("merge") / T; val cfS = ctf("sort") / T
+    def comb(tfM: Int, tfS: Int, ctx: Int) =
+      0.5 * dir(tfM, cfM, ctx) + 0.5 * dir(tfS, cfS, ctx)
+    val expected = Seq(
+      (1L, 0, 2, comb(1, 1, 2)),
+      (2L, 0, 2, comb(0, 0, 2)),
+      (4L, 0, 3, comb(1, 2, 3))
+    ).sortBy { case (d, b, _, s) => (-s, d, b) }
+    assert(got.length == 3)
+    got.zip(expected).foreach { case ((d1, b1, e1, s1), (d2, b2, e2, s2)) =>
+      assert(d1 == d2 && b1 == b2 && e1 == e2)
+      assert(math.abs(s1 - s2) < 1e-12)
+    }
+  }
+
+  test("#combine[passageW:I] scores fixed sliding windows") {
+    val (idx, tcfg) = taggedIndex
+    val eng = new Engine(spark, idx, tcfg.analyzer, ScoringRule(method = "dirichlet"))
+    val got = eng.runExtentQuery("#combine[passage4:2](merge)", 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // doc3 "no fields here merge merge sort": len 6, passages begin 0,2,4
+    // with ends min(b+4, 6) → (0,4) tf1, (2,6) tf2, (4,6) tf1
+    val d3 = got.filter(_._1 == 3L).map(t => (t._2, t._3)).sorted.toSeq
+    assert(d3 == Seq((0, 4), (2, 6), (4, 6)))
+    // okapi baseline must reject extent restriction like the reference
+    val okapiEng = new Engine(spark, idx, tcfg.analyzer, ScoringRule(method = "okapi"))
+    intercept[IllegalArgumentException] {
+      okapiEng.runExtentQuery("#combine[title](merge)", 5)
+    }
+  }
+
   test("annotator fields: headField + numericField on the simple analyzer") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", 4L),

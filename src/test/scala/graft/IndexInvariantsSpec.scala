@@ -30,6 +30,16 @@ class IndexInvariantsSpec extends AnyFunSuite {
     assert(pairs.where(col("docId") =!= col("docId2")).count() == 0)
   }
 
+  test("scalable docId assignment equals the window form") {
+    val re = IndexBuilder.assignDocIdsScalable(
+      docs.drop("docId").repartition(5), Seq("repo", "path", "commit"), partitions = 7)
+    val pairs = docs.select("repo", "path", "commit", "docId")
+      .join(re.select(col("repo"), col("path"), col("commit"), col("docId").as("docId2")),
+        Seq("repo", "path", "commit"))
+    assert(pairs.count() == docs.count())
+    assert(pairs.where(col("docId") =!= col("docId2")).count() == 0)
+  }
+
   test("content sha256 row invariant preserved") {
     val bad = docs.where(sha2(col("content"), 256) =!= col("content_sha256")).count()
     assert(bad == 0)

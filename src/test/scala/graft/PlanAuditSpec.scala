@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.index._
+import graft.search.{Engine, ScoringRule}
+
+/** Physical-plan audits: the properties that matter at 100 TB must be
+  * visible in the plan, not assumed — term-predicate pushdown into the
+  * parquet segment scan (partition pruning path), hash exchange on the
+  * term for the posting merge, and broadcast-free stats round.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 32, numBuckets = 4)
+
+  test("stored segment scan pushes the term predicate to parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit").toString
+    val docs = graft.corpus.CorpusSynthesizer.corpus(spark, 200)
+    val idx = IndexBuilder.buildFromCorpus(docs, cfg)
+    SegmentStore.writeAll(idx, dir, cfg)
+    val stored = SegmentStore.open(spark, dir)
+    val plan = stored.segments
+      .where(col("term").isin("return", "license"))
+      .queryExecution.executedPlan.toString
+    // DataSource V2 parquet shows pushed filters in the scan node
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"term filter not pushed to parquet scan:\n$plan")
+  }
+
+  test("posting build shuffles by (term, bucket) — the sort-merge exchange") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("docId", "content")
+    val tokenized = IndexBuilder.tokenize(docs, cfg)
+    val postings = IndexBuilder.buildPostings(tokenized, cfg)
+    val segPlan = IndexBuilder.buildSegments(postings, 2, cfg)
+      .queryExecution.executedPlan.toString
+    assert(segPlan.contains("hashpartitioning(term"),
+      s"segments build lacks the term-hash exchange:\n$segPlan")
+    // partial (map-side) aggregation before the exchange in postings
+    val pPlan = postings.queryExecution.executedPlan.toString
+    assert(pPlan.contains("HashAggregate") || pPlan.contains("SortAggregate") ||
+           pPlan.contains("ObjectHashAggregate"))
+  }
+
+  test("flagship BM25 DataFrame path: term filter pushed into cache scan, codegen in the relational shell") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("docId", "content")
+    val idx = IndexBuilder.build(docs, cfg)
+    val eng = new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+    val df = eng.runQuery("#combine(beta)", 5, useDaat = false)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-term filter reaches the cached postings scan (InMemory scan
+    // filter pushdown — the cache analogue of parquet PushedFilters)
+    assert(plan.contains("InMemoryTableScan") && plan.contains("term"),
+      s"term predicate not pushed into the postings scan:\n$plan")
+    // `*(n)` = WholeStageCodegen span markers; the relational shell
+    // (project/filter/explode feeding the aggregates) is codegen'd —
+    // collect_list itself is an object aggregate by design
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+  }
+}

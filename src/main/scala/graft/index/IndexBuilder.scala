@@ -441,6 +441,18 @@ object FieldAnnotators {
       when(col("fields").isNull, array(entry))
         .otherwise(array_union(col("fields"), array(entry))))
 
+  /** Append externally-supplied text (anchor text, URL terms, offset
+    * annotations) to a document's token stream: the extra tokens take
+    * positions AFTER the document's own and count toward doclen — the
+    * AnchorText/URLText annotator semantics (reference:
+    * src/AnchorTextAnnotator.cpp, src/Repository.cpp:141-142).
+    */
+  def appendText(textCol: String, analyzer: Analyzer)(df: DataFrame): DataFrame = {
+    val az = analyzer
+    val tok = udf { (t: String) => if (t == null) Array.empty[String] else az.analyze(t) }
+    df.withColumn("slots", concat(col("slots"), tok(col(textCol))))
+  }
+
   /** Positional field covering the first `n` token positions — a
     * document-structure field like title/header.
     */

@@ -120,6 +120,57 @@ class BeliefOpsSpec extends AnyFunSuite {
     assert(RelevanceModel.runRm3(eng, "#combine(beta)", 4, p).count() > 0)
   }
 
+  test("Ponte and TFIDF expanders match scalar reference formulas") {
+    import graft.search.{Expanders, RelevanceModel}
+    val eng = newEngine("okapi")
+    val p = RelevanceModel.Params(fbDocs = 2, fbTerms = 5, fbOrigWeight = 0.5)
+    val top = eng.runQuery("#combine(beta)", 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fbSlots = top.map { case (d, _) => d -> corpus.toMap.apply(d).split(" ").toSeq }
+
+    // ---- Ponte (tf >= 2 only; mu=0 → dirichlet prob = tf/dl) ----
+    def ctf(t: String) = corpus.flatMap(_._2.split(" ")).count(_ == t).toDouble
+    val ponteExp = fbSlots.flatMap { case (d, toks) =>
+      val s = top.toMap.apply(d)
+      toks.distinct.map { t =>
+        val tf = toks.count(_ == t)
+        (t, tf, toks.length, s)
+      }.filter(_._2 >= 2)
+    }.groupBy(_._1).map { case (t, xs) =>
+      val coll = xs.map { case (_, tf, dl, _) =>
+        math.log((tf.toDouble / dl) / (ctf(t) / T)) }.sum
+      val rel = xs.map { case (_, tf, dl, s) => math.exp(s) * (tf.toDouble / dl) }.sum
+      (t, coll, rel)
+    }.toSeq.sortBy { case (t, c, _) => (-c, t) }
+    val gotPonte = Expanders.ponteTerms(eng, top, p).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(gotPonte.map(_._1) == ponteExp.map(_._1))
+    gotPonte.zip(ponteExp).foreach { case ((_, c1, w1), (_, c2, w2)) =>
+      assert(math.abs(c1 - c2) < 1e-12 && math.abs(w1 - w2) < 1e-12)
+    }
+
+    // ---- TFIDF ----
+    def df(t: String) = corpus.count(_._2.split(" ").contains(t)).toDouble
+    val avgdl = T.toDouble / N
+    val tfidfExp = fbSlots.flatMap { case (_, toks) =>
+      toks.distinct.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val bm = 1.2 * tf / (tf + 1.2 * (0.25 + 0.75 / avgdl * toks.length))
+        t -> bm * math.log((N + 1) / (df(t) + 0.5))
+      }
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum / 2 * 0.5 }
+      .toSeq.sortBy { case (t, w) => (-w, t) }.take(5)
+    val gotTfidf = Expanders.tfidfTerms(eng, top, p).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(gotTfidf.map(_._1) == tfidfExp.map(_._1))
+    gotTfidf.zip(tfidfExp).foreach { case ((_, w1), (_, w2)) =>
+      assert(math.abs(w1 - w2) < 1e-12)
+    }
+    // expanded query strings parse and run
+    assert(eng.runQuery(Expanders.tfidfExpand(eng, "beta", 4, p), 4).count() > 0)
+    assert(eng.runQuery(Expanders.ponteExpand(eng, "#combine(beta)", 4, p), 4).count() > 0)
+  }
+
   test("wildcard expansion caps and unions prefix matches") {
     val eng = newEngine("okapi")
     val raw = eng.evaluateRaw(QueryParser.parse("d*")).df

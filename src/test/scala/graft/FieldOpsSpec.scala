@@ -179,6 +179,21 @@ class FieldOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendText annotator: anchor tokens extend positions and doclen") {
+    val docs = Seq(
+      (1L, "alpha beta", "click here"),
+      (2L, "gamma", null.asInstanceOf[String])
+    ).toDF("docId", "content", "anchor")
+    val cfg3 = IndexConfig(analyzerMode = "simple", blockSize = 16, numBuckets = 2)
+    val idx = IndexBuilder.build(docs, cfg3,
+      annotate = FieldAnnotators.appendText("anchor", cfg3.analyzer))
+    val lens = idx.doclens.as[(Long, Int)].collect().toMap
+    assert(lens(1L) == 4 && lens(2L) == 1) // anchor tokens count toward doclen
+    val p = idx.postings.where(col("term") === "click")
+      .select("docId", "positions").as[(Long, Seq[Int])].collect()
+    assert(p.toSeq == Seq((1L, Seq(2)))) // appended AFTER the doc's tokens
+  }
+
   test("annotator fields: headField + numericField on the simple analyzer") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", 4L),

@@ -491,11 +491,16 @@ object SparkEntry {
       // KBA standing-query stream filter (kba/BM25Scorer.cc semantics)
       import graft.streaming.StreamFilter
       val idx = buildIndex(s, dir)
-      val termDf = idx.dictionary.select("term", "df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
       val queries = Seq(
         StreamFilter.StandingQuery("e1", "data merge"),
         StreamFilter.StandingQuery("e2", "query join"))
+      // collect df for the standing-query terms ONLY (a dozen rows) —
+      // never the whole vocabulary, which is billions of terms at scale
+      val qTerms = queries.flatMap(_.text.split("\\s+"))
+        .flatMap(t => Option(cfg.analyzer.processTerm(t))).distinct
+      val termDf = idx.dictionary.where(col("term").isin(qTerms: _*))
+        .select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       StreamFilter.score(corpusDocs(s, dir), queries, idx.stats, termDf,
         cfg.analyzer, cutoff = Double.NegativeInfinity)
         .select(col("docId").as("doc_id"), col("qid"), round(col("score"), 6).as("score"))
@@ -831,8 +836,16 @@ object SparkEntry {
          |ORDER BY p.doc_id""".stripMargin,
 
     "q_wildcard" ->
-      s"""$DTok
-         |SELECT doc_id, count(*) AS tf FROM tok WHERE term LIKE 's%'
+      // cap the expansion EXACTLY like the engine: the 100 alphabetically
+      // first vocabulary terms with the prefix (Engine.maxWildcardTerms,
+      // reference: include/indri/InferenceNetworkBuilder.hpp:64) — without
+      // the cap the two sides diverge once >100 terms share the prefix
+      s"""$DTok, wt AS (
+         |  SELECT DISTINCT term FROM tok WHERE term LIKE 's%'
+         |  ORDER BY term LIMIT 100
+         |)
+         |SELECT doc_id, count(*) AS tf FROM tok
+         |WHERE term IN (SELECT term FROM wt)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_prior" ->

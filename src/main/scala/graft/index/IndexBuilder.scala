@@ -136,7 +136,18 @@ object IndexBuilder {
     * the numbering pass see the SAME sampled partition boundaries.
     */
   def assignDocIdsScalable(corpus: DataFrame, keyCols: Seq[String],
-                           partitions: Int = 0): DataFrame = {
+                           partitions: Int = 0): DataFrame =
+    assignDocIdsScalableCached(corpus, keyCols, partitions)._1
+
+  /** [[assignDocIdsScalable]] plus the handle of the range-partitioned
+    * cache it pins (the count pass and the numbering pass must see the
+    * SAME sampled partition boundaries) — the caller unpersists it once
+    * the numbered rows are materialized downstream, so a long-lived
+    * session does not leak the cached corpus.
+    */
+  private[graft] def assignDocIdsScalableCached(
+      corpus: DataFrame, keyCols: Seq[String],
+      partitions: Int = 0): (DataFrame, DataFrame) = {
     val keys = keyCols.map(col)
     val n = if (partitions > 0) partitions
             else corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -151,9 +162,10 @@ object IndexBuilder {
     val bcOff = corpus.sparkSession.sparkContext.broadcast(offsets)
     val offUdf = udf { (pid: Int) => bcOff.value(pid) }
     val w = Window.partitionBy("__pid").orderBy(keys: _*)
-    ranged
+    val numbered = ranged
       .withColumn("docId", (row_number().over(w).cast(LongType) + offUdf(col("__pid"))))
       .drop("__pid")
+    (numbered, ranged)
   }
 
   /** (docId, content) → (docId, slots) where slots has one entry per token
@@ -398,8 +410,14 @@ object IndexBuilder {
     */
   def buildFromCorpus(corpus: DataFrame, cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     val withSha = corpus.withColumn("content_sha256", sha2(col("content"), 256))
-    val docs = assignDocIdsScalable(withSha, Seq("repo", "path", "commit"))
-    build(docs.select(col("docId"), col("content")), cfg)
+    val (docs, idCache) = assignDocIdsScalableCached(withSha, Seq("repo", "path", "commit"))
+    val idx = build(docs.select(col("docId"), col("content")), cfg)
+    // force the tokenized persist (doclens reads it) so the assigned ids
+    // are snapshotted, then release the range-partition cache — otherwise
+    // every build pins its whole corpus for the session's lifetime
+    idx.doclens.count()
+    idCache.unpersist(false)
+    idx
   }
 
   /** Full build from (docId, content).

@@ -38,6 +38,9 @@ object PageRank {
         // otherwise grow the optimizer time superlinearly
         .localCheckpoint(true)
     }
+    // the final ranks are an eager localCheckpoint — they no longer
+    // reference the edge cache, so release it before returning
+    eCached.unpersist(false)
     pr
   }
 }

@@ -75,6 +75,15 @@ final class Engine(
     deletedDocs = Some(deletedDocs.map(_.union(d).distinct()).getOrElse(d))
   }
 
+  /** drop deleted documents from any per-doc result — the
+    * DeletedDocumentList bitmap consulted during ALL evaluation paths
+    * (reference: src/DeletedDocumentList.cpp)
+    */
+  private def notDeleted(df: DataFrame): DataFrame = deletedDocs match {
+    case Some(d) => df.join(d, Seq("docId"), "left_anti")
+    case None => df
+  }
+
   private def stats: CorpusStats = index.stats
   private def baseline: Boolean = rule.method == "okapi" || rule.method == "tfidf"
 
@@ -123,7 +132,13 @@ final class Engine(
     RawResult(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
-  def evaluateRaw(node: QueryNode): RawResult = node match {
+  /** public entry — applies the deleted-document filter once on top of
+    * the recursive evaluation
+    */
+  def evaluateRaw(node: QueryNode): RawResult =
+    RawResult(notDeleted(evalRaw(node).df))
+
+  private def evalRaw(node: QueryNode): RawResult = node match {
     case TermNode(t) =>
       val pt = analyzer.processTerm(t)
       if (pt == null) emptyRaw else termRaw(pt)
@@ -135,11 +150,11 @@ final class Engine(
         .orderBy("term").limit(maxWildcardTerms)
         .select("term").as[String].collect().toSeq
       if (expansions.isEmpty) emptyRaw
-      else evaluateRaw(SynNode(expansions.map(TermNode(_))))
+      else evalRaw(SynNode(expansions.map(TermNode(_))))
 
     case SynNode(children) =>
       // union of extents (reference: src/ExtentOrNode.cpp — merged, sorted)
-      val raws = children.map(evaluateRaw).map(_.df)
+      val raws = children.map(evalRaw).map(_.df)
       val stacked = raws.reduce(_ union _)
       val merged = stacked
         .select(col("docId"), arrays_zip(col("begins"), col("ends")).as("ex"), col("doclen"))
@@ -155,7 +170,7 @@ final class Engine(
     case WsynNode(children) =>
       // weights only affect belief scoring via extent weights; for match
       // semantics it is the synonym union (weights staged)
-      evaluateRaw(SynNode(children.map(_._2)))
+      evalRaw(SynNode(children.map(_._2)))
 
     case OdNode(window, children) =>
       windowRaw(children, ordered = true, window)
@@ -166,7 +181,7 @@ final class Engine(
     case BandNode(children) =>
       // boolean AND: extent = whole document when all children match
       // (reference: src/BooleanAndNode.cpp)
-      val raws = children.map(evaluateRaw).map(_.df)
+      val raws = children.map(evalRaw).map(_.df)
       val joined = raws.map(_.select("docId", "doclen")).reduce { (a, b) =>
         a.join(b.select("docId"), Seq("docId"), "inner")
       }.dropDuplicates("docId")
@@ -245,7 +260,7 @@ final class Engine(
       // ExtentInside: child extents fully contained in a field extent
       // (reference: src/ExtentInsideNode.cpp — inner.begin >= outer.begin
       // && inner.end <= outer.end)
-      val c = evaluateRaw(child)
+      val c = evalRaw(child)
       val fx = fieldExtents.where(col("field") === f)
         .groupBy("docId").agg(
           sort_array(collect_list(struct(col("begin"), col("end")))).as("fex"))
@@ -299,7 +314,7 @@ final class Engine(
     * and UnorderedWindowNode::prepare (reference: src/UnorderedWindowNode.cpp:69-186).
     */
   private def windowRaw(children: Seq[QueryNode], ordered: Boolean, window: Int): RawResult = {
-    val raws = children.map(evaluateRaw)
+    val raws = children.map(evalRaw)
     val k = raws.length
     require(k >= 2, "window operators need >= 2 children")
     val joined = raws.zipWithIndex.map { case (r, i) =>
@@ -718,7 +733,7 @@ final class Engine(
         (b, e, acc)
       }
     }
-    extentsDf
+    notDeleted(extentsDf)
       .withColumn("scored", explode(scoreUdf(col("tp"), col("ex.begin"), col("ex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
@@ -733,7 +748,7 @@ final class Engine(
   def runQuery(query: String, k: Int, workingSet: DataFrame): DataFrame = {
     val ws = workingSet.select(col(workingSet.columns.head).cast(LongType).as("docId"))
     val belief = evaluate(QueryParser.parse(query))
-    belief.df.join(ws, Seq("docId"), "left_semi")
+    notDeleted(belief.df).join(ws, Seq("docId"), "left_semi")
       .select(col("docId"), col("score"))
       .orderBy(col("score").desc, col("docId").asc)
       .limit(k)
@@ -806,7 +821,7 @@ final class Engine(
     */
   def documentVectors(docIds: DataFrame): DataFrame = {
     val ids = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
-    index.postings.join(ids, Seq("docId"), "left_semi")
+    notDeleted(index.postings).join(ids, Seq("docId"), "left_semi")
       .select(col("docId"), col("term"), explode(col("positions")).as("pos"))
       .select(col("docId"), col("pos"), col("term"))
   }

@@ -36,7 +36,10 @@ object RelevanceModel {
     */
   def posterior(results: Seq[(Long, Double)]): Seq[(Long, Double)] = {
     if (results.isEmpty) return Nil
-    val k = results.head._2
+    // shift by the true max (identical to head._2 for the usual
+    // score-descending input, safe for any caller of rm1FromResults —
+    // shifting by a non-max makes exp() overflow on large log scores)
+    val k = results.map(_._2).max
     val exps = results.map { case (d, s) => (d, math.exp(s - k)) }
     val sum = exps.map(_._2).sum
     exps.map { case (d, e) => (d, e / sum) }

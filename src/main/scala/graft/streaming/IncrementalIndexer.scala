@@ -25,6 +25,16 @@ import graft.index.{CorpusStats, IndexBuilder, IndexConfig, InvertedIndex}
   * checkpoint/recovery contract (reference: src/Repository.cpp:1198-1215,
   * buildindex/IndriBuildIndex.cpp:609-656).
   *
+  * Compaction protocol (atomic, repeatable): every compact writes a FRESH
+  * generation `merged-<n>` reading ALL currently-visible generations
+  * (including prior merged output — the reference TRIM merge merges all
+  * indexes, src/Repository.cpp:754-814). Its marker records the consumed
+  * source generations; `completedGens` hides any generation listed as
+  * consumed by a committed merge, so a crash between the merge commit and
+  * the source deletion can never double-count — deleting the sources
+  * afterwards is pure garbage collection. A live generation directory is
+  * never overwritten.
+  *
   * docIds must be globally unique across batches (carried on the rows,
   * e.g. an event/document id), mirroring sequential docID assignment.
   */
@@ -34,19 +44,31 @@ object IncrementalIndexer {
   private def marker(dir: String, gen: String) =
     Paths.get(genDir(dir, gen), "_GEN_SUCCESS")
 
+  /** marker payload: line 1 = config fingerprint; one `consumed:<gen>`
+    * line per source generation folded into this one (merge gens only)
+    */
+  private def writeMarker(dir: String, gen: String, fingerprint: String,
+                          consumed: Seq[String] = Nil): Unit = {
+    val body = (fingerprint +: consumed.map(g => s"consumed:$g")).mkString("\n")
+    Files.writeString(marker(dir, gen), body)
+  }
+
   /** Write one micro-batch of (docId, content) rows as a generation.
-    * Idempotent per batchId.
+    * Idempotent per batchId — including a batchId whose generation was
+    * already folded into a committed merge and garbage-collected (a
+    * replay after restart must not resurrect it).
     */
   def appendBatch(batch: DataFrame, batchId: Long, dir: String, cfg: IndexConfig): Unit = {
     val gen = batchId.toString
     if (Files.exists(marker(dir, gen))) return // replay after restart
+    if (consumedGens(dir).contains(gen)) return // replay of a merged+GC'd batch
     val tokenized = IndexBuilder.tokenize(batch, cfg)
     val postings = IndexBuilder.buildPostings(tokenized, cfg)
     postings.write.mode("overwrite").parquet(s"${genDir(dir, gen)}/postings")
     IndexBuilder.buildDocLens(tokenized).write.mode("overwrite")
       .parquet(s"${genDir(dir, gen)}/doclens")
     Files.createDirectories(Paths.get(genDir(dir, gen)))
-    Files.writeString(marker(dir, gen), cfg.fingerprint)
+    writeMarker(dir, gen, cfg.fingerprint)
   }
 
   /** foreachBatch sink closure:
@@ -55,7 +77,8 @@ object IncrementalIndexer {
   def sink(dir: String, cfg: IndexConfig): (DataFrame, Long) => Unit =
     (batch, batchId) => appendBatch(batch, batchId, dir, cfg)
 
-  private def completedGens(dir: String): Seq[String] = {
+  /** generations with a committed marker, regardless of consumption */
+  private def committedGens(dir: String): Seq[String] = {
     val d = Paths.get(dir)
     if (!Files.exists(d)) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -72,6 +95,21 @@ object IncrementalIndexer {
     out.toSeq.sorted
   }
 
+  /** generations recorded as consumed by any committed merge marker */
+  private def consumedGens(dir: String): Set[String] =
+    committedGens(dir).iterator.flatMap { g =>
+      Files.readString(marker(dir, g)).linesIterator
+        .filter(_.startsWith("consumed:")).map(_.stripPrefix("consumed:"))
+    }.toSet
+
+  /** committed, live (not consumed by a committed merge) generations —
+    * the visible index stack
+    */
+  private def completedGens(dir: String): Seq[String] = {
+    val consumed = consumedGens(dir)
+    committedGens(dir).filterNot(consumed)
+  }
+
   /** Open the union view over all committed generations and rebuild the
     * derived tables (dictionary / doclens / stats / segments). The union
     * is the "stack of indexes" a reference query iterates
@@ -85,27 +123,46 @@ object IncrementalIndexer {
     val dictionary = IndexBuilder.buildDictionary(postings)
     val stats = IndexBuilder.buildStats(doclens, dictionary)
     val segments = IndexBuilder.buildSegments(postings, stats.totalDocs, cfg).toDF()
-    InvertedIndex(postings, dictionary, doclens, stats, segments)
+    InvertedIndex(postings, dictionary, doclens, stats, segments,
+      numBuckets = cfg.numBuckets)
   }
 
-  /** Merge every committed generation into a single one — the background
+  /** Merge every live generation into a single fresh one — the background
     * TRIM/merge (reference: src/Repository.cpp:754-814; deleted-doc skip
     * during merge is the caller's anti-join before compaction, reference:
-    * src/IndexWriter.cpp:575-580). Atomic: the merged generation commits
-    * its marker before old generations are dropped.
+    * src/IndexWriter.cpp:575-580).
+    *
+    * Atomicity: the merged generation becomes visible (marker committed,
+    * listing its consumed sources) in one step; only then are the source
+    * generations deleted. A crash at ANY point leaves either the old view
+    * (merge uncommitted) or the new view (sources hidden via the consumed
+    * list, their directories mere garbage) — never both.
     */
-  def compact(spark: SparkSession, dir: String, cfg: IndexConfig,
-              mergedGen: String = "merged"): Unit = {
-    val gens = completedGens(dir).filterNot(_ == mergedGen)
-    if (gens.isEmpty) return
+  def compact(spark: SparkSession, dir: String, cfg: IndexConfig): Unit = {
+    val gens = completedGens(dir)
+    if (gens.size <= 1) return // nothing to fold
+    // fresh monotonic name: never overwrite a live generation directory
+    val nextId = committedGens(dir).iterator
+      .filter(_.startsWith("merged-"))
+      .map(_.stripPrefix("merged-").toLong).foldLeft(0L)(math.max) + 1
+    val mergedGen = s"merged-$nextId"
     val postings = spark.read.parquet(gens.map(g => s"${genDir(dir, g)}/postings"): _*)
     val doclens = spark.read.parquet(gens.map(g => s"${genDir(dir, g)}/doclens"): _*)
     postings.write.mode("overwrite").parquet(s"${genDir(dir, mergedGen)}/postings")
     doclens.write.mode("overwrite").parquet(s"${genDir(dir, mergedGen)}/doclens")
-    Files.writeString(marker(dir, mergedGen), cfg.fingerprint)
+    // consumed set is TRANSITIVE (sources plus everything the sources had
+    // consumed): an ancestor generation resurrected by an interrupted GC
+    // of an intermediate merge must stay hidden even after that merge's
+    // own marker is gone. One line per batch ever ingested — a few MB of
+    // text after years of micro-batches; compress to id ranges if it
+    // ever matters.
+    val transitive = (gens ++ gens.flatMap { g =>
+      Files.readString(marker(dir, g)).linesIterator
+        .filter(_.startsWith("consumed:")).map(_.stripPrefix("consumed:"))
+    }).distinct.sorted
+    writeMarker(dir, mergedGen, cfg.fingerprint, consumed = transitive)
+    // garbage-collect the consumed sources (already invisible)
     gens.foreach { g =>
-      // drop the old generation (marker first, so a crash mid-delete
-      // leaves only invisible garbage, never a half-visible generation)
       val gd = Paths.get(genDir(dir, g))
       Files.deleteIfExists(marker(dir, g))
       Files.walk(gd).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

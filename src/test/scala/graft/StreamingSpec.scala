@@ -74,6 +74,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rC == rB)
   }
 
+  test("repeated compaction preserves all generations; crash between merge commit and GC never double-counts") {
+    val dir = Files.tmp("inc-compact")
+    val docs = allDocs.toDF("docId", "content")
+    // batches 0,1 → compact → batches 2,3 → compact again: the second
+    // compact must fold the PRIOR merged output too (TRIM merges ALL
+    // indexes, reference: src/Repository.cpp:754-814)
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(1L, 2L)), 0L, dir, cfg)
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(3L)), 1L, dir, cfg)
+    IncrementalIndexer.compact(spark, dir, cfg)
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(4L, 5L)), 2L, dir, cfg)
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(6L)), 3L, dir, cfg)
+    IncrementalIndexer.compact(spark, dir, cfg)
+
+    val batch = IndexBuilder.build(docs, cfg)
+    val compacted = IncrementalIndexer.open(spark, dir, cfg)
+    assert(compacted.stats == batch.stats) // every doc exactly once
+    assert(compacted.postings.select("term", "docId", "tf")
+      .exceptAll(batch.postings.select("term", "docId", "tf")).count() == 0)
+    assert(batch.postings.select("term", "docId", "tf")
+      .exceptAll(compacted.postings.select("term", "docId", "tf")).count() == 0)
+
+    // only the latest merge survives on disk
+    val gens = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.contains("gen=")).sorted
+    assert(gens.length == 1 && gens.head.endsWith("gen=merged-2"), gens.toSeq)
+
+    // crash simulation: a consumed source's marker+data resurface (crash
+    // happened after the merge marker committed but before GC finished) —
+    // open() must keep hiding it via the merge's consumed list
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(1L, 2L)), 4L, dir, cfg)
+    IncrementalIndexer.compact(spark, dir, cfg) // merged-3 consumes [4, merged-2]
+    val m3 = java.nio.file.Paths.get(s"$dir/gen=4/_GEN_SUCCESS")
+    java.nio.file.Files.createDirectories(m3.getParent)
+    java.nio.file.Files.writeString(m3, cfg.fingerprint) // marker back, no data needed
+    val afterCrash = IncrementalIndexer.open(spark, dir, cfg)
+    // docs 1,2 appear ONCE from batch 4's merge, not twice
+    assert(afterCrash.doclens.count() == batch.stats.totalDocs + 2)
+    assert(afterCrash.doclens.where(col("docId") === 1L).count() == 1 + 1) // batch0 copy + batch4 copy, both live in merged-3
+
+    // a replayed batchId that was merged+GC'd is NOT resurrected
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(6L)), 3L, dir, cfg)
+    assert(IncrementalIndexer.open(spark, dir, cfg).doclens.count() == afterCrash.doclens.count())
+  }
+
   test("KBA standing-query stream filter matches scalar BM25 (k1=1.75)") {
     // background stats from the full corpus
     val idx = IndexBuilder.build(allDocs.toDF("docId", "content"), cfg)

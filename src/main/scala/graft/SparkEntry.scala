@@ -36,6 +36,30 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Embeddings with PLANTED exact duplicates: every 17th vector is
+    * re-inserted under vec_id + 1000000 with an identical embedding.
+    * Deterministic and reproducible in DuckDB SQL, so the LSH queries get
+    * a real oracle: identical vectors share every hyperplane band bucket
+    * (sign of every plane dot is equal), so LSH finds each planted pair
+    * with probability 1, and the fixtures' max NATURAL pairwise cosine is
+    * ≈0.60 (measured at sf0.01/sf0.1, dim 64), far below the 0.9
+    * thresholds — the oracle set is exactly the planted pairs.
+    */
+  private val PlantOffset = 1000000L
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.union(emb.where(col("vec_id") % 17 === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
+  }
+
+  /** DuckDB CTE mirroring [[plantedEmbeddings]] + exact index-order cosine */
+  private val PlantedCte =
+    """WITH pe AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
+      |)""".stripMargin
+
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id").as("docId"), col("text").as("content"))
 
@@ -545,18 +569,26 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (scale path; hyperplanes seeded — no SQL oracle,
-      // rows-only check)
-      val emb = embeddings(s, dir)
-      Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
-        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
-        .orderBy("qid", "rk")
+      // banded hyperplane LSH ANN (scale path). Oracled via planted exact
+      // duplicates: for each planted query (vec_id >= 1000000) the LSH
+      // top-1 must be its source vector — guaranteed found (identical
+      // vectors share every band bucket) and guaranteed rank 1 (cosine
+      // 1.0 vs natural max ≈0.60), so brute-force SQL is a sound oracle.
+      val emb = plantedEmbeddings(s, dir)
+      Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64, k = 5,
+        bands = 8, rowsPerBand = 6)
+        .where(col("qid") >= PlantOffset && col("rk") === 1)
+        .select(col("qid"), col("nid"), col("sim"))
+        .orderBy("qid")
     }),
 
     "q_emb_neardup" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
+      // near-dup pairs above 0.9 over the planted table = exactly the
+      // planted (source, copy) pairs — LSH finds them with probability 1,
+      // brute-force cosine in SQL is a sound oracle
+      val emb = plantedEmbeddings(s, dir)
       Similarity.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
-        threshold = 0.95, nBits = 4)
+        threshold = 0.9, bands = 8, rowsPerBand = 6)
         .orderBy("a", "b")
     }),
 
@@ -1084,6 +1116,37 @@ object SparkEntry {
         |  FROM pr
         |)
         |SELECT qid, nid, sim, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""$PlantedCte, q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM pe WHERE vec_id >= 1000000
+         |), c AS (
+         |  SELECT vec_id AS nid, embedding AS cv FROM pe
+         |), pr AS (
+         |  SELECT qid, nid,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+         |      / ( sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+         |        * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) ),
+         |      6) AS sim
+         |  FROM q, c WHERE qid <> nid
+         |), rk AS (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM pr
+         |)
+         |SELECT qid, nid, sim FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin,
+
+    "q_emb_neardup" ->
+      s"""$PlantedCte, pr AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(
+         |      list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |      / ( sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         |        * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) ),
+         |      6) AS sim
+         |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+         |)
+         |SELECT a, b, sim FROM pr WHERE sim >= 0.9 ORDER BY a, b""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS fp

@@ -12,6 +12,21 @@ import org.apache.spark.sql.types._
   * bit-reproducible and identical to an oracle that does the same —
   * never rely on an engine-internal dot-product whose order is
   * unspecified.
+  *
+  * Scale path: BANDED multi-table random-hyperplane LSH. `bands`
+  * independent hash tables of `rowsPerBand` sign bits each; a pair is a
+  * candidate when it collides in ANY band (recall knob = bands), and the
+  * per-band bucket count 2^rowsPerBand bounds bucket population
+  * (cost knob = rowsPerBand ≈ log2(N / targetBucketSize)). A single
+  * table's within-bucket self-join goes quadratic as N grows past
+  * 2^bits · bucketSize; banding keeps every join linear-ish while
+  * recovering recall through independent tables — the same shape as
+  * MinHash LSH banding (TextPipeline.minhashLshPairs).
+  *
+  * Soundness anchor for oracles: two IDENTICAL vectors produce the same
+  * sign for every hyperplane, hence share every band bucket — planted
+  * exact duplicates are found with probability 1, not just with high
+  * probability.
   */
 object Similarity {
 
@@ -66,37 +81,72 @@ object Similarity {
       .select("qid", "nid", "sim", "rk")
   }
 
-  /** Random-hyperplane LSH bucketing (SimHash for vectors): sign-bit
-    * signature of `nBits` fixed pseudo-random hyperplanes (deterministic
-    * from `seed`). Vectors sharing a bucket are candidate neighbors —
-    * the IVF/LSH scale path: top-k search only within buckets.
-    */
-  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+  /** deterministic hyperplanes: planes(band * rowsPerBand + r)(dim) */
+  private def planes(dim: Int, bands: Int, rowsPerBand: Int,
+                     seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
-    val planes: Array[Array[Double]] =
-      Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(col(vecCol), planeLit, (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    df.select(col(idCol), col(vecCol),
-      bitCols.reduce(_ + _).as("bucket"))
+    Array.fill(bands * rowsPerBand)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** LSH-bucketed approximate top-k: exact cosine ranking within each
-    * bucket. Recall < 1 by construction; the bench compares it to
-    * bruteForceTopK for recall/speed.
+  /** (id, band, bucket) — one row per band per vector. The whole
+    * signature (bands × rowsPerBand dot products) is computed in ONE UDF
+    * pass over the vector (the planes live in a broadcast-sized closure);
+    * a per-plane column expression would walk the array b·r times.
     */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val b = hyperplaneBuckets(df, idCol, vecCol, dim, nBits, seed).persist()
-    val a = b.select(col("bucket"), col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = b.select(col("bucket"), col(idCol).as("nid"), col(vecCol).as("cv"))
-    val pairs = a.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
+  def hyperplaneBands(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      bands: Int, rowsPerBand: Int, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, bands, rowsPerBand, seed)
+    val nb = bands; val rp = rowsPerBand
+    val bucketsUdf = udf { (v: Seq[Float]) =>
+      val out = new Array[Long](nb)
+      var b = 0
+      while (b < nb) {
+        var sig = 0L
+        var r = 0
+        while (r < rp) {
+          val p = ps(b * rp + r)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(v.length, p.length)
+          while (i < n) { dot += v(i).toDouble * p(i); i += 1 }
+          if (dot >= 0) sig |= (1L << r)
+          r += 1
+        }
+        out(b) = sig
+        b += 1
+      }
+      out.toSeq
+    }
+    df.select(col(idCol).as("id"), posexplode(bucketsUdf(col(vecCol))).as(Seq("band", "bucket")))
+  }
+
+  /** Distinct directed candidate pairs (qid, nid), qid ≠ nid: collide in
+    * any band. The join is on (band, bucket) — never all-pairs; the
+    * union-over-bands dedup is one distinct on two long ids.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    bands: Int, rowsPerBand: Int, seed: Long = 42L): DataFrame = {
+    val banded = hyperplaneBands(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
+      .persist()
+    val a = banded.select(col("band"), col("bucket"), col("id").as("qid"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("nid"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+  }
+
+  /** LSH-bucketed approximate top-k: exact cosine ranking over the banded
+    * candidate set. Recall < 1 by construction for non-identical
+    * neighbors (measured against bruteForceTopK in SimilaritySpec /
+    * BENCH.md); identical vectors are found with probability 1.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+              bands: Int = 8, rowsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cands = lshCandidates(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
+    val pairs = cands
+      .join(base.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(base.select(col("id").as("nid"), col("v").as("cv")), "nid")
       .select(col("qid"), col("nid"),
         round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
@@ -105,17 +155,20 @@ object Similarity {
       .select("qid", "nid", "sim", "rk")
   }
 
-  /** Embedding-cosine near-duplicate detection: pairs above threshold.
-    * Candidates come from LSH buckets (scale path), exact cosine check.
+  /** Embedding-cosine near-duplicate detection: undirected pairs (a < b)
+    * above threshold. Candidates from banded LSH, exact cosine check.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                        threshold: Double, nBits: Int = 6, seed: Long = 42L): DataFrame = {
-    val b = hyperplaneBuckets(df, idCol, vecCol, dim, nBits, seed).persist()
-    val a = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
-    val c = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
-    a.join(c, Seq("bucket")).where(col("a") < col("b"))
+                        threshold: Double, bands: Int = 8, rowsPerBand: Int = 6,
+                        seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cands = lshCandidates(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
+      .where(col("qid") < col("nid"))
+      .select(col("qid").as("a"), col("nid").as("b"))
+    cands
+      .join(base.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(base.select(col("id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"), round(cosineCol(col("va"), col("vb")), 6).as("sim"))
       .where(col("sim") >= threshold)
-      .distinct()
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Banded hyperplane LSH: planted-duplicate guarantees, recall vs the
+  * exact brute-force baseline, and the candidate-set size bound that
+  * makes it the scale path.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dim = 32
+
+  /** 300 seeded random vectors + 12 planted exact duplicates (id+10000)
+    * + 12 planted ε-perturbed near-duplicates (id+20000)
+    */
+  private lazy val vectors: Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(7L)
+    val base = (0L until 300L).map { id =>
+      id -> Seq.fill(dim)(rng.nextGaussian().toFloat)
+    }
+    val exact = base.filter(_._1 % 25 == 0).map { case (id, v) => (id + 10000L) -> v }
+    val near = base.filter(_._1 % 25 == 1).map { case (id, v) =>
+      (id + 20000L) -> v.updated(0, v.head + 0.02f)
+    }
+    base ++ exact ++ near
+  }
+
+  private lazy val df = vectors.toDF("vec_id", "embedding")
+
+  test("planted exact duplicates are found with probability 1 (shared buckets in every band)") {
+    val dups = Similarity.embeddingNearDups(df, "vec_id", "embedding", dim,
+      threshold = 0.99, bands = 8, rowsPerBand = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = vectors.collect { case (id, _) if id >= 10000L && id < 20000L =>
+      (id - 10000L, id)
+    }.toSet
+    assert(expected.subsetOf(dups), s"missing planted pairs: ${expected -- dups}")
+    // ε-perturbed copies have cosine ≈ 0.9996 < 0.99? no — above; they may
+    // or may not collide, but anything returned must truly be >= 0.99
+    // (exact cosine verified on every candidate)
+  }
+
+  test("LSH top-1 of a planted query is its source vector") {
+    val top1 = Similarity.lshTopK(df, "vec_id", "embedding", dim, k = 1,
+      bands = 8, rowsPerBand = 6)
+      .where(col("qid") >= 10000L && col("qid") < 20000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vectors.collect { case (id, _) if id >= 10000L && id < 20000L => id }.foreach { q =>
+      assert(top1(q) == q - 10000L, s"query $q top-1 ${top1.get(q)}")
+    }
+  }
+
+  test("recall@5 vs brute force on natural neighbors; candidate set far below all-pairs") {
+    val natural = df.where(col("vec_id") < 10000L)
+    val brute = Similarity.bruteForceTopK(natural, natural, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(natural, "vec_id", "embedding", dim, 5,
+      bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 $recall") // random gaussians have no
+    // strong neighbors — the floor just pins that banding recovers a
+    // nontrivial fraction; planted tests above pin the semantics
+
+    // candidate-volume bound at bucket granularity sized for N (2^6 = 64
+    // buckets/band for 300 vectors; at corpus scale rowsPerBand grows as
+    // log2(N / targetBucketSize) so this ratio holds)
+    val nCand = Similarity.lshCandidates(natural, "vec_id", "embedding", dim,
+      bands = 8, rowsPerBand = 6).count()
+    val allPairs = 300L * 299L
+    assert(nCand < allPairs / 4, s"candidates $nCand vs all-pairs $allPairs")
+  }
+}

@@ -259,6 +259,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_tfidf_topk" -> ((s, dir) => {
+      // the second -baseline mode: lemur tfidf, idf = log((N+1)/(df+0.5)),
+      // BM25 tf shape (reference: src/TermScoreFunctionFactory.cpp:79-101)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:tfidf")
+      eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_bm25_daat" -> ((s, dir) => {
       // same query through the block-max WAND kernel over compressed
       // segments — must agree with the SQL oracle (and thus with
@@ -624,9 +634,13 @@ object SparkEntry {
     }),
 
     "q_meta_lookup" -> ((s, dir) => {
-      // documentIDsFromMetadata / documentMetadata analogue
-      documents(s, dir).where(col("source").isin("src7", "src13"))
-        .select(col("doc_id"), col("lang"), col("source"))
+      // documentIDsFromMetadata → documentMetadata through the Engine
+      // facade (reference: include/indri/QueryEnvironment.hpp:221-257)
+      val eng = engine(s, dir)
+      eng.setMetadata(documents(s, dir), idCol = "doc_id")
+      val ids = eng.documentIDsFromMetadata("source", Seq("src7", "src13"))
+      eng.documentMetadata(ids, Seq("lang", "source"))
+        .select(col("docId").as("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
 
@@ -687,6 +701,27 @@ object SparkEntry {
 
     "q_bm25_topk" -> bm25Sql(BmTerms, 20),
     "q_bm25_daat" -> bm25Sql(BmTerms, 20),
+
+    // tfidf: score = (tw·idf·k1)·tf / (tf + k1(1−b) + k1·b/avgdl·dl),
+    // tw = idf·1000/1001 for qtf=1 (reference: TFIDFTermScoreFunction.hpp:144-148)
+    "q_tfidf_topk" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( ((ln((st.n + 1) / (ts.df + 0.5)) * 1000.0 / 1001.0)
+         |          * ln((st.n + 1) / (ts.df + 0.5)) * 1.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_lm_twostage" ->
       s"""$DTok, st AS (

@@ -235,6 +235,13 @@ object Daat {
         if (p < 0) done = true // no doc can beat θ
         else {
           val pivotDoc = cursors(order(p)).doc
+          // extend the pivot across ties: a cursor beyond p sitting ON
+          // pivotDoc also contributes to its score, and the block-max
+          // rejection below only bounds cursors ≤ p — without the
+          // extension a tied contributor makes the skip unsound (docs
+          // silently dropped; caught by the tfidf rank-identity gate)
+          while (p + 1 < nTerms && !cursors(order(p + 1)).exhausted &&
+                 cursors(order(p + 1)).doc == pivotDoc) p += 1
           if (pivotDoc == Long.MaxValue) done = true
           else if (cursors(order(0)).doc == pivotDoc) {
             // all cursors ≤ pivot sit on pivotDoc candidates — refine with

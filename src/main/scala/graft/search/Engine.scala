@@ -814,6 +814,52 @@ final class Engine(
       .select(col("docId"), col("ex.begins").as("begin"), col("ex.ends").as("end"))
       .orderBy("docId", "begin")
 
+  // ------------------------------------------------------------------
+  // document / metadata retrieval verbs (CompressedCollection facade)
+  // ------------------------------------------------------------------
+
+  /** The corpus/metadata table backing the document-retrieval verbs —
+    * the CompressedCollection analogue (the source table IS the store;
+    * reference: src/CompressedCollection.cpp:194-227, retrieval verbs
+    * include/indri/QueryEnvironment.hpp:221-257). Columns beyond the id
+    * are the metadata attributes.
+    */
+  private var metadataTable: Option[DataFrame] = None
+
+  def setMetadata(table: DataFrame, idCol: String = "docId"): Unit =
+    metadataTable = Some(
+      if (idCol == "docId") table
+      else table.withColumn("docId", col(idCol).cast(LongType)).drop(idCol))
+
+  private def metadata: DataFrame = metadataTable.getOrElse(throw new IllegalStateException(
+    "no metadata table attached — call setMetadata(corpusTable, idCol)"))
+
+  /** full stored documents for a result set
+    * (reference: QueryEnvironment::documents, hpp:221-231)
+    */
+  def documents(docIds: DataFrame): DataFrame = {
+    val ids = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
+    notDeleted(metadata).join(ids, Seq("docId"), "left_semi")
+  }
+
+  /** one metadata attribute column per requested name
+    * (reference: QueryEnvironment::documentMetadata, hpp:233-238)
+    */
+  def documentMetadata(docIds: DataFrame, attributes: Seq[String]): DataFrame =
+    documents(docIds).select((col("docId") +: attributes.map(col)): _*)
+
+  /** docIds whose attribute matches any of the values
+    * (reference: QueryEnvironment::documentIDsFromMetadata, hpp:249-257)
+    */
+  def documentIDsFromMetadata(attribute: String, values: Seq[String]): DataFrame =
+    notDeleted(metadata).where(col(attribute).isin(values: _*)).select("docId")
+
+  /** full documents whose attribute matches any of the values
+    * (reference: QueryEnvironment::documentsFromMetadata, hpp:240-247)
+    */
+  def documentsFromMetadata(attribute: String, values: Seq[String]): DataFrame =
+    notDeleted(metadata).where(col(attribute).isin(values: _*))
+
   /** Document vectors — the direct (forward) index view rebuilt from the
     * positional postings (reference: TermList include/indri/TermList.hpp:32-66,
     * dumpindex `dv`). One row per (docId, position, term); unindexed

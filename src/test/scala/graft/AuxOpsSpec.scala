@@ -55,6 +55,35 @@ class AuxOpsSpec extends AnyFunSuite {
     assert(one.head.getString(1) == "x <b>alpha</b> y <b>alpha</b> z")
   }
 
+  test("document metadata verbs: documents / documentMetadata / documentIDsFromMetadata") {
+    import graft.index.{IndexBuilder, IndexConfig}
+    import graft.search.{Engine, ScoringRule}
+    val corpus = Seq(
+      (1L, "alpha beta", "en", "srcA"),
+      (2L, "beta gamma", "de", "srcB"),
+      (3L, "gamma alpha", "en", "srcA"),
+      (4L, "delta", "fr", "srcC")
+    ).toDF("docId", "content", "lang", "source")
+    val cfg = IndexConfig(analyzerMode = "simple", blockSize = 8, numBuckets = 2)
+    val idx = IndexBuilder.build(corpus.select("docId", "content"), cfg)
+    val eng = new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+    eng.setMetadata(corpus)
+
+    val ids = eng.documentIDsFromMetadata("source", Seq("srcA"))
+    assert(ids.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val meta = eng.documentMetadata(ids, Seq("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(meta == Map(1L -> "en", 3L -> "en"))
+    val full = eng.documents(Seq(2L).toDF("docId")).collect()
+    assert(full.length == 1 && full.head.getAs[String]("content") == "beta gamma")
+    assert(eng.documentsFromMetadata("lang", Seq("en")).count() == 2)
+
+    // deletion is honored by the retrieval verbs too
+    eng.deleteDocuments(Seq(3L).toDF("docId"))
+    assert(eng.documentIDsFromMetadata("source", Seq("srcA"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("PageRank matches scalar power iteration (c=0.7, 10 iters)") {
     val nodes = (0L to 4L).toDF("id")
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))

@@ -52,6 +52,10 @@ class RankIdentitySpec extends AnyFunSuite {
     check(ScoringRule(method = "okapi"), positionalQueries)
   }
 
+  test("lemur tfidf baseline rank identity (the second -baseline mode, idf=log((N+1)/(df+0.5)))") {
+    check(ScoringRule(method = "tfidf"), bagQueries)
+  }
+
   test("dirichlet LM rank identity (non-baseline #combine = mean of logs)") {
     check(ScoringRule(method = "dirichlet"), bagQueries.filter { case (id, _) => id != 25 })
     // q25 is all-OOV: LM background-only scoring over an empty candidate

@@ -57,6 +57,22 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf rule: WAND == exhaustive == DataFrame (pivot tie-extension regression)") {
+    // regression for the unsound block-max skip when a cursor BEYOND the
+    // pivot index was tied on the pivot doc: the rejection bounded only
+    // cursors ≤ p while the tied cursor still contributed score, so docs
+    // were silently dropped. tfidf's tighter bounds tripped it; okapi's
+    // never did on this corpus.
+    val engine = new Engine(spark, index, Analyzer(), ScoringRule(method = "tfidf"))
+    for (q <- queries; k <- Seq(10, 50)) {
+      val wand = run(engine, q, k, "wand")
+      val exh = run(engine, q, k, "exhaustive")
+      val dfp = run(engine, q, k, "dataframe")
+      assert(wand == exh, s"WAND != exhaustive for '$q' k=$k (tfidf)")
+      assert(wand == dfp, s"WAND != DataFrame for '$q' k=$k (tfidf)")
+    }
+  }
+
   test("WAND pruning actually skips block decodes on selective queries") {
     // direct kernel exercise: rare term + mid-frequency term, k=1 — once
     // the rare doc sets θ above the mid term's UB, its remaining blocks

@@ -182,12 +182,13 @@ object Bench {
       val stored = SegmentStore.open(spark, outDir)
       // lexicon is tiny — a handful of cache partitions keeps the
       // per-query stats-round job from scheduling one task per shuffle
-      // partition; segments cache pre-bucketed so the DAAT repartition
-      // is the only exchange
+      // partition; segments come back as a bucketed table scan (one task
+      // per bucket), so the cached DAAT path runs with NO exchange
       val idxQ = graft.index.InvertedIndex(null,
         stored.dictionary.coalesce(4).cache(),
         stored.doclens, stored.stats, stored.segments.cache(),
-        numBuckets = cfg.numBuckets)
+        numBuckets = stored.numBuckets,
+        segmentsBucketed = true)
       idxQ.dictionary.count(); idxQ.segments.count() // warm cache
       val eng = new Engine(spark, idxQ, cfg.analyzer, ScoringRule(method = "okapi"))
       // concurrent query streams, like IndriRunQuery's QueryThreads

@@ -77,7 +77,10 @@ object SparkEntry {
         postings = idx.postings.persist(),
         dictionary = idx.dictionary.persist(),
         doclens = idx.doclens.persist(),
-        segments = idx.segments.persist())
+        // persist segments already co-located by bucket: every DAAT query
+        // then scans the cache with NO exchange (one-time shuffle here)
+        segments = idx.segments.repartition(cfg.numBuckets, col("bucket")).persist(),
+        segmentsBucketed = true)
     })
 
   private def engine(s: SparkSession, dir: String): Engine =

@@ -98,7 +98,10 @@ final case class InvertedIndex(
     stats: CorpusStats,
     segments: DataFrame,   // SegmentBlock schema
     fieldExtents: DataFrame = null, // (docId, field, begin, end, number) | null when no fields indexed
-    numBuckets: Int = 0    // docId-range buckets in segments (0 = unknown)
+    numBuckets: Int = 0,   // docId-range buckets in segments (0 = unknown)
+    segmentsBucketed: Boolean = false // segments already hash-co-located by
+    // `bucket` (bucketed table scan or a persisted repartition) — the DAAT
+    // kernel then runs with NO per-query exchange
 )
 
 final case class CorpusStats(totalDocs: Long, totalTerms: Long, uniqueTerms: Long) {

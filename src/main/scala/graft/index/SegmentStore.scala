@@ -26,6 +26,34 @@ object SegmentStore {
   private def marker(dir: String, table: String): Path =
     Paths.get(dir, table, "_GRAFT_SUCCESS")
 
+  /** stable catalog name for the bucketed segments table of a store dir */
+  private def segmentsTableName(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"graft_segments_$h"
+  }
+
+  /** catalog DDL for the segments table: CLUSTERED BY (bucket) makes the
+    * scan one task per bucket with files never split — every DAAT task
+    * holds complete (term × bucket) posting groups and the per-query
+    * exchange disappears (the Iceberg/warehouse analogue of the
+    * reference's per-server index layout,
+    * src/QueryEnvironment.cpp:242-316).
+    */
+  private def registerSegmentsTable(spark: SparkSession, dir: String,
+                                    numBuckets: Int): String = {
+    val name = segmentsTableName(dir)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name (
+         |  term STRING, bucket INT, firstDoc BIGINT, lastDoc BIGINT,
+         |  numDocs INT, maxTf INT, minDl INT,
+         |  docsDelta BINARY, tfs BINARY, dls BINARY, positionsDelta BINARY
+         |) USING PARQUET
+         |CLUSTERED BY (bucket) SORTED BY (term) INTO $numBuckets BUCKETS
+         |LOCATION '$dir/segments'""".stripMargin)
+    name
+  }
+
   def isComplete(dir: String, table: String, fingerprint: String): Boolean = {
     val m = marker(dir, table)
     Files.exists(m) && Files.readString(m).trim == fingerprint
@@ -56,7 +84,25 @@ object SegmentStore {
       }
     }
 
-    writeTable("segments")(index.segments)
+    // segments: a BUCKETED datasource table (one file set per bucket,
+    // scan = one task per bucket, no per-query exchange in the DAAT
+    // path). Repartition by bucket first so each write task emits its
+    // own bucket's file instead of one file per bucket per task.
+    if (!isComplete(dir, "segments", fp)) {
+      val spark2 = index.segments.sparkSession
+      val name = segmentsTableName(dir)
+      spark2.sql(s"DROP TABLE IF EXISTS $name")
+      val buckets = math.max(1, cfg.numBuckets)
+      index.segments
+        .repartition(buckets, col("bucket"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "bucket").sortBy("term")
+        .option("path", s"$dir/segments")
+        .saveAsTable(name)
+      Files.writeString(Paths.get(dir, "segments", "_BUCKETS"), buckets.toString)
+      commit(dir, "segments", fp)
+      lock.synchronized { written += "segments" }
+    }
     // the small tables are independent jobs — run them concurrently so
     // their driver-side commit latencies overlap instead of summing
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
@@ -92,14 +138,19 @@ object SegmentStore {
 
   def open(spark: SparkSession, dir: String): StoredIndex = {
     val stats = spark.read.parquet(s"$dir/stats").head()
+    val numBuckets = Files.readString(Paths.get(dir, "segments", "_BUCKETS")).trim.toInt
+    // (re)register the bucketed table — catalog metadata is per-session,
+    // the files + bucket spec on disk are the durable state
+    val name = registerSegmentsTable(spark, dir, numBuckets)
     StoredIndex(
-      segments = spark.read.parquet(s"$dir/segments"),
+      segments = spark.table(name),
       dictionary = spark.read.parquet(s"$dir/dictionary"),
       doclens = spark.read.parquet(s"$dir/doclens"),
       stats = CorpusStats(
         stats.getAs[Long]("totalDocs"),
         stats.getAs[Long]("totalTerms"),
-        stats.getAs[Long]("uniqueTerms"))
+        stats.getAs[Long]("uniqueTerms")),
+      numBuckets = numBuckets
     )
   }
 }
@@ -108,5 +159,6 @@ final case class StoredIndex(
     segments: DataFrame,
     dictionary: DataFrame,
     doclens: DataFrame,
-    stats: CorpusStats
+    stats: CorpusStats,
+    numBuckets: Int = 0
 )

@@ -80,10 +80,15 @@ object Daat {
         "minDl", "docsDelta", "tfs", "dls")
     // one task per docId-range bucket — NOT spark.sql.shuffle.partitions:
     // a query touches only |terms| posting lists, and padding it to the
-    // session-wide partition count schedules mostly-empty tasks
-    val segs = if (index.numBuckets > 0)
-      segs0.repartition(index.numBuckets, col("bucket"))
-    else segs0.repartition(col("bucket"))
+    // session-wide partition count schedules mostly-empty tasks.
+    // Pre-bucketed segments (bucketed table scan / persisted repartition)
+    // skip the exchange entirely: the filter is narrow, so every task
+    // already holds complete (term × bucket) groups — a hot term's
+    // posting payload never crosses the wire per query.
+    val segs =
+      if (index.segmentsBucketed) segs0
+      else if (index.numBuckets > 0) segs0.repartition(index.numBuckets, col("bucket"))
+      else segs0.repartition(col("bucket"))
 
     val locals = segs.mapPartitions { rows =>
       val plan = bcPlan.value

@@ -30,6 +30,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"term filter not pushed to parquet scan:\n$plan")
   }
 
+  test("stored bucketed segments: DAAT query plan has NO per-query exchange, results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit-bucketed").toString
+    val docs = graft.corpus.CorpusSynthesizer.corpus(spark, 300)
+    val idx = IndexBuilder.buildFromCorpus(docs, cfg)
+    SegmentStore.writeAll(idx, dir, cfg)
+    val stored = SegmentStore.open(spark, dir)
+    val qIdx = InvertedIndex(null, stored.dictionary, stored.doclens,
+      stored.stats, stored.segments, numBuckets = stored.numBuckets,
+      segmentsBucketed = true)
+    val eng = new Engine(spark, qIdx, cfg.analyzer, ScoringRule(method = "okapi"))
+    val df = eng.runDaat(Seq("return" -> 1.0, "license" -> 1.0), 10, exhaustive = false)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed DAAT plan still shuffles per query:\n$plan")
+    // bit-identical to the in-memory (repartition-per-query) path
+    val engMem = new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+    val want = engMem.runDaat(Seq("return" -> 1.0, "license" -> 1.0), 10, exhaustive = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
   test("posting build shuffles by (term, bucket) — the sort-merge exchange") {
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("docId", "content")
     val tokenized = IndexBuilder.tokenize(docs, cfg)

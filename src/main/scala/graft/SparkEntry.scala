@@ -471,6 +471,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_annotated" -> ((s, dir) => {
+      // runAnnotatedQuery: per-node match extents for the result docs
+      // (reference: src/QueryEnvironment.cpp:992-1002, src/Annotator.cpp).
+      // k covers every candidate so the annotation set is closed-form in
+      // SQL (term positions + od1 matches over the candidate union).
+      val eng = engine(s, dir)
+      val qa = eng.runAnnotatedQuery(s"#combine(data #od1(${OdPair._1} ${OdPair._2}))", 1000000)
+      qa.annotations
+        .select(col("node"), col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"))
+        .orderBy("node", "doc_id", "begin")
+    }),
+
     "q_xcount" -> ((s, dir) => {
       // dumpindex xcount/dxcount analogue for an expression
       val eng = engine(s, dir)
@@ -1024,6 +1037,30 @@ object SparkEntry {
          |  GROUP BY a.doc_id
          |)
          |SELECT coalesce(sum(tf), 0)::BIGINT AS xcount, count(*)::BIGINT AS dxcount FROM m""".stripMargin,
+
+    "q_annotated" ->
+      s"""$DTok, odm AS (
+         |  SELECT a.doc_id, a.pos - 1 AS b, b.pos AS e
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = '${OdPair._1}' AND b.term = '${OdPair._2}'
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term = 'data'
+         |  UNION
+         |  SELECT DISTINCT doc_id FROM odm
+         |), ann AS (
+         |  SELECT doc_id, '0:combine/0:term(data)' AS node, pos - 1 AS "begin", pos AS "end"
+         |  FROM tok WHERE term = 'data' AND doc_id IN (SELECT doc_id FROM cand)
+         |  UNION ALL
+         |  SELECT doc_id, '0:combine/1:od1' AS node, b AS "begin", e AS "end" FROM odm
+         |  UNION ALL
+         |  SELECT doc_id, '0:combine/1:od1/0:term(${OdPair._1})' AS node, pos - 1, pos
+         |  FROM tok WHERE term = '${OdPair._1}' AND doc_id IN (SELECT doc_id FROM cand)
+         |  UNION ALL
+         |  SELECT doc_id, '0:combine/1:od1/1:term(${OdPair._2})' AS node, pos - 1, pos
+         |  FROM tok WHERE term = '${OdPair._2}' AND doc_id IN (SELECT doc_id FROM cand)
+         |)
+         |SELECT node, doc_id, "begin"::BIGINT AS "begin", "end"::BIGINT AS "end"
+         |FROM ann ORDER BY node, doc_id, "begin"""".stripMargin,
 
     "q_incremental_build" ->
       s"""$DTok, p AS (

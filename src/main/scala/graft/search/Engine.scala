@@ -23,6 +23,12 @@ final case class RawResult(df: DataFrame)
   */
 final case class Belief(df: DataFrame, bg: Int => Double)
 
+/** An annotated retrieval: ranked results plus per-node match extents
+  * for the returned documents (reference:
+  * include/indri/QueryAnnotation.hpp:30-43).
+  */
+final case class QueryAnnotation(results: DataFrame, annotations: DataFrame)
+
 /** Global term statistics gathered in the stats round
   * (reference two-round design: src/QueryEnvironment.cpp:957-984 — stats
   * are summed across servers BEFORE scoring; here: one broadcast-sized
@@ -739,6 +745,98 @@ final class Engine(
         col("scored._2").as("end"), col("scored._3").as("score"))
       .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
       .limit(k)
+  }
+
+  /** human-readable node kind for annotation path labels */
+  private def describe(n: QueryNode): String = n match {
+    case TermNode(t) => s"term($t)"
+    case WildcardNode(p) => s"wildcard($p*)"
+    case OdNode(w, _) => s"od$w"
+    case UwNode(w, _) => s"uw$w"
+    case BandNode(_) => "band"
+    case SynNode(_) => "syn"
+    case WsynNode(_) => "wsyn"
+    case AnyFieldNode(f) => s"any:$f"
+    case FieldRestrictNode(_, f) => s"inside:$f"
+    case FieldNumNode(op, f, _, _) => s"$op:$f"
+    case FieldPathNode(op, a, b) => s"$op($a,$b)"
+    case CombineNode(_) => "combine"
+    case WeightNode(_) => "weight"
+    case WsumNode(_) => "wsum"
+    case SumNode(_) => "sum"
+    case OrQNode(_) => "or"
+    case MaxQNode(_) => "max"
+    case NotQNode(_) => "not"
+    case FilReqNode(_, _) => "filreq"
+    case FilRejNode(_, _) => "filrej"
+    case PriorQNode(p) => s"prior($p)"
+    case LengthPriorQNode(_, _) => "lengthprior"
+    case ExtentRestrictNode(f, _, _) => s"extent:$f"
+  }
+
+  private def childrenOf(n: QueryNode): Seq[QueryNode] = n match {
+    case OdNode(_, cs) => cs
+    case UwNode(_, cs) => cs
+    case BandNode(cs) => cs
+    case SynNode(cs) => cs
+    case WsynNode(cs) => cs.map(_._2)
+    case FieldRestrictNode(c, _) => Seq(c)
+    case CombineNode(cs) => cs
+    case WeightNode(cs) => cs.map(_._2)
+    case WsumNode(cs) => cs.map(_._2)
+    case SumNode(cs) => cs
+    case OrQNode(cs) => cs
+    case MaxQNode(cs) => cs
+    case NotQNode(c) => Seq(c)
+    case FilReqNode(f, s) => Seq(f, s)
+    case FilRejNode(f, s) => Seq(f, s)
+    case LengthPriorQNode(_, c) => Seq(c)
+    case ExtentRestrictNode(_, _, c) => Seq(c)
+    case _ => Nil
+  }
+
+  /** every match (raw) node of the tree with its path label — belief
+    * nodes contribute structure to the path but no extents themselves
+    */
+  private def annotatableNodes(n: QueryNode, path: String): Seq[(String, QueryNode)] = {
+    val self = if (isRawNode(n)) Seq(path -> n) else Nil
+    self ++ childrenOf(n).zipWithIndex.flatMap { case (c, i) =>
+      annotatableNodes(c, s"$path/$i:${describe(c)}")
+    }
+  }
+
+  /** Annotated retrieval (reference: QueryEnvironment::runAnnotatedQuery,
+    * src/QueryEnvironment.cpp:992-1002; the Annotator records every
+    * node's matching extents for the returned documents,
+    * src/Annotator.cpp).
+    *
+    * `annotations` = (docId, node, begin, end) for EVERY match (raw)
+    * node of the query tree — including term leaves nested inside window
+    * operators — restricted to the returned documents. `node` is the
+    * tree path "0:kind/childIdx:kind/..." so duplicated operators stay
+    * distinguishable, the nodeName-keyed map analogue.
+    */
+  def runAnnotatedQuery(query: String, k: Int): QueryAnnotation = {
+    val ast = QueryParser.parse(query)
+    val results = runQuery(query, k)
+    // small (≤k ids) snapshot reused by one semi-join per node — eager
+    // localCheckpoint so the ranking query runs once, not once per node
+    val topDocs = results.select("docId").localCheckpoint(true)
+    val parts = annotatableNodes(ast, s"0:${describe(ast)}").map { case (label, n) =>
+      evaluateRaw(n).df
+        .join(topDocs, Seq("docId"), "left_semi")
+        .select(col("docId"), lit(label).as("node"),
+          explode(arrays_zip(col("begins"), col("ends"))).as("ex"))
+        .select(col("docId"), col("node"),
+          col("ex.begins").as("begin"), col("ex.ends").as("end"))
+    }
+    val annotations =
+      if (parts.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("docId", LongType), StructField("node", StringType),
+          StructField("begin", IntegerType), StructField("end", IntegerType))))
+      else parts.reduce(_ union _)
+    QueryAnnotation(results, annotations)
   }
 
   /** runQuery restricted to a working set of docIds — the FilterNode

@@ -84,6 +84,40 @@ class AuxOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("runAnnotatedQuery: per-node extents for result docs match evaluateRaw") {
+    import graft.index.{IndexBuilder, IndexConfig}
+    import graft.search.{Engine, QueryParser, ScoringRule}
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta gamma beta"),
+      (3L, "gamma alpha"),
+      (4L, "delta")
+    ).toDF("docId", "content")
+    val cfg = IndexConfig(analyzerMode = "simple", blockSize = 8, numBuckets = 2)
+    val idx = IndexBuilder.build(docs, cfg)
+    val eng = new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+    val qa = eng.runAnnotatedQuery("#combine(alpha #od1(beta gamma))", 10)
+    val resultDocs = qa.results.collect().map(_.getLong(0)).toSet
+    val ann = qa.annotations.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    // annotations cover only result docs
+    assert(ann.forall { case (_, d, _, _) => resultDocs.contains(d) })
+    // alpha: doc1 @0,3; doc3 @1
+    assert(ann.filter(_._1 == "0:combine/0:term(alpha)") ==
+      Set(("0:combine/0:term(alpha)", 1L, 0, 1), ("0:combine/0:term(alpha)", 1L, 3, 4),
+          ("0:combine/0:term(alpha)", 3L, 1, 2)))
+    // od1(beta gamma): doc1 @[1,3); doc2 @[0,2)
+    assert(ann.filter(_._1 == "0:combine/1:od1") ==
+      Set(("0:combine/1:od1", 1L, 1, 3), ("0:combine/1:od1", 2L, 0, 2)))
+    // nested term leaves annotated too
+    assert(ann.exists(_._1 == "0:combine/1:od1/0:term(beta)"))
+    assert(ann.exists(_._1 == "0:combine/1:od1/1:term(gamma)"))
+    // results equal plain runQuery
+    val plain = eng.runQuery("#combine(alpha #od1(beta gamma))", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(qa.results.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == plain)
+  }
+
   test("PageRank matches scalar power iteration (c=0.7, 10 iters)") {
     val nodes = (0L to 4L).toDF("id")
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))

@@ -80,7 +80,11 @@ object SparkEntry {
         // persist segments already co-located by bucket: every DAAT query
         // then scans the cache with NO exchange (one-time shuffle here)
         segments = idx.segments.repartition(cfg.numBuckets, col("bucket")).persist(),
-        segmentsBucketed = true)
+        segmentsBucketed = true,
+        // hot-term topdocs lists seed the WAND threshold (df>50 at this
+        // corpus scale; the reference default is 1000)
+        topdocs = IndexBuilder.buildTopdocs(idx.postings,
+          cfg.copy(topdocsMinDf = 50L, topdocsFraction = 0.01)).persist())
     })
 
   private def engine(s: SparkSession, dir: String): Engine =

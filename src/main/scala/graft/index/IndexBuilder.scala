@@ -99,9 +99,12 @@ final case class InvertedIndex(
     segments: DataFrame,   // SegmentBlock schema
     fieldExtents: DataFrame = null, // (docId, field, begin, end, number) | null when no fields indexed
     numBuckets: Int = 0,   // docId-range buckets in segments (0 = unknown)
-    segmentsBucketed: Boolean = false // segments already hash-co-located by
+    segmentsBucketed: Boolean = false, // segments already hash-co-located by
     // `bucket` (bucketed table scan or a persisted repartition) — the DAAT
     // kernel then runs with NO per-query exchange
+    topdocs: DataFrame = null // optional (term, docId, tf, length) hot-term
+    // lists (buildTopdocs) — when present, WAND seeds its threshold from
+    // them (reference: src/WeightedAndNode.cpp:119-186 candidate seeding)
 )
 
 final case class CorpusStats(totalDocs: Long, totalTerms: Long, uniqueTerms: Long) {

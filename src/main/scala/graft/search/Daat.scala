@@ -68,7 +68,8 @@ object Daat {
     *                   pruned == exhaustive, FIXTURES.md §5)
     */
   def topK(index: InvertedIndex, p: DaatPlan, k: Int,
-           exhaustive: Boolean = false): DataFrame = {
+           exhaustive: Boolean = false,
+           seedTheta: Double = Double.NegativeInfinity): DataFrame = {
     val spark = index.segments.sparkSession
     import spark.implicits._
     val terms = p.terms.map(_.term).toSeq
@@ -105,7 +106,7 @@ object Daat {
       val cursors = plan.terms.indices.map { i =>
         new Cursor(blocksByTerm(i).sortBy(_.firstDoc).toArray, plan.terms(i))
       }.toArray
-      wand(cursors, plan, k, exhaustive).iterator
+      wand(cursors, plan, k, exhaustive, seedTheta).iterator
     }.toDF("docId", "score")
 
     // global merge of per-bucket top-k candidates
@@ -138,7 +139,16 @@ object Daat {
       }
     }
     def exhausted: Boolean = bi >= blocks.length
-    def doc: Long = { ensureDecoded(); if (exhausted) Long.MaxValue else docs(pos) }
+    /** current docId WITHOUT decoding at block boundaries: an undecoded
+      * block's cursor sits at pos 0, whose docId is the skip-record
+      * firstDoc (reference: src/DiskDocListIterator.cpp skip batches
+      * carry the first document) — so bound-rejected blocks are hopped
+      * without ever decoding their payload
+      */
+    def doc: Long =
+      if (exhausted) Long.MaxValue
+      else if (docs == null) blocks(bi).firstDoc
+      else docs(pos)
     def tf: Int = { ensureDecoded(); tfs(pos) }
     def dl: Int = { ensureDecoded(); dls(pos) }
     /** max contribution of the CURRENT block (block-max bound) */
@@ -164,15 +174,27 @@ object Daat {
         bi += 1; pos = 0; docs = null; tfs = null; dls = null
       }
       if (exhausted) return
+      // block starts at/after the target: the cursor already sits on
+      // firstDoc — no decode until tf/dl are actually read
+      if (docs == null && blocks(bi).firstDoc >= target) return
       ensureDecoded()
       while (pos < docs.length && docs(pos) < target) pos += 1
       if (pos >= docs.length) { bi += 1; pos = 0; docs = null; tfs = null; dls = null; advanceTo(target) }
     }
   }
 
-  /** The WAND loop with block-max refinement over one partition. */
+  /** The WAND loop with block-max refinement over one partition.
+    *
+    * @param seedTheta initial pruning threshold from topdocs candidate
+    *   seeding (reference: src/WeightedAndNode.cpp:119-186). MUST be a
+    *   lower bound of the true global k-th best score: the caller derives
+    *   it from k distinct docs' score lower bounds, so any doc pruned by
+    *   it is provably outside the top-k. Valid in every bucket task —
+    *   it is a global bound.
+    */
   def wand(cursors: Array[Cursor], plan: DaatPlan, k: Int,
-           exhaustive: Boolean): Seq[(Long, Double)] = {
+           exhaustive: Boolean,
+           seedTheta: Double = Double.NegativeInfinity): Seq[(Long, Double)] = {
     val nTerms = cursors.length
     val heap = new TopKHeap(k)
     val order = (0 until nTerms).toArray // cursor indices sorted by current doc
@@ -222,7 +244,7 @@ object Daat {
         var i = 0
         while (i < nTerms) { if (cursors(i).doc == d) cursors(i).next(); i += 1 }
       } else {
-        val theta = heap.threshold
+        val theta = math.max(heap.threshold, seedTheta)
         // find pivot: first prefix whose Σ UB exceeds θ
         var acc = 0.0
         var p = -1

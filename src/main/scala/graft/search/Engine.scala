@@ -648,7 +648,43 @@ final class Engine(
         ts.df.toDouble, stats.totalDocs, qtf = qtfs(t))
       (t, w, fn)
     }
-    Daat.topK(index, Daat.plan(engineTerms), k, exhaustive)
+    val p = Daat.plan(engineTerms)
+    val seed = if (exhaustive || index.topdocs == null) Double.NegativeInfinity
+               else topdocsSeed(p, k)
+    Daat.topK(index, p, k, exhaustive, seed)
+  }
+
+  /** WAND threshold seeding from the topdocs lists (reference:
+    * src/WeightedAndNode.cpp:119-186 seeds max-score candidates from the
+    * topdocs unions). A doc's single-term contributions summed over its
+    * topdocs entries are a LOWER bound of its true score (weights and
+    * baseline scores are non-negative), so the k-th largest per-doc bound
+    * θ0 satisfies θ0 ≤ true k-th best — pruning against it stays exact
+    * (WandPropertySpec). Collect is bounded to k rows per query term.
+    */
+  private def topdocsSeed(p: Daat.DaatPlan, k: Int): Double = {
+    val terms = p.terms.map(_.term).toSeq
+    val w = Window.partitionBy("term")
+      .orderBy((col("tf").cast(DoubleType) / col("length")).desc, col("docId").asc)
+    val rows = index.topdocs
+      .where(col("term").isin(terms: _*))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("term", "docId", "tf", "length").collect()
+    if (rows.isEmpty) return Double.NegativeInfinity
+    val byTerm = p.terms.map(tp => tp.term -> tp).toMap
+    val perDoc = scala.collection.mutable.HashMap.empty[Long, Double]
+    rows.foreach { r =>
+      val tp = byTerm(r.getString(0))
+      val c = math.max(
+        tp.effWeight * tp.scoreFn.scoreOccurrence(r.getInt(2).toDouble, r.getInt(3)), 0.0)
+      perDoc.update(r.getLong(1), perDoc.getOrElse(r.getLong(1), 0.0) + c)
+    }
+    if (perDoc.size < k) Double.NegativeInfinity
+    else {
+      val vs = perDoc.values.toArray
+      java.util.Arrays.sort(vs)
+      vs(vs.length - k)
+    }
   }
 
   /** Extent-restricted retrieval `#combine[f](…)` / `#combine[passageW:I](…)`:

@@ -73,6 +73,66 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topdocs threshold seeding: results stay exact, block decodes drop") {
+    // engine level: index with topdocs attached must return identical
+    // results to the unseeded and exhaustive paths across the query set
+    val td = IndexBuilder.buildTopdocs(index.postings,
+      IndexConfig(topdocsMinDf = 20L, topdocsFraction = 0.05))
+    val seededIdx = index.copy(topdocs = td.cache())
+    val engSeeded = new Engine(spark, seededIdx, Analyzer(), ScoringRule(method = "okapi"))
+    val engPlain = new Engine(spark, index, Analyzer(), ScoringRule(method = "okapi"))
+    for (q <- queries; k <- Seq(10, 100)) {
+      val s = run(engSeeded, q, k, "wand")
+      val u = run(engPlain, q, k, "wand")
+      assert(s == u, s"seeded != unseeded for '$q' k=$k")
+    }
+
+    // kernel level: seeding with the exact k-th best score (the tightest
+    // valid θ0 — any topdocs-derived seed is ≤ it) must keep results
+    // identical while decoding fewer blocks
+    import org.apache.spark.sql.functions.col
+    import graft.search.Daat._
+    // a mid-frequency term: enough blocks that a warm θ can skip the
+    // low-maxTf ones before the heap would have filled on its own
+    val n = index.stats.totalDocs
+    val midTerm = index.dictionary
+      .where(col("df") > n / 10 && col("df") < n / 3)
+      .orderBy(col("df").desc).select("term").head().getString(0)
+    val terms = Seq(midTerm)
+    val tstats = engPlain.termStatsFor(terms)
+    val engineTerms = terms.map { t =>
+      val ts = tstats.getOrElse(t, TermStats(0, 0))
+      (t, 1.0, Scorers.forTerm(ScoringRule(method = "okapi"), ts.ctf.toDouble,
+        index.stats.totalTerms.toDouble, ts.df.toDouble, index.stats.totalDocs))
+    }
+    val p = Daat.plan(engineTerms)
+    val rows = index.segments.where(col("term").isin(terms: _*))
+      .select("term", "firstDoc", "lastDoc", "numDocs", "maxTf", "minDl",
+        "docsDelta", "tfs", "dls").collect()
+    def mkCursors() = {
+      val byTerm = rows.groupBy(_.getString(0))
+      p.terms.map { tp =>
+        val bs = byTerm.getOrElse(tp.term, Array.empty).map { r =>
+          Block(r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5),
+            r.getAs[Array[Byte]](6), r.getAs[Array[Byte]](7), r.getAs[Array[Byte]](8))
+        }.sortBy(_.firstDoc)
+        new Cursor(bs, tp)
+      }
+    }
+    val k = 5
+    val cCold = mkCursors()
+    val rCold = Daat.wand(cCold, p, k, exhaustive = false)
+    val theta0 = rCold.last._2 // exact k-th best = the tightest sound seed
+    val cSeeded = mkCursors()
+    val rSeeded = Daat.wand(cSeeded, p, k, exhaustive = false, seedTheta = theta0)
+    assert(rSeeded == rCold)
+    val dSeeded = cSeeded.map(_.decodedBlocks).sum
+    val dCold = cCold.map(_.decodedBlocks).sum
+    assert(dSeeded <= dCold)
+    assert(dSeeded < dCold,
+      s"seeding decoded $dSeeded blocks vs cold $dCold — no decode saving")
+  }
+
   test("WAND pruning actually skips block decodes on selective queries") {
     // direct kernel exercise: rare term + mid-frequency term, k=1 — once
     // the rare doc sets θ above the mid term's UB, its remaining blocks

@@ -631,6 +631,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_wav" -> ((s, dir) => {
+      // REAL audio decode: synthesize PCM-16 WAV payloads from a
+      // deterministic sample formula, parse them with the RIFF/WAVE
+      // decoder, emit features; the oracle recomputes the expected
+      // features arithmetically from the same formula — a wrong parse
+      // (endianness, chunk walk, sample decode) breaks the hash match
+      val synth = udf { (id: Long) =>
+        val samples = Array.tabulate[Short](64)(i =>
+          (((id * 131 + i * 9973) % 65536) - 32768).toShort)
+        graft.pipeline.Multimodal.synthWavBytes(samples, 8000)
+      }
+      val media = documents(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id").cast(LongType).as("id"), synth(col("doc_id")).as("media"))
+      graft.pipeline.Multimodal.decodeWav(media)
+        .select(col("id").as("doc_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("n_samples"), col("mean_abs"), col("peak"))
+        .orderBy("doc_id")
+    }),
+
     "q_snippets" -> ((s, dir) => {
       // SnippetBuilder analogue; no SQL oracle (string assembly) →
       // rows-only driver check; semantics pinned by AuxOpsSpec
@@ -1230,6 +1251,19 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_wav" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i -> abs(((doc_id * 131 + i * 9973) % 65536) - 32768)) AS a
+        |  FROM ids
+        |)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  64::BIGINT AS n_samples,
+        |  round(list_sum(a) / 64.0, 6) AS mean_abs,
+        |  list_max(a)::BIGINT AS peak
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> {
       val prs = (1 to 10).map { i =>

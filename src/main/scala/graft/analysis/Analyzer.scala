@@ -202,15 +202,153 @@ object PorterStemmer extends Stemmer {
   */
 object KrovetzStemmer extends Stemmer {
   val name = "krovetz"
-  private val exceptions: Map[String, String] = Map(
+
+  /** Direct conflation classes mirroring the reference's hard-coded
+    * dictionary sections (reference: src/KrovetzStemmer.cpp:1136-1162 —
+    * direct_conflations.txt, country_nationality.txt,
+    * exception_words.txt folded into static tables; consulted before the
+    * rule steps exactly like the reference's direct-mapping lookup,
+    * src/KrovetzStemmer.cpp:1099-1104). The word lists are standard
+    * English irregulars / nationality pairs (public linguistic data);
+    * the reference's full head-word dictionary (~30k entries) gates every
+    * rule step there — without it the rule steps below stay heuristic,
+    * so the table carries the classes where the heuristics misfire.
+    */
+  private val irregularPlurals: Map[String, String] = Map(
     "indices" -> "index", "matrices" -> "matrix", "vertices" -> "vertex",
+    "appendices" -> "appendix",
     "children" -> "child", "men" -> "man", "women" -> "woman",
     "feet" -> "foot", "teeth" -> "tooth", "geese" -> "goose",
-    "mice" -> "mouse", "dies" -> "die", "lies" -> "lie", "ties" -> "tie"
+    "mice" -> "mouse", "lice" -> "louse",
+    "alumni" -> "alumnus", "fungi" -> "fungus", "nuclei" -> "nucleus",
+    "radii" -> "radius", "stimuli" -> "stimulus", "syllabi" -> "syllabus",
+    "analyses" -> "analysis", "crises" -> "crisis",
+    "diagnoses" -> "diagnosis", "hypotheses" -> "hypothesis",
+    "oases" -> "oasis", "parentheses" -> "parenthesis", "syntheses" -> "synthesis",
+    "theses" -> "thesis",
+    "leaves" -> "leaf", "halves" -> "half",
+    "knives" -> "knife", "lives" -> "life", "loaves" -> "loaf",
+    "selves" -> "self", "shelves" -> "shelf", "thieves" -> "thief",
+    "wives" -> "wife", "wolves" -> "wolf"
+    // deliberately ABSENT: data/media/criteria/phenomena — the reference's
+    // plural() step only fires on -s endings and its conflation table
+    // carries none of them, so the reference leaves them unstemmed
   )
+
+  /** direct form conflations — the reference's direct_conflations class
+    * (spelling-level pairs like aging→age, goes→go; NOT lemmatization —
+    * the reference never maps was→be). Values mirror the reference table
+    * (src/KrovetzStemmer.cpp:1157-1196) so `stemmer=krovetz` conflates
+    * identically for these classes.
+    */
+  private val directConflations: Map[String, String] = Map(
+    "aging" -> "age", "going" -> "go", "goes" -> "go", "lying" -> "lie",
+    "using" -> "use", "owing" -> "owe", "suing" -> "sue", "dying" -> "die",
+    "tying" -> "tie", "vying" -> "vie", "aged" -> "age", "used" -> "use",
+    "vied" -> "vie", "cued" -> "cue", "died" -> "die", "eyed" -> "eye",
+    "hued" -> "hue", "iced" -> "ice", "lied" -> "lie", "owed" -> "owe",
+    "sued" -> "sue", "toed" -> "toe", "tied" -> "tie", "does" -> "do",
+    "doing" -> "do", "fled" -> "flee", "belying" -> "belie",
+    "aeronautical" -> "aeronautics", "mathematical" -> "mathematics",
+    "political" -> "politics", "metaphysical" -> "metaphysics",
+    "cylindrical" -> "cylinder", "nazism" -> "nazi",
+    "miscarriage" -> "miscarry", "eerily" -> "eerie", "taxied" -> "taxi",
+    "ambiguity" -> "ambiguous", "barbarity" -> "barbarous",
+    "credulity" -> "credulous", "generosity" -> "generous",
+    "spontaneity" -> "spontaneous", "unanimity" -> "unanimous",
+    "voracity" -> "voracious",
+    "babysitting" -> "babysit", "bootstrapped" -> "bootstrap",
+    "bootstrapping" -> "bootstrap", "checksummed" -> "checksum",
+    "checksumming" -> "checksum",
+    "bookshelves" -> "bookshelf", "dwarves" -> "dwarf",
+    "housewives" -> "housewife", "midwives" -> "midwife",
+    "scarves" -> "scarf", "wharves" -> "wharf",
+    "synopses" -> "synopsis", "vortices" -> "vortex",
+    "yourselves" -> "yourself"
+  )
+
+  /** nationality → country (the country_nationality class; pair values
+    * mirror the reference table, src/KrovetzStemmer.cpp:1172-1222)
+    */
+  private val countryNationality: Map[String, String] = Map(
+    "afghan" -> "afghanistan", "african" -> "africa", "albanian" -> "albania",
+    "algerian" -> "algeria", "american" -> "america", "andorran" -> "andorra",
+    "angolan" -> "angola", "arabian" -> "arabia", "argentine" -> "argentina",
+    "armenian" -> "armenia", "asian" -> "asia", "australian" -> "australia",
+    "austrian" -> "austria", "azerbaijani" -> "azerbaijan", "azeri" -> "azerbaijan",
+    "bangladeshi" -> "bangladesh", "belgian" -> "belgium", "bermudan" -> "bermuda",
+    "bolivian" -> "bolivia", "bosnian" -> "bosnia", "botswanan" -> "botswana",
+    "brazilian" -> "brazil", "british" -> "britain", "bulgarian" -> "bulgaria",
+    "burmese" -> "burma", "californian" -> "california", "cambodian" -> "cambodia",
+    "canadian" -> "canada", "chadian" -> "chad", "chilean" -> "chile",
+    "chinese" -> "china", "colombian" -> "colombia", "croat" -> "croatia",
+    "croatian" -> "croatia", "cuban" -> "cuba", "cypriot" -> "cyprus",
+    "czechoslovakian" -> "czechoslovakia", "danish" -> "denmark",
+    "egyptian" -> "egypt", "equadorian" -> "equador", "eritrean" -> "eritrea",
+    "estonian" -> "estonia", "ethiopian" -> "ethiopia", "european" -> "europe",
+    "fijian" -> "fiji", "filipino" -> "philippines", "finnish" -> "finland",
+    "french" -> "france", "gambian" -> "gambia", "georgian" -> "georgia",
+    "german" -> "germany", "ghanian" -> "ghana", "greek" -> "greece",
+    "grenadan" -> "grenada", "guamian" -> "guam", "guatemalan" -> "guatemala",
+    "guinean" -> "guinea", "guyanan" -> "guyana", "haitian" -> "haiti",
+    "hawaiian" -> "hawaii", "holland" -> "dutch", "honduran" -> "honduras",
+    "hungarian" -> "hungary", "icelandic" -> "iceland",
+    "indonesian" -> "indonesia", "iranian" -> "iran", "iraqi" -> "iraq",
+    "iraqui" -> "iraq", "irish" -> "ireland", "israeli" -> "israel",
+    "italian" -> "italy", "jamaican" -> "jamaica", "japanese" -> "japan",
+    "jordanian" -> "jordan", "kampuchean" -> "cambodia", "kenyan" -> "kenya",
+    "korean" -> "korea", "kuwaiti" -> "kuwait", "lankan" -> "lanka",
+    "laotian" -> "laos", "latvian" -> "latvia", "lebanese" -> "lebanon",
+    "liberian" -> "liberia", "libyan" -> "libya", "lithuanian" -> "lithuania",
+    "macedonian" -> "macedonia", "madagascan" -> "madagascar",
+    "malaysian" -> "malaysia", "maltese" -> "malta",
+    "mauritanian" -> "mauritania", "mexican" -> "mexico",
+    "micronesian" -> "micronesia", "moldovan" -> "moldova",
+    "monacan" -> "monaco", "mongolian" -> "mongolia",
+    "montenegran" -> "montenegro", "moroccan" -> "morocco",
+    "myanmar" -> "burma", "namibian" -> "namibia", "nepalese" -> "nepal",
+    "nicaraguan" -> "nicaragua", "nigerian" -> "nigeria",
+    "norwegian" -> "norway", "omani" -> "oman", "pakistani" -> "pakistan",
+    "panamanian" -> "panama", "papuan" -> "papua", "paraguayan" -> "paraguay",
+    "peruvian" -> "peru", "portuguese" -> "portugal", "romanian" -> "romania",
+    "rumania" -> "romania", "rumanian" -> "romania", "russian" -> "russia",
+    "rwandan" -> "rwanda", "samoan" -> "samoa", "scottish" -> "scotland",
+    "serb" -> "serbia", "serbian" -> "serbia", "siam" -> "thailand",
+    "siamese" -> "thailand", "slovakia" -> "slovak", "slovakian" -> "slovak",
+    "slovenian" -> "slovenia", "somali" -> "somalia", "somalian" -> "somalia",
+    "spanish" -> "spain", "swedish" -> "sweden", "swiss" -> "switzerland",
+    "syrian" -> "syria", "taiwanese" -> "taiwan", "tanzanian" -> "tanzania",
+    "texan" -> "texas", "thai" -> "thailand", "tunisian" -> "tunisia",
+    "turkish" -> "turkey", "ugandan" -> "uganda", "ukrainian" -> "ukraine",
+    "uruguayan" -> "uruguay", "uzbek" -> "uzbekistan",
+    "venezuelan" -> "venezuela", "vietnamese" -> "viet",
+    "virginian" -> "virginia", "yemeni" -> "yemen",
+    "yugoslav" -> "yugoslavia", "yugoslavian" -> "yugoslavia",
+    "zambian" -> "zambia", "zealander" -> "zealand",
+    "zimbabwean" -> "zimbabwe"
+  )
+
+  /** words the rule steps must NOT touch (the exception_words class —
+    * look inflected but are head words: silent-e nouns, -ss words, …)
+    */
+  private val leaveAlone: Set[String] = Set(
+    "aide", "bathe", "caste", "cute", "dame", "dime", "doge", "done",
+    "dune", "envelope", "gage", "grille", "grippe", "lobe", "mane",
+    "mare", "nape", "node", "pane", "pate", "plane", "pope",
+    "programme", "quite", "ripe", "rote", "rune", "sage", "severe",
+    "shoppe", "sine", "slime", "snipe", "steppe", "suite", "swinge",
+    "tare", "tine", "tope", "tripe", "twine",
+    // look-plural head words
+    "series", "species", "news", "analysis", "basis", "canvas", "chaos",
+    "lens", "axis", "atlas", "bias", "bus", "census", "corps"
+  )
+
+  private val exceptions: Map[String, String] =
+    irregularPlurals ++ directConflations ++ countryNationality
 
   def stem(term: String): String = {
     if (term == null || term.length <= 2 || term.length > 25) return term
+    if (leaveAlone.contains(term)) return term
     exceptions.get(term) match {
       case Some(s) => return s
       case None =>

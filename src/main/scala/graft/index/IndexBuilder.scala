@@ -241,23 +241,34 @@ object IndexBuilder {
   /** Positional postings with denormalized doclen:
     * (term, docId, tf, positions, doclen).
     *
-    * posexplode + two-level agg; Spark's partial (map-side) aggregation of
-    * the groupBy is the analogue of the reference's in-memory
-    * DocListMemoryBuilder (reference: src/MemoryIndex.cpp:538-651).
-    * Positions are 0-based like the reference.
+    * A document's postings depend ONLY on its own token slots, so the
+    * (term → positions) aggregation runs per row in one tight pass — the
+    * in-memory DocListMemoryBuilder exactly (reference:
+    * src/MemoryIndex.cpp:538-651) — and the build moves NO data: the old
+    * posexplode + groupBy(term, docId) shape shuffled every token
+    * occurrence across the cluster to reassemble what each row already
+    * held. Output is one row per distinct term per document (~2-4× fewer
+    * rows than tokens), positions naturally ascending.
     */
   def buildPostings(tokenized: DataFrame, cfg: IndexConfig): DataFrame = {
-    val exploded = tokenized
+    val postUdf = udf { (slots: Seq[String]) =>
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      var i = 0
+      while (i < slots.length) {
+        val t = slots(i)
+        if (t != null)
+          m.getOrElseUpdate(t, new scala.collection.mutable.ArrayBuffer[Int](4)) += i
+        i += 1
+      }
+      m.iterator.map { case (t, ps) => (t, ps.length, ps.toArray) }.toSeq
+    }
+    tokenized
       .select(col("docId"), size(col("slots")).as("doclen"),
-        posexplode(col("slots")).as(Seq("pos", "term")))
-      .where(col("term").isNotNull)
-    exploded
-      .groupBy(col("term"), col("docId"))
-      .agg(
-        count(lit(1)).cast(IntegerType).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"),
-        first(col("doclen")).as("doclen")
-      )
+        explode(postUdf(col("slots"))).as("p"))
+      .select(col("p._1").as("term"), col("docId"),
+        col("p._2").cast(IntegerType).as("tf"),
+        col("p._3").as("positions"), col("doclen"))
   }
 
   /** Per-term statistics (reference TermData semantics:
@@ -431,15 +442,17 @@ object IndexBuilder {
     * @param annotate post-tokenize annotator chain (FieldAnnotators.*) —
     *                 the OffsetAnnotation/Numeric/Date annotator slot in
     *                 the reference transformation chain
-    *                 (reference: src/Repository.cpp:137-177)
+    *                 (reference: src/Repository.cpp:137-177). null = none.
     */
   def build(docs: DataFrame, cfg: IndexConfig = IndexConfig(),
-            annotate: DataFrame => DataFrame = identity): InvertedIndex = {
+            annotate: DataFrame => DataFrame = null): InvertedIndex = {
     // serialized storage: the token/positions arrays triple in size as
     // deserialized JVM objects and evict each other at scale; SER keeps
     // the cache compact (CPU to re-decode is cheap next to re-tokenizing)
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val tokenized = annotate(tokenize(docs, cfg)).persist(ser)
+    if (cfg.fields.isEmpty && annotate == null)
+      return buildFused(docs, cfg, ser)
+    val tokenized = Option(annotate).getOrElse(identity[DataFrame] _)(tokenize(docs, cfg)).persist(ser)
     // postings feed dictionary, stats, and segments — persist instead of
     // re-running tokenize+explode+agg per consumer
     val postings = buildPostings(tokenized, cfg).persist(ser)
@@ -448,6 +461,55 @@ object IndexBuilder {
     val stats = buildStats(doclens, dictionary)
     val segments = buildSegments(postings, stats.totalDocs, cfg).toDF()
     val extents = buildFieldExtents(tokenized)
+    InvertedIndex(postings, dictionary, doclens, stats, segments, extents,
+      numBuckets = cfg.numBuckets)
+  }
+
+  /** Field-less fast path: ONE fused analyze→postings pass per document.
+    * The cache holds (docId, doclen, per-term entries) only — the raw
+    * token slot array (one String per token position, the largest build
+    * intermediate) and the source content column never enter the cache,
+    * cutting the per-doc memory traffic the build is bounded by at high
+    * core counts. Semantics identical to tokenize+buildPostings:
+    * doclen counts every position including stopped/null slots,
+    * positions 0-based ascending.
+    */
+  private def buildFused(docs: DataFrame, cfg: IndexConfig,
+                         ser: org.apache.spark.storage.StorageLevel): InvertedIndex = {
+    val az = cfg.analyzer
+    val fusedUdf = udf { (text: String) =>
+      val slots = az.analyze(text)
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      var i = 0
+      while (i < slots.length) {
+        val t = slots(i)
+        if (t != null)
+          m.getOrElseUpdate(t, new scala.collection.mutable.ArrayBuffer[Int](4)) += i
+        i += 1
+      }
+      (slots.length, m.iterator.map { case (t, ps) => (t, ps.length, ps.toArray) }.toSeq)
+    }
+    val tp = docs.select(col("docId"), fusedUdf(col("content")).as("tp")).persist(ser)
+    val postings = tp
+      .select(col("docId"), col("tp._1").as("doclen"), explode(col("tp._2")).as("p"))
+      .select(col("p._1").as("term"), col("docId"),
+        col("p._2").cast(IntegerType).as("tf"),
+        col("p._3").as("positions"), col("doclen"))
+      .persist(ser)
+    val dictionary = buildDictionary(postings)
+    val doclens = tp.select(col("docId"), col("tp._1").as("length"))
+    val stats = buildStats(doclens, dictionary)
+    val segments = buildSegments(postings, stats.totalDocs, cfg).toDF()
+    // no declared fields: empty extent table with the standard schema
+    val spark = docs.sparkSession
+    val extents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("docId", LongType), StructField("field", StringType),
+        StructField("begin", IntegerType), StructField("end", IntegerType),
+        StructField("number", LongType), StructField("ordinal", IntegerType),
+        StructField("parentField", StringType), StructField("parentOrdinal", IntegerType))))
     InvertedIndex(postings, dictionary, doclens, stats, segments, extents,
       numBuckets = cfg.numBuckets)
   }

@@ -151,8 +151,13 @@ final class Engine(
 
     case WildcardNode(prefix) =>
       val pt = Option(analyzer.processTerm(prefix)).getOrElse(prefix.toLowerCase)
+      // range-bounded prefix probe: [pt, pt+U+FFFF] is a sortable range
+      // predicate, so a sorted/range-partitioned dictionary prunes row
+      // groups by min/max stats instead of scanning a 10^9-term
+      // vocabulary; startsWith keeps exactness
       val expansions = index.dictionary
-        .where(col("term").startsWith(pt))
+        .where(col("term") >= pt && col("term") <= pt + "\uffff" &&
+          col("term").startsWith(pt))
         .orderBy("term").limit(maxWildcardTerms)
         .select("term").as[String].collect().toSeq
       if (expansions.isEmpty) emptyRaw

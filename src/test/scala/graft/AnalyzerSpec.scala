@@ -99,4 +99,47 @@ class AnalyzerSpec extends AnyFunSuite {
     val long = "a" * 26
     assert(kz.stem(long) == long)
   }
+
+  test("krovetz dictionary classes (table-driven, reference: KrovetzStemmer.cpp:1136-1222)") {
+    val kz = KrovetzStemmer
+    // direct conflations — spelling-level pairs, exactly the reference values
+    val direct = Seq(
+      "aging" -> "age", "goes" -> "go", "lying" -> "lie", "dying" -> "die",
+      "does" -> "do", "doing" -> "do", "fled" -> "flee", "eyed" -> "eye",
+      "taxied" -> "taxi", "eerily" -> "eerie",
+      "mathematical" -> "mathematics", "political" -> "politics",
+      "cylindrical" -> "cylinder", "miscarriage" -> "miscarry",
+      "generosity" -> "generous", "unanimity" -> "unanimous",
+      "bootstrapped" -> "bootstrap", "checksumming" -> "checksum")
+    direct.foreach { case (v, w) => assert(kz.stem(v) == w, s"$v -> ${kz.stem(v)} != $w") }
+    // country/nationality class
+    val nat = Seq(
+      "italian" -> "italy", "japanese" -> "japan", "french" -> "france",
+      "german" -> "germany", "chinese" -> "china", "dutch" -> "dutch",
+      "holland" -> "dutch", "siamese" -> "thailand", "brazilian" -> "brazil",
+      "iraqi" -> "iraq", "israeli" -> "israel", "swiss" -> "switzerland")
+    nat.foreach { case (v, w) => assert(kz.stem(v) == w, s"$v -> ${kz.stem(v)} != $w") }
+    // irregular plurals incl. latin -es and -ves classes
+    val plurals = Seq(
+      "analyses" -> "analysis", "theses" -> "thesis", "crises" -> "crisis",
+      "vertices" -> "vertex", "matrices" -> "matrix", "appendices" -> "appendix",
+      "wolves" -> "wolf", "shelves" -> "shelf", "knives" -> "knife",
+      "fungi" -> "fungus", "radii" -> "radius", "children" -> "child")
+    plurals.foreach { case (v, w) => assert(kz.stem(v) == w, s"$v -> ${kz.stem(v)} != $w") }
+    // exception words the rule steps must NOT touch (silent-e heads,
+    // look-plural heads) — reference exception_words class
+    Seq("suite", "programme", "severe", "plane", "series", "species",
+        "news", "chaos", "lens", "bus").foreach { w =>
+      assert(kz.stem(w) == w, s"$w wrongly stemmed to ${kz.stem(w)}")
+    }
+    // words the reference leaves alone (no -s ending, not in tables):
+    // data/media/criteria pass through unstemmed
+    Seq("data", "media", "criteria", "phenomena").foreach { w =>
+      assert(kz.stem(w) == w, s"$w wrongly stemmed to ${kz.stem(w)}")
+    }
+    // regular rule steps still work: plural, past, -ing with e-restore
+    assert(kz.stem("stopped") == "stop")
+    assert(kz.stem("making") == "make")
+    assert(kz.stem("churches") == "church")
+  }
 }

@@ -35,6 +35,27 @@ class AuxOpsSpec extends AnyFunSuite {
     assert(new String(resized(3L).filter(_ != 0), "UTF-8").nonEmpty)
   }
 
+  test("WAV decode: RIFF/PCM-16 round-trip, features, malformed payloads observable") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 7)
+    val bytes = Multimodal.synthWavBytes(samples, 44100)
+    val parsed = Multimodal.parseWav(bytes)
+    assert(parsed.contains((44100, 1, samples)) ||
+      parsed.exists { case (r, c, s) => r == 44100 && c == 1 && s.sameElements(samples) })
+
+    val media = Seq(
+      (1L, bytes),
+      (2L, "not a wav".getBytes("UTF-8")),
+      (3L, Multimodal.synthWavBytes(Array[Short](), 8000))
+    ).toDF("id", "media")
+    val feats = Multimodal.decodeWav(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    val meanAbs = samples.map(s => math.abs(s.toLong)).sum / samples.length.toDouble
+    assert(feats(1L) == ((44100, 1, samples.length.toLong,
+      BigDecimal(meanAbs).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 32768L)))
+    assert(feats(2L) == ((-1, -1, 0L, 0.0, 0L))) // undecodable row kept, flagged
+    assert(feats(3L) == ((8000, 1, 0L, 0.0, 0L)))
+  }
+
   test("snippets merge match regions and highlight terms") {
     val az = Analyzer(mode = "simple")
     val docs = Seq(

@@ -52,18 +52,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("posting build shuffles by (term, bucket) — the sort-merge exchange") {
+  test("posting build: per-doc aggregation moves no data; segment encode is the only exchange") {
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("docId", "content")
     val tokenized = IndexBuilder.tokenize(docs, cfg)
     val postings = IndexBuilder.buildPostings(tokenized, cfg)
+    // a document's postings are computed from its own row — the plan must
+    // contain NO exchange (the old posexplode + groupBy(term,docId) shape
+    // shuffled every token occurrence)
+    val pPlan = postings.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("Exchange"),
+      s"posting build shuffles token data:\n$pPlan")
     val segPlan = IndexBuilder.buildSegments(postings, 2, cfg)
       .queryExecution.executedPlan.toString
     assert(segPlan.contains("hashpartitioning(term"),
       s"segments build lacks the term-hash exchange:\n$segPlan")
-    // partial (map-side) aggregation before the exchange in postings
-    val pPlan = postings.queryExecution.executedPlan.toString
-    assert(pPlan.contains("HashAggregate") || pPlan.contains("SortAggregate") ||
-           pPlan.contains("ObjectHashAggregate"))
   }
 
   test("flagship BM25 DataFrame path: term filter pushed into cache scan, codegen in the relational shell") {

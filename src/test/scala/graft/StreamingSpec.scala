@@ -118,6 +118,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(IncrementalIndexer.open(spark, dir, cfg).doclens.count() == afterCrash.doclens.count())
   }
 
+  test("streaming exact-dedup (flatMapGroupsWithState) matches batch exactDedup") {
+    import graft.pipeline.TextPipeline
+    import graft.streaming.StreamDedup
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),   // batch 1 (3 dups 1)
+      (4L, "delta"), (5L, "gamma"), (6L, "alpha beta"),        // batch 2 (5 dups 2, 6 dups 1)
+      (7L, "epsilon"), (8L, "delta")                           // batch 3 (8 dups 4)
+    )
+    val input = MemoryStream[(Long, String)](spark)
+    val out = StreamDedup.dedupStream(input.toDF().toDF("docId", "content"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(docs.slice(0, 3)); q.processAllAvailable()
+    input.addData(docs.slice(3, 6)); q.processAllAvailable()
+    input.addData(docs.slice(6, 8)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select docId, keeper, isDup from dedup_out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+    // batch oracle: ids ascend in arrival order, so first-arrival keeper
+    // == min-id keeper
+    val batch = TextPipeline.exactDedup(docs.toDF("docId", "content"), "docId", "content")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2) == 1))).toMap
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed(6L) == ((1L, true)) && streamed(8L) == ((4L, true))) // cross-batch state
+  }
+
   test("KBA standing-query stream filter matches scalar BM25 (k1=1.75)") {
     // background stats from the full corpus
     val idx = IndexBuilder.build(allDocs.toDF("docId", "content"), cfg)

@@ -523,6 +523,33 @@ object SparkEntry {
         .select(col("docId").as("doc_id")).orderBy("doc_id")
     }),
 
+    "q_shrinkage" -> ((s, dir) => {
+      // ShrinkageBeliefNode default configuration over the (root-level)
+      // head field: down = (1-w_d)·MLE(extent) + w_d·p_jm(doc), then
+      // p = (1-λ)·down + λ·cf — closed-form in SQL
+      val eng = fieldEngine(s, dir)
+      eng.runShrinkageQuery("head", BmTerms.take(2), 1000000,
+        parentWeight = 0.2, docWeight = 0.2, lambda = 0.4)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_nexi" -> ((s, dir) => {
+      // NEXI CAS: //head[about(., data merge)] — every head extent
+      // scored as its own dirichlet context (reference: nexilang.g CAS
+      // path → ExtentRestriction); k covers all candidates so ordering
+      // by (doc, begin) is boundary-free for the oracle
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head[about(., ${BmTerms.take(2).mkString(" ")})]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     // ---- streaming / incremental (SURVEY §2.I) ----
     "q_incremental_build" -> ((s, dir) => {
       // three foreachBatch-style generations == one batch build: the
@@ -1086,6 +1113,58 @@ object SparkEntry {
          |)
          |SELECT node, doc_id, "begin"::BIGINT AS "begin", "end"::BIGINT AS "end"
          |FROM ann ORDER BY node, doc_id, "begin"""".stripMargin,
+
+    "q_shrinkage" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge')
+         |), tfx AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS hd,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS hm,
+         |    count(*) FILTER (WHERE term = 'data') AS ad,
+         |    count(*) FILTER (WHERE term = 'merge') AS am
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |), sc AS (
+         |  SELECT t.doc_id, least(10, dl.doclen) AS hlen, dl.doclen,
+         |    0.5 * ln(0.6 * (0.8 * (t.hd::DOUBLE / least(10, dl.doclen))
+         |                  + 0.2 * (0.6 * t.ad / dl.doclen + 0.4 * cf.cd / st.tt))
+         |           + 0.4 * cf.cd / st.tt)
+         |  + 0.5 * ln(0.6 * (0.8 * (t.hm::DOUBLE / least(10, dl.doclen))
+         |                  + 0.2 * (0.6 * t.am / dl.doclen + 0.4 * cf.cm / st.tt))
+         |           + 0.4 * cf.cm / st.tt) AS s
+         |  FROM tfx t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |)
+         |SELECT doc_id, 0::BIGINT AS "begin", hlen::BIGINT AS "end",
+         |  round(s, 6) AS score
+         |FROM sc ORDER BY doc_id, "begin"""".stripMargin,
+
+    "q_nexi" ->
+      // head extent = [0, min(10, doclen)); tf counted inside the extent
+      // (pos <= 10 in 1-based SQL positions); context size = extent
+      // length; dirichlet with global collection frequencies, 1/2 weights
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge')
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS tfd,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS tfm
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round(0.5 * ln((t.tfd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0))
+         |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
 
     "q_incremental_build" ->
       s"""$DTok, p AS (

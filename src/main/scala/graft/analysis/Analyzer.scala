@@ -390,11 +390,87 @@ object KrovetzStemmer extends Stemmer {
   }
 }
 
+/** Arabic light10 stemmer (reference: src/Arabic_Stemmer_utf8.cpp,
+  * arabic_light10_unicode — the published Larkey/Ballesteros/Connell
+  * light10 algorithm):
+  *  1. norm2: keep the 47-char Arabic working set (identity except
+  *     آ/أ/إ→ا, ة→ه, ى→ي); DROP all other chars in U+0600..U+06FF
+  *     (diacritics, tatweel, …); pass non-Arabic chars through;
+  *  2. strip one leading waw (و) when >3 chars remain before it;
+  *  3. strip ONE definite article of {ال وال بال كال فال لل} when the
+  *     remainder keeps ≥2 chars;
+  *  4. if >2 chars remain, strip each suffix of
+  *     {ها ان ات ون ين يه ية ه ة ي} in list order (each once, remainder
+  *     must keep ≥2 chars).
+  */
+object ArabicStemmer extends Stemmer {
+  val name = "arabic"
+  private val RangeLow = 0x0600
+  private val RangeHigh = 0x06FF
+  /** the reference's allArabicChars → normChars transition table */
+  private val Kept: Map[Char, Char] = {
+    val identity = Seq(
+      0x067E, 0x0679, 0x0686, 0x0698, 0x0688, 0x06AF, 0x06A9, 0x0691,
+      0x06BA, 0x06BE, 0x06C1, 0x0621, 0x0624, 0x0626, 0x0627, 0x0628,
+      0x062A, 0x062B, 0x062C, 0x062D, 0x062E, 0x062F, 0x0630, 0x0631,
+      0x0632, 0x0633, 0x0634, 0x0635, 0x0636, 0x0637, 0x0638, 0x0639,
+      0x063A, 0x0641, 0x0642, 0x0643, 0x0644, 0x0645, 0x0646, 0x0647,
+      0x0648, 0x064A).map(c => c.toChar -> c.toChar)
+    val mapped = Seq(
+      0x0622 -> 0x0627, 0x0623 -> 0x0627, 0x0625 -> 0x0627, // alef forms → ا
+      0x0629 -> 0x0647,                                     // ة → ه
+      0x0649 -> 0x064A                                      // ى → ي
+    ).map { case (a, b) => a.toChar -> b.toChar }
+    (identity ++ mapped).toMap
+  }
+  private val Waw = '\u0648'
+  // {ال, وال, بال, كال, فال, لل} in the reference's probe order
+  private val Articles = Seq(
+    "\u0627\u0644", "\u0648\u0627\u0644", "\u0628\u0627\u0644",
+    "\u0643\u0627\u0644", "\u0641\u0627\u0644", "\u0644\u0644")
+  // {ها, ان, ات, ون, ين, يه, ية, ه, ة, ي} in the reference's list order
+  private val Suffixes = Seq(
+    "\u0647\u0627", "\u0627\u0646", "\u0627\u062A", "\u0648\u0646",
+    "\u064A\u0646", "\u064A\u0647", "\u064A\u0629", "\u0647",
+    "\u0629", "\u064A")
+
+  def stem(term: String): String = {
+    if (term == null || term.isEmpty) return term
+    // norm2
+    val sb = new java.lang.StringBuilder(term.length)
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      if (c < RangeLow || c > RangeHigh) sb.append(c)
+      else Kept.get(c).foreach(sb.append(_))
+      i += 1
+    }
+    var w = sb.toString
+    // leading waw
+    if (w.length > 3 && w.charAt(0) == Waw) w = w.substring(1)
+    // one definite article (first match in table order)
+    Articles.find(a => w.length > a.length + 1 && w.startsWith(a))
+      .foreach(a => w = w.substring(a.length))
+    // small suffix list, each checked once in order (lenlimit = 1)
+    if (w.length > 2) {
+      var k = 0
+      while (k < Suffixes.length) {
+        val suf = Suffixes(k)
+        if (w.length > suf.length + 1 && w.endsWith(suf))
+          w = w.substring(0, w.length - suf.length)
+        k += 1
+      }
+    }
+    if (w.isEmpty) term else w
+  }
+}
+
 object Stemmers {
   def byName(name: String): Stemmer = name match {
     case "none" | null | "" => NoStemmer
     case "porter" => PorterStemmer
     case "krovetz" => KrovetzStemmer
+    case "arabic" | "arabic_stem" | "light10" => ArabicStemmer
     case other => throw new IllegalArgumentException(s"unknown stemmer: $other")
   }
 }

@@ -720,6 +720,26 @@ final class Engine(
       case other => throw new IllegalArgumentException(
         s"extent restriction supports flat term bags, got $other")
     }
+    val fx = er.passage match {
+      case Some(_) => null
+      case None =>
+        fieldExtents.where(col("field") === er.field)
+          .groupBy("docId").agg(
+            sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
+    }
+    scoreExtentContexts(childTerms, fx, er.passage, k)
+  }
+
+  /** Score every extent (or sliding passage) of candidate documents as
+    * its own context — the shared tail of runExtentQuery and runNexi.
+    *
+    * @param extentsByDoc (docId, ex: array<struct<begin,end>>); null when
+    *                     `passage` drives the contexts instead
+    */
+  private def scoreExtentContexts(childTerms: Seq[String],
+                                  extentsByDoc: DataFrame,
+                                  passage: Option[(Int, Int)],
+                                  k: Int): DataFrame = {
     val processed = childTerms.map(analyzer.processTerm)
     val live = processed.filter(_ != null).distinct
     val tstats = termStatsFor(live)
@@ -739,7 +759,7 @@ final class Engine(
       .groupBy("docId")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
 
-    val extentsDf = er.passage match {
+    val extentsDf = passage match {
       case Some((width, inc)) =>
         // fixed sliding passages over [0, doclen) (FixedPassageNode)
         perDoc.join(index.doclens, Seq("docId"), "inner")
@@ -749,10 +769,8 @@ final class Engine(
             b => struct(b.as("begin"), least(b + width, col("length")).as("end"))))
           .select(col("docId"), col("tp"), col("ex"))
       case None =>
-        val fx = fieldExtents.where(col("field") === er.field)
-          .groupBy("docId").agg(
-            sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
-        perDoc.join(fx, Seq("docId"), "inner").select(col("docId"), col("tp"), col("ex"))
+        perDoc.join(extentsByDoc, Seq("docId"), "inner")
+          .select(col("docId"), col("tp"), col("ex"))
     }
 
     val bcFns = spark.sparkContext.broadcast(fns)
@@ -878,6 +896,130 @@ final class Engine(
           StructField("begin", IntegerType), StructField("end", IntegerType))))
       else parts.reduce(_ union _)
     QueryAnnotation(results, annotations)
+  }
+
+  /** NEXI (INEX CAS/CO) retrieval — the reference's second query
+    * language (reference: src/nexilang.g:151-240, NexiParser/NexiLexer;
+    * QueryEnvironment parses NEXI when queryType="nexi").
+    *
+    * CO `t1 t2` ranks documents; CAS `//f[about(., terms)]` ranks the
+    * extents of f scored as their own contexts; `//a//b[about(., …)]`
+    * ranks b extents nested inside an a extent (NestedExtentInside →
+    * the descendant link walk over the indexed ordinal/parent tree).
+    */
+  def runNexi(query: String, k: Int): DataFrame = {
+    val nq = NexiParser.parse(query)
+    if (nq.path.isEmpty)
+      return runQuery(s"#combine(${nq.terms.mkString(" ")})", k)
+    require(!baseline, "NEXI CAS scoring uses extent contexts — rejected in " +
+      "okapi/tfidf baseline mode like extent restriction; use an LM rule")
+    val extentsByDoc = nq.path match {
+      case Seq(f) =>
+        fieldExtents.where(col("field") === f)
+          .groupBy("docId").agg(
+            sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
+      case Seq(outer, inner) =>
+        // b-extents with an a ancestor (NestedExtentInside)
+        val raw = evaluateRaw(FieldPathNode("descendant", inner, outer)).df
+        raw.select(col("docId"),
+          sort_array(transform(arrays_zip(col("begins"), col("ends")),
+            s => struct(s("begins").as("begin"), s("ends").as("end")))).as("ex"))
+      case p => throw new IllegalArgumentException(
+        s"NEXI paths deeper than 2 fields are outside the supported subset: //${p.mkString("//")}")
+    }
+    scoreExtentContexts(nq.terms, extentsByDoc, passage = None, k)
+  }
+
+  /** Shrinkage-smoothed extent retrieval — ShrinkageBeliefNode's default
+    * configuration (reference: src/ShrinkageBeliefNode.cpp:167-420 with
+    * queryLevelCombine=false, recursive=false, no per-child smoothing
+    * rules; the Ogilvie/Callan shrinkage model over document structure):
+    *
+    * per term t and field extent e with JM smoothing (λ):
+    *   MLE(t|node)   = counts(node)/length(node)   (the reference recovers
+    *                   this by un-mixing the λ-smoothed score, :304)
+    *   p_doc         = (1−λ)·MLE(t|doc) + λ·cf     (base[0], :282)
+    *   down(e)       = (1−w_p−w_d)·MLE(e) + w_p·MLE(parent) + w_d·p_doc
+    *                   (root-level extents: (1−w_d)·MLE(e) + w_d·p_doc,
+    *                   reference :391-406)
+    *   score(t, e)   = log((1−λ)·down(e) + λ·cf)   (:412-419 re-mix + log)
+    * and the query combines terms with 1/k weights like #combine.
+    *
+    * Returns ranked (docId, begin, end, score) extents of `field`.
+    */
+  def runShrinkageQuery(field: String, terms: Seq[String], k: Int,
+                        parentWeight: Double = 0.2, docWeight: Double = 0.2,
+                        lambda: Double = 0.4): DataFrame = {
+    val processed = terms.map(analyzer.processTerm)
+    val live = processed.filter(_ != null).distinct
+    val tstats = termStatsFor(live)
+    val T = if (stats.totalTerms == 0) 1.0 else stats.totalTerms.toDouble
+    // cf per child (reference collectionFrequency fallback for OOV)
+    val cfs: Array[Double] = processed.map { pt =>
+      val ctf = if (pt == null) 0L else tstats.get(pt).map(_.ctf).getOrElse(0L)
+      if (ctf != 0) ctf / T else 1.0 / (T * 2.0)
+    }.toArray
+    val w = 1.0 / processed.length
+    val termIdx: Map[String, Seq[Int]] =
+      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
+
+    val perDoc = index.postings
+      .where(col("term").isin(live: _*))
+      .groupBy("docId")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"),
+        first(col("doclen")).as("doclen"))
+    // the document's extent tree (all fields — parents may be other fields)
+    val tree = fieldExtents
+      .groupBy("docId").agg(collect_list(struct(
+        col("field"), col("begin"), col("end"),
+        col("ordinal"), col("parentField"), col("parentOrdinal"))).as("tree"))
+
+    val bcCfs = spark.sparkContext.broadcast(cfs)
+    val bcIdx = spark.sparkContext.broadcast(termIdx)
+    val f = field; val wp = parentWeight; val wd = docWeight; val lam = lambda
+    val scoreUdf = udf { (tp: Map[String, Seq[Int]], doclen: Int, tree: Seq[Row]) =>
+      val cfsV = bcCfs.value
+      val tIdx = bcIdx.value
+      val nChildren = cfsV.length
+      // per-child positions
+      val posByChild = Array.fill(nChildren)(Seq.empty[Int])
+      tp.foreach { case (t, ps) =>
+        tIdx.getOrElse(t, Nil).foreach(ci => posByChild(ci) = ps)
+      }
+      def mle(ps: Seq[Int], b: Int, e: Int): Double = {
+        val len = e - b
+        if (len <= 0) 0.0 else ps.count(p => p >= b && p < e).toDouble / len
+      }
+      val byKey = tree.map(r => (r.getString(0), r.getInt(3)) -> r).toMap
+      tree.filter(_.getString(0) == f).map { ex =>
+        val b = ex.getInt(1); val e = ex.getInt(2)
+        var acc = 0.0
+        var ci = 0
+        while (ci < nChildren) {
+          val ps = posByChild(ci)
+          val cf = cfsV(ci)
+          val pDoc = (1 - lam) * (if (doclen > 0) ps.length.toDouble / doclen else 0.0) + lam * cf
+          val own = mle(ps, b, e)
+          val down = ex.getString(4) match {
+            case null => (1 - wd) * own + wd * pDoc // root-level extent
+            case pf =>
+              val parent = byKey.get((pf, ex.getInt(5)))
+              val pm = parent.map(p => mle(ps, p.getInt(1), p.getInt(2))).getOrElse(own)
+              (1 - wp - wd) * own + wp * pm + wd * pDoc
+          }
+          acc += w * math.log((1 - lam) * down + lam * cf)
+          ci += 1
+        }
+        (b, e, acc)
+      }
+    }
+    notDeleted(perDoc.join(tree, Seq("docId"), "inner"))
+      .withColumn("scored", explode(scoreUdf(col("tp"), col("doclen"), col("tree"))))
+      .select(col("docId"), col("scored._1").as("begin"),
+        col("scored._2").as("end"), col("scored._3").as("score"))
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .limit(k)
   }
 
   /** runQuery restricted to a working set of docIds — the FilterNode

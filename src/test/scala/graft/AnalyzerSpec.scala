@@ -100,6 +100,31 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(kz.stem(long) == long)
   }
 
+  test("arabic light10 stemmer (reference: Arabic_Stemmer_utf8.cpp arabic_light10_unicode)") {
+    val ar = ArabicStemmer
+    val kitab = "\u0643\u062A\u0627\u0628"                       // كتاب
+    assert(ar.stem("\u0627\u0644" + kitab) == kitab)             // الكتاب → كتاب (article)
+    assert(ar.stem("\u0648\u0627\u0644" + kitab) == kitab)       // والكتاب → كتاب (waw + article)
+    assert(ar.stem(kitab + "\u0647\u0627") == kitab)             // كتابها → كتاب (suffix ها)
+    // المدرسة: norm2 maps ة→ه, article strips, suffix ه strips → مدرس
+    assert(ar.stem("\u0627\u0644\u0645\u062F\u0631\u0633\u0629") ==
+      "\u0645\u062F\u0631\u0633")
+    // diacritics dropped (kasra U+0650), word otherwise intact
+    assert(ar.stem("\u0643\u0650\u062A\u0627\u0628") == kitab)
+    // alef-madda normalizes to bare alef; 3-char word untouched by rules
+    assert(ar.stem("\u0622\u0645\u0646") == "\u0627\u0645\u0646")
+    // final ى → ي (norm2), then suffix ي strips when remainder ≥ 2
+    assert(ar.stem("\u0645\u0628\u0646\u0649") == "\u0645\u0628\u0646")
+    // non-Arabic text passes through untouched
+    assert(ar.stem("hello") == "hello")
+    // 3-char word: the article probe needs >len+1 chars so ال stays,
+    // but the suffix step (lenlimit=1) still strips the trailing ي
+    assert(ar.stem("\u0627\u0644\u064A") == "\u0627\u0644")
+    // full analyzer chain with stemmer=arabic
+    val az = Analyzer(stemmer = Stemmers.byName("arabic"))
+    assert(az.processTerm("\u0627\u0644" + kitab.toUpperCase) == kitab)
+  }
+
   test("krovetz dictionary classes (table-driven, reference: KrovetzStemmer.cpp:1136-1222)") {
     val kz = KrovetzStemmer
     // direct conflations — spelling-level pairs, exactly the reference values

@@ -179,6 +179,79 @@ class FieldOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("NEXI CAS/CO subset: parity with extent restriction, nested paths, parser guards") {
+    import graft.search.NexiParser
+    val (idx, tcfg) = taggedIndex
+    val eng = new Engine(spark, idx, tcfg.analyzer, ScoringRule(method = "dirichlet"))
+    // CAS single field == #combine[f](terms)
+    val nexi = eng.runNexi("//title[about(., merge sort)]", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    val er = eng.runExtentQuery("#combine[title](merge sort)", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(nexi == er)
+    // CO == #combine (document ranking); +prefix stripped, -term dropped
+    val co = eng.runNexi("+merge sort -body", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val comb = eng.runQuery("#combine(merge sort)", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(co == comb)
+
+    // nested path //sec//par: par extents inside a sec ancestor
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps</sec> <par>tail</par>"),
+      (2L, "<par>solo beta</par> <sec>plain</sec>")
+    ).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par"), FieldSpec("b")))
+    val idx2 = IndexBuilder.build(rows, cfg2)
+    val eng2 = new Engine(spark, idx2, cfg2.analyzer, ScoringRule(method = "dirichlet"))
+    val nested = eng2.runNexi("//sec//par[about(., beta)]", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // doc2's top-level par is NOT inside a sec — only doc1's [1,4)
+    assert(nested == Seq((1L, 1, 4)))
+
+    // parser guards: boolean combinations, deep paths, non-about clauses
+    intercept[IllegalArgumentException] {
+      NexiParser.parse("//a[about(., x) and about(., y)]")
+    }
+    intercept[IllegalArgumentException] {
+      eng2.runNexi("//a//b//c[about(., x)]", 5)
+    }
+    intercept[IllegalArgumentException] {
+      NexiParser.parse("//a[.//b > 5]")
+    }
+  }
+
+  test("shrinkage-smoothed extent scores match the scalar model (JM, non-recursive)") {
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps</sec> <par>tail</par>"),
+      (2L, "<par>solo beta</par> <sec>plain</sec>")
+    ).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par"), FieldSpec("b")))
+    val idx = IndexBuilder.build(rows, cfg2)
+    val eng = new Engine(spark, idx, cfg2.analyzer, ScoringRule(method = "jm"))
+    val got = eng.runShrinkageQuery("par", Seq("beta"), 10,
+      parentWeight = 0.2, docWeight = 0.2, lambda = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+
+    // scalar model: T = 6 + 3 = 9 tokens, cf(beta) = 2/9
+    val cf = 2.0 / 9.0
+    def p(down: Double) = math.log(0.6 * down + 0.4 * cf)
+    // doc1 [1,4): own MLE 1/3, parent sec [0,5) MLE 1/5, pDoc = .6*(1/6)+.4*cf
+    val pDoc1 = 0.6 * (1.0 / 6.0) + 0.4 * cf
+    val d1a = p(0.6 * (1.0 / 3.0) + 0.2 * (1.0 / 5.0) + 0.2 * pDoc1)
+    // doc1 [5,6): own 0, root-level: .8*0 + .2*pDoc
+    val d1b = p(0.8 * 0.0 + 0.2 * pDoc1)
+    // doc2 [0,2): own 1/2, root-level, pDoc = .6*(1/3)+.4*cf
+    val pDoc2 = 0.6 * (1.0 / 3.0) + 0.4 * cf
+    val d2 = p(0.8 * 0.5 + 0.2 * pDoc2)
+    assert(got.keySet == Set((1L, 1, 4), (1L, 5, 6), (2L, 0, 2)))
+    assert(math.abs(got((1L, 1, 4)) - d1a) < 1e-12)
+    assert(math.abs(got((1L, 5, 6)) - d1b) < 1e-12)
+    assert(math.abs(got((2L, 0, 2)) - d2) < 1e-12)
+  }
+
   test("appendText annotator: anchor tokens extend positions and doclen") {
     val docs = Seq(
       (1L, "alpha beta", "click here"),

@@ -594,6 +594,17 @@ object SparkEntry {
         .select(col("doc_id"), col("keeper"), col("is_dup").cast(LongType).as("is_dup"))
         .orderBy("doc_id")),
 
+    "q_stream_dedup" -> ((s, dir) => {
+      // the stateful streaming dedup transform on a static frame (one
+      // batch): keeper/isDup must equal the batch exactDedup semantics
+      import graft.streaming.StreamDedup
+      StreamDedup.dedupStream(documents(s, dir), idCol = "doc_id", contentCol = "text")
+        .toDF()
+        .select(col("docId").as("doc_id"), col("keeper"),
+          col("isDup").cast(LongType).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     "q_minhash" -> ((s, dir) =>
       TextPipeline.minhash(documents(s, dir), "doc_id", "text", numHashes = 4)
         .orderBy("doc_id")),
@@ -1214,6 +1225,13 @@ object SparkEntry {
         |WHERE n_chars BETWEEN 500 AND 1000 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+        |       (CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END)::BIGINT AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // single-batch stream dedup == batch exact dedup (same oracle shape)
+    "q_stream_dedup" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
         |       (CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END)::BIGINT AS is_dup

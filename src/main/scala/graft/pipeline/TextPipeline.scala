@@ -54,7 +54,7 @@ object TextPipeline {
     * identically in any engine with md5. Returns one column per hash.
     */
   def minhash(df: DataFrame, idCol: String, textCol: String,
-              numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
+              numHashes: Int = 128, shingleK: Int = 3): DataFrame = {
     val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
     // one tight pass per doc with a reused MD5 instance: the expression
     // form (transform + md5 + array_min per hash) allocates 4 hex-string
@@ -103,8 +103,13 @@ object TextPipeline {
     * candidate pairs (a, b), a < b. The band join is the scale path: the
     * self-join is on band-bucket keys, never all-pairs.
     */
+  /** Production defaults: 128 hashes × 16 bands (8 rows/band) — the
+    * standard pretraining-dedup operating point (bands = recall knob,
+    * rows/band = precision knob); the driver queries pass small explicit
+    * values so the DuckDB oracle stays cheap.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 4, bands: Int = 2, shingleK: Int = 3): DataFrame = {
+                      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persist: the signature table feeds both band projections and both
     // sides of the self-join — without it the md5-per-shingle minhash

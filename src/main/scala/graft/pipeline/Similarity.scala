@@ -40,24 +40,13 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Single-pass cosine UDF. Each accumulator (dot, |a|², |b|²) folds in
-    * index order with its own addition chain, so values are bit-identical
-    * to the dotCol/normCol column form — but one tight loop instead of
-    * three boxed higher-order folds (~5× on the brute-force path).
+  /** Cosine as a native codegen'd Catalyst expression (no Seq[Float]
+    * boxing, stays inside whole-stage codegen) — same index-order double
+    * accumulation as the previous single-pass UDF, so values are
+    * bit-identical to the dotCol/normCol column form and the oracles.
     */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   /** Brute-force cosine top-k: every query row against every candidate.
     * The candidate side streams (one scan per partition of queries via a

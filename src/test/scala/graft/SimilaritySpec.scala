@@ -55,6 +55,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine is a native codegen expression, bit-identical to the scalar loop") {
+    import graft.functions.CosineSimilarity
+    // parquet-backed source: a local relation would be constant-folded
+    // at plan time (which exercises eval, not codegen)
+    val dir = java.nio.file.Files.createTempDirectory("cosine-plan").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val pairs = stored.select(col("vec_id"),
+      CosineSimilarity.cosine(col("embedding"), col("embedding")).as("self"))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_similarity"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), s"cosine fell back to a UDF:\n$plan")
+    assert(plan.contains("*("), s"cosine outside whole-stage codegen:\n$plan")
+    assert(pairs.collect().forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    // bit-parity with the scalar loop on real pairs
+    val sample = vectors.take(20)
+    sample.zip(sample.reverse).foreach { case ((ida, va), (idb, vb)) =>
+      val got = Seq((va, vb)).toDF("a", "b")
+        .select(CosineSimilarity.cosine(col("a"), col("b"))).head().getDouble(0)
+      val n = math.min(va.length, vb.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { i =>
+        val x = va(i).toDouble; val y = vb(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      assert(got == dot / (math.sqrt(na) * math.sqrt(nb)), s"pair ($ida,$idb)")
+    }
+  }
+
   test("recall@5 vs brute force on natural neighbors; candidate set far below all-pairs") {
     val natural = df.where(col("vec_id") < 10000L)
     val brute = Similarity.bruteForceTopK(natural, natural, "vec_id", "embedding", 5)

@@ -60,6 +60,29 @@ object SparkEntry {
       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
       |)""".stripMargin
 
+  /** brute-force top-1 for each planted query — the shared oracle for
+    * every ANN variant (LSH / IVF): the planted source is guaranteed
+    * found and guaranteed rank 1
+    */
+  private val PlantedTop1Sql =
+    s"""$PlantedCte, q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM pe WHERE vec_id >= 1000000
+       |), c AS (
+       |  SELECT vec_id AS nid, embedding AS cv FROM pe
+       |), pr AS (
+       |  SELECT qid, nid,
+       |    round(
+       |      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+       |      / ( sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+       |        * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) ),
+       |      6) AS sim
+       |  FROM q, c WHERE qid <> nid
+       |), rk AS (
+       |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+       |  FROM pr
+       |)
+       |SELECT qid, nid, sim FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin
+
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id").as("docId"), col("text").as("content"))
 
@@ -645,6 +668,19 @@ object SparkEntry {
       val emb = plantedEmbeddings(s, dir)
       Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64, k = 5,
         bands = 8, rowsPerBand = 6)
+        .where(col("qid") >= PlantOffset && col("rk") === 1)
+        .select(col("qid"), col("nid"), col("sim"))
+        .orderBy("qid")
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF ANN (spherical k-means coarse quantizer + probe search).
+      // Same planted-top-1 oracle as the LSH path: an identical query
+      // vector probes its source's cell deterministically, and cosine
+      // 1.0 beats every natural neighbor (max ≈0.60)
+      val emb = plantedEmbeddings(s, dir)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", dim = 64, k = 5,
+        ncells = 16, nProbe = 2)
         .where(col("qid") >= PlantOffset && col("rk") === 1)
         .select(col("qid"), col("nid"), col("sim"))
         .orderBy("qid")
@@ -1314,24 +1350,8 @@ object SparkEntry {
         |)
         |SELECT qid, nid, sim, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
-    "q_ann_lsh" ->
-      s"""$PlantedCte, q AS (
-         |  SELECT vec_id AS qid, embedding AS qv FROM pe WHERE vec_id >= 1000000
-         |), c AS (
-         |  SELECT vec_id AS nid, embedding AS cv FROM pe
-         |), pr AS (
-         |  SELECT qid, nid,
-         |    round(
-         |      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
-         |      / ( sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
-         |        * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) ),
-         |      6) AS sim
-         |  FROM q, c WHERE qid <> nid
-         |), rk AS (
-         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-         |  FROM pr
-         |)
-         |SELECT qid, nid, sim FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin,
+    "q_ann_lsh" -> PlantedTop1Sql,
+    "q_ann_ivf" -> PlantedTop1Sql,
 
     "q_emb_neardup" ->
       s"""$PlantedCte, pr AS (

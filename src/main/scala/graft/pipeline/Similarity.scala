@@ -144,6 +144,95 @@ object Similarity {
       .select("qid", "nid", "sim", "rk")
   }
 
+  /** IVF coarse quantizer: spherical k-means (Lloyd's, fixed iteration
+    * count, deterministic init from the `ncells` smallest-id vectors) —
+    * the standard inverted-file ANN trainer. Centroids are driver-side
+    * (ncells × dim doubles, tiny); assignment is one distributed pass.
+    * Everything is deterministic for a deterministic corpus, so planted
+    * duplicates are provably routed to their source's cell.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   ncells: Int, iters: Int = 5): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    def normalize(c: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < c.length) { n += c(i) * c(i); i += 1 }
+      val s = math.sqrt(n)
+      if (s == 0) c else c.map(_ / s)
+    }
+    var cents: Array[Array[Double]] = base.orderBy("id").limit(ncells)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble)).map(normalize)
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssignCells(base, cents, nProbe = 1)
+        .select(col("id"), col("v"), col("cell"))
+      // mean per (cell, dim): ncells × dim rows — a driver-sized collect
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.tabulate(ncells)(i => cents(i).clone()) // empty cells keep their centroid
+      val touched = Array.fill(ncells)(false)
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        next(c)(d) = r.getDouble(2); touched(c) = true
+      }
+      cents = next.zipWithIndex.map { case (c, i) => if (touched(i)) normalize(c) else c }
+      it += 1
+    }
+    cents
+  }
+
+  /** (id, v, cell, …probe cells): per row, the `nProbe` nearest centroids
+    * by cosine (tie-break: smaller cell id). `cell` = nearest.
+    */
+  private def ivfAssignCells(base: DataFrame, cents: Array[Array[Double]],
+                             nProbe: Int): DataFrame = {
+    val bc = base.sparkSession.sparkContext.broadcast(cents)
+    val np = nProbe
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val sims = new Array[Double](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var dot = 0.0; var nv = 0.0
+        var i = 0
+        val n = math.min(v.length, cent.length)
+        while (i < n) { val x = v(i).toDouble; dot += x * cent(i); nv += x * x; i += 1 }
+        sims(c) = if (nv == 0) -2.0 else dot / math.sqrt(nv) // centroids unit-norm
+        c += 1
+      }
+      (0 until cs.length).sortBy(c0 => (-sims(c0), c0)).take(np)
+    }
+    base.withColumn("probes", probeUdf(col("v")))
+      .withColumn("cell", element_at(col("probes"), 1))
+  }
+
+  /** IVF approximate top-k: corpus partitioned into per-centroid lists;
+    * each query probes its `nProbe` nearest cells and ranks the union by
+    * exact cosine. Query-side cost is ~nProbe/ncells of the corpus; the
+    * inverted lists shard by cell at scale exactly like term postings.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+              ncells: Int = 16, nProbe: Int = 2, iters: Int = 5): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = ivfCentroids(df, idCol, vecCol, dim, ncells, iters)
+    val corpus = ivfAssignCells(base, cents, nProbe = 1)
+      .select(col("cell"), col("id").as("nid"), col("v").as("cv"))
+    val queries = ivfAssignCells(base, cents, nProbe = nProbe)
+      .select(col("id").as("qid"), col("v").as("qv"), explode(col("probes")).as("cell"))
+    val pairs = queries.join(corpus, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("qid", "nid", "sim", "rk")
+  }
+
   /** Embedding-cosine near-duplicate detection: undirected pairs (a < b)
     * above threshold. Candidates from banded LSH, exact cosine check.
     */

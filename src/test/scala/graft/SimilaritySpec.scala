@@ -55,6 +55,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF: planted query's top-1 is its source; probe search touches a corpus fraction") {
+    val top1 = Similarity.ivfTopK(df, "vec_id", "embedding", dim, k = 1,
+      ncells = 12, nProbe = 2)
+      .where(col("qid") >= 10000L && col("qid") < 20000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vectors.collect { case (id, _) if id >= 10000L && id < 20000L => id }.foreach { q =>
+      assert(top1(q) == q - 10000L, s"query $q top-1 ${top1.get(q)}")
+    }
+    // recall@5 vs brute on the natural vectors; nProbe/ncells bounds cost
+    val natural = df.where(col("vec_id") < 10000L)
+    val brute = Similarity.bruteForceTopK(natural, natural, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(natural, "vec_id", "embedding", dim, 5,
+      ncells = 12, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 $recall")
+  }
+
   test("cosine is a native codegen expression, bit-identical to the scalar loop") {
     import graft.functions.CosineSimilarity
     // parquet-backed source: a local relation would be constant-folded

@@ -637,6 +637,15 @@ object SparkEntry {
         numHashes = 4, bands = 2)
         .orderBy("a", "b")),
 
+    "q_dedup_clusters" -> ((s, dir) =>
+      // transitive closure of the LSH candidate pairs (same 4×2 banding
+      // as q_lsh_pairs) → canonical keeper per near-dup cluster
+      TextPipeline.dedupClusters(documents(s, dir), "doc_id", "text",
+        numHashes = 4, bands = 2)
+        .select(col("doc_id"), col("keeper"),
+          col("is_dup").cast(LongType).as("is_dup"))
+        .orderBy("doc_id")),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = documents(s, dir)
       val ids = docs.where(col("doc_id") < 40).select(col("doc_id").as("a"))
@@ -1311,6 +1320,42 @@ object SparkEntry {
         |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
         |WHERE a.doc_id < b.doc_id
         |ORDER BY a, b""".stripMargin,
+
+    // transitive closure of the q_lsh_pairs candidate graph via a
+    // recursive CTE: walk(id, r) enumerates every node r reachable from
+    // id; min(r) (base row includes id itself) is the canonical keeper
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM d
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh3
+        |  FROM s
+        |), banded AS (
+        |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs
+        |), walk(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.y FROM walk w JOIN edges e ON e.x = w.r
+        |)
+        |SELECT id AS doc_id, min(r) AS keeper,
+        |       (CASE WHEN min(r) <> id THEN 1 ELSE 0 END)::BIGINT AS is_dup
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (

@@ -127,6 +127,57 @@ object TextPipeline {
       .select("a", "b").distinct()
   }
 
+  /** Connected components over an undirected pair list by min-label
+    * propagation: comp(id) ← min(comp(id), min over neighbors' comp)
+    * until fixpoint. Near-dup graphs have tiny, diameter-bounded
+    * components, so rounds ≈ longest dup chain (early exit when a round
+    * changes nothing). Each round is one shuffle join on the edge key;
+    * localCheckpoint truncates lineage like the PageRank loop. At web
+    * scale the identical propagation body runs over a large-star/
+    * small-star reshaped edge list (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) for O(log n) rounds —
+    * the per-round plan shape (join + min-agg) is already that one.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").cast(LongType).as("x"), col("b").cast(LongType).as("y"))
+      .union(pairs.select(col("b").cast(LongType).as("x"), col("a").cast(LongType).as("y")))
+      .persist()
+    var labels = nodes.select(col(idCol).cast(LongType).as("id"),
+      col(idCol).cast(LongType).as("comp")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val viaNbr = edges.join(labels.withColumnRenamed("id", "y"), "y")
+        .select(col("x").as("id"), col("comp"))
+      val next = labels.union(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+      val stepped = labels.withColumnRenamed("comp", "prev")
+        .join(next, "id")
+        .select(col("id"), col("comp"),
+          (col("comp") =!= col("prev")).cast(LongType).as("chg"))
+        .localCheckpoint()
+      changed = stepped.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+      labels = stepped.select("id", "comp")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters: LSH candidate pairs → transitive closure →
+    * canonical keeper (minimum id per component) — the pretraining-
+    * pipeline step after pair generation: keep one representative per
+    * cluster, drop the rest.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleK)
+    connectedComponents(df, idCol, pairs)
+      .withColumn("is_dup", (col("id") =!= col("comp")).cast(IntegerType))
+      .select(col("id").as(idCol), col("comp").as("keeper"), col("is_dup"))
+  }
+
   /** SimHash over token md5 bits: bit_j(sig) = majority vote of
     * bit_j(md5(token)) across tokens (+1/−1). `bits` ≤ 64 (first
     * bits/4 hex chars of the md5). Pure column expressions.

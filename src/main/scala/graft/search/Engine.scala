@@ -362,7 +362,8 @@ final class Engine(
   /** score function for a raw expression from globally-gathered stats */
   private def scoreFnFor(node: QueryNode, raw: RawResult,
                          termStats: Map[String, TermStats],
-                         qtf: Int, qtw: Option[Double]): TermScoreFunction = node match {
+                         qtf: Int, qtw: Option[Double],
+                         cstats: Map[QueryNode, (Double, Long)] = Map.empty): TermScoreFunction = node match {
     case TermNode(t) =>
       val pt = analyzer.processTerm(t)
       val ts = if (pt == null) TermStats(0, 0) else termStats.getOrElse(pt, TermStats(0, 0))
@@ -371,12 +372,81 @@ final class Engine(
     case _ =>
       // complex expression: gather occurrences/df by evaluating the match
       // list (ContextCountAccumulator analogue,
-      // reference: src/ContextCountAccumulator.cpp)
-      val r = raw.df.agg(
-        coalesce(sum(size(col("begins")).cast(LongType)), lit(0L)),
-        count(lit(1))).head()
-      Scorers.forTerm(rule, r.getLong(0).toDouble, stats.totalTerms.toDouble,
-        r.getLong(1).toDouble, stats.totalDocs, qtf, qtw)
+      // reference: src/ContextCountAccumulator.cpp). Normally answered
+      // from the batched one-job stats round (complexStatsFor); the
+      // per-leaf agg remains as a fallback for direct callers.
+      val (occ, df) = cstats.getOrElse(node, {
+        val r = raw.df.agg(
+          coalesce(sum(size(col("begins")).cast(LongType)), lit(0L)),
+          count(lit(1))).head()
+        (r.getLong(0).toDouble, r.getLong(1))
+      })
+      Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+        df.toDouble, stats.totalDocs, qtf, qtw)
+  }
+
+  /** Complex (non-term) raw leaves needing a stats round, in traversal
+    * order. Filter args of #filreq/#filrej are match-only (never
+    * scored) and extent restriction scores per-extent contexts with its
+    * own term stats, so neither contributes.
+    */
+  private def complexRawLeaves(node: QueryNode): Seq[QueryNode] = node match {
+    case _: TermNode => Nil
+    case r if isRawNode(r) => Seq(r)
+    case CombineNode(cs) => cs.flatMap(complexRawLeaves)
+    case WeightNode(cs) => cs.flatMap(c => complexRawLeaves(c._2))
+    case WsumNode(cs) => cs.flatMap(c => complexRawLeaves(c._2))
+    case SumNode(cs) => cs.flatMap(complexRawLeaves)
+    case OrQNode(cs) => cs.flatMap(complexRawLeaves)
+    case MaxQNode(cs) => cs.flatMap(complexRawLeaves)
+    case NotQNode(c) => complexRawLeaves(c)
+    case FilReqNode(_, s) => complexRawLeaves(s)
+    case FilRejNode(_, s) => complexRawLeaves(s)
+    case LengthPriorQNode(_, c) => complexRawLeaves(c)
+    case _ => Nil
+  }
+
+  /** Weighted-extent occurrence table for #wsyn — shared by the stats
+    * round and belief scoring (reference: src/WeightedExtentOrNode.cpp).
+    */
+  private def wsynOcc(children: Seq[(Double, QueryNode)]): DataFrame = {
+    val stacked = children.map { case (w, c) =>
+      evaluateRaw(c).df.select(col("docId"),
+        (size(col("begins")).cast(DoubleType) * w).as("wocc"),
+        col("doclen"))
+    }.reduce(_ union _)
+    stacked.groupBy("docId").agg(
+      sum(col("wocc")).as("wocc"), first(col("doclen")).as("doclen"))
+  }
+
+  /** 1-row (occ, df) ContextCount aggregate for one complex leaf */
+  private def statsAgg(node: QueryNode): DataFrame = node match {
+    case WsynNode(children) =>
+      wsynOcc(children).agg(
+        coalesce(sum(col("wocc")), lit(0.0)).as("occ"),
+        count(lit(1)).as("df"))
+    case n =>
+      evaluateRaw(n).df.agg(
+        coalesce(sum(size(col("begins")).cast(LongType)), lit(0L))
+          .cast(DoubleType).as("occ"),
+        count(lit(1)).as("df"))
+  }
+
+  /** One-job stats round for every complex raw leaf of the query. Each
+    * leaf keeps its own 1-row aggregate subtree (bit-identical values to
+    * the per-leaf form); the union is collected ONCE — the reference
+    * gathers all ContextCount requests in a single network round the
+    * same way (src/QueryEnvironment.cpp:957-966 — ContextCountGraphCopier
+    * over ALL scorer nodes, one _sumServerQuery), where the naive form
+    * pays one blocking Spark job per complex leaf.
+    */
+  private def complexStatsFor(node: QueryNode): Map[QueryNode, (Double, Long)] = {
+    val leaves = complexRawLeaves(node).distinct
+    if (leaves.isEmpty) return Map.empty
+    val rows = leaves.zipWithIndex.map { case (n, i) =>
+      statsAgg(n).select(lit(i).as("i"), col("occ"), col("df"))
+    }.reduce(_ union _).collect()
+    rows.map(r => leaves(r.getInt(0)) -> (r.getDouble(1), r.getLong(2))).toMap
   }
 
   private def isRawNode(n: QueryNode): Boolean = n match {
@@ -391,23 +461,22 @@ final class Engine(
     * src/TermFrequencyBeliefNode.cpp:60-135).
     */
   private def scoreRaw(node: QueryNode, termStats: Map[String, TermStats],
-                       qtf: Int = 1, qtw: Option[Double] = None): Belief = node match {
+                       qtf: Int = 1, qtw: Option[Double] = None,
+                       cstats: Map[QueryNode, (Double, Long)] = Map.empty): Belief = node match {
     case WsynNode(children) =>
       // WeightedExtentOr: each child's extents carry its weight; the
       // belief occurrence count is the weighted sum of extent counts
       // (reference: src/WeightedExtentOrNode.cpp — extents carry weights,
       // consumed by ListBeliefNode occurrence accumulation)
-      val stacked = children.map { case (w, c) =>
-        evaluateRaw(c).df.select(col("docId"),
-          (size(col("begins")).cast(DoubleType) * w).as("wocc"),
-          col("doclen"))
-      }.reduce(_ union _)
-      val occ = stacked.groupBy("docId").agg(
-        sum(col("wocc")).as("wocc"), first(col("doclen")).as("doclen"))
+      val occ = wsynOcc(children)
       // stats round (ContextCount analogue) over the weighted occurrences
-      val r = occ.agg(coalesce(sum(col("wocc")), lit(0.0)), count(lit(1))).head()
-      val sf = Scorers.forTerm(rule, r.getDouble(0), stats.totalTerms.toDouble,
-        r.getLong(1).toDouble, stats.totalDocs, qtf, qtw)
+      // — answered from the batched round when available
+      val (wo, dfc) = cstats.getOrElse(node, {
+        val r = occ.agg(coalesce(sum(col("wocc")), lit(0.0)), count(lit(1))).head()
+        (r.getDouble(0), r.getLong(1))
+      })
+      val sf = Scorers.forTerm(rule, wo, stats.totalTerms.toDouble,
+        dfc.toDouble, stats.totalDocs, qtf, qtw)
       val scoreUdf = udf { (wocc: Double, dl: Int) => sf.scoreOccurrence(wocc, dl) }
       Belief(
         occ.select(col("docId"), scoreUdf(col("wocc"), col("doclen")).as("score"),
@@ -415,7 +484,7 @@ final class Engine(
         bg = dl => sf.scoreOccurrence(0.0, dl))
     case _ =>
       val raw = evaluateRaw(node)
-      val sf = scoreFnFor(node, raw, termStats, qtf, qtw)
+      val sf = scoreFnFor(node, raw, termStats, qtf, qtw, cstats)
       val scoreUdf = udf { (tf: Int, dl: Int) => sf.scoreOccurrence(tf.toDouble, dl) }
       Belief(
         raw.df.select(col("docId"),
@@ -482,7 +551,8 @@ final class Engine(
   def evaluate(node: QueryNode, root: Boolean = true): Belief = {
     val leaves = QueryParser.termLeaves(node).flatMap(t => Option(analyzer.processTerm(t)))
     val tstats = termStatsFor(leaves)
-    evaluateWith(node, tstats, root)
+    val cstats = complexStatsFor(node)
+    evaluateWith(node, tstats, cstats, root)
   }
 
   private def qtfMap(node: QueryNode): Map[String, Int] = {
@@ -493,15 +563,17 @@ final class Engine(
       .groupBy(identity).map { case (t, xs) => t -> xs.length }
   }
 
-  private def evaluateWith(node: QueryNode, tstats: Map[String, TermStats], root: Boolean): Belief = {
+  private def evaluateWith(node: QueryNode, tstats: Map[String, TermStats],
+                           cstats: Map[QueryNode, (Double, Long)],
+                           root: Boolean): Belief = {
     lazy val qtfs = qtfMap(node)
     def childBelief(c: QueryNode): Belief = c match {
       case t @ TermNode(raw) if baseline =>
         val pt = analyzer.processTerm(raw)
         val qtf = if (pt == null) 1 else qtfs.getOrElse(pt, 1)
-        scoreRaw(t, tstats, qtf = qtf)
-      case r if isRawNode(r) => scoreRaw(r, tstats)
-      case b => evaluateWith(b, tstats, root = false)
+        scoreRaw(t, tstats, qtf = qtf, cstats = cstats)
+      case r if isRawNode(r) => scoreRaw(r, tstats, cstats = cstats)
+      case b => evaluateWith(b, tstats, cstats, root = false)
     }
 
     node match {

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextPipeline
+
+/** Min-label-propagation connected components + near-dup cluster
+  * canonicalization (keep the minimum id per component).
+  */
+class DedupClusterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("components: chain + pair + singleton resolve to min-id labels") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = TextPipeline.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("components: a 12-node chain given in worst-case order converges") {
+    // labels must travel the full diameter; maxIter default must cover it
+    val n = 12
+    val nodes = (1L to n.toLong).toDF("id")
+    val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
+    val got = TextPipeline.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.size == n)
+  }
+
+  test("dedupClusters: exact duplicate texts land in one cluster with min-id keeper") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "totally unrelated content about distributed query engines at scale"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (7L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.dedupClusters(docs, "doc_id", "text",
+      numHashes = 4, bands = 2)
+      .select("doc_id", "keeper", "is_dup")
+      .as[(Long, Long, Int)].collect().toMap2
+    assert(got(1L) == ((1L, 0)))
+    assert(got(3L) == ((1L, 1)))
+    assert(got(7L) == ((1L, 1)))
+    assert(got(2L)._1 == 2L && got(2L)._2 == 0)
+  }
+
+  private implicit class Tuple3Ops(rows: Array[(Long, Long, Int)]) {
+    def toMap2: Map[Long, (Long, Int)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}

@@ -791,6 +791,19 @@ object SparkEntry {
       TextPipeline.fingerprints(documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("content_fp"), col("min_shingle_fp"),
           col("n_distinct_shingles").cast(LongType).as("n_distinct_shingles"))
+        .orderBy("doc_id")),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // probe set = docs 0-4 standing in for a benchmark suite; flag any
+      // corpus doc sharing an 8-gram with it (probe docs self-match)
+      val docs = documents(s, dir)
+      TextPipeline.ngramContamination(docs, "doc_id", "text",
+        probes = docs.where(col("doc_id") < 5), probeTextCol = "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q_repetition" -> ((s, dir) =>
+      TextPipeline.repetitionStats(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"))
   )
 
@@ -1517,6 +1530,49 @@ object SparkEntry {
         |  md5(array_to_string(toks, ' ')) AS content_fp,
         |  list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS min_shingle_fp,
         |  len(list_distinct(sh))::BIGINT AS n_distinct_shingles
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // 8-gram overlap vs the doc_id<5 probe set; shingle window i runs
+    // 1..len-7 (range end len-6 exclusive), matching Spark offsets 0..len-8
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS gr
+        |  FROM d
+        |), pg AS (
+        |  SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id < 5
+        |), dg AS (
+        |  SELECT doc_id, unnest(gr) AS gram FROM g
+        |), hits AS (
+        |  SELECT dg.doc_id, count(*) AS hit_grams FROM dg JOIN pg USING(gram) GROUP BY dg.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(h.hit_grams, 0)::BIGINT AS hit_grams,
+        |       (CASE WHEN coalesce(h.hit_grams, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+        |FROM d LEFT JOIN hits h USING(doc_id) ORDER BY doc_id""".stripMargin,
+
+    // bigram window i runs 1..len-1 (range end len exclusive)
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |         list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lines
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+        |), agg AS (
+        |  SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS tot FROM cnt GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN len(lines) > 0
+        |        THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+        |  round(CASE WHEN coalesce(a.tot, 0) > 0
+        |        THEN a.top_c::DOUBLE / a.tot ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -289,6 +289,52 @@ object TextPipeline {
         .as("n_bpe_est"))
   }
 
+  /** Benchmark decontamination: flag documents sharing any word n-gram
+    * with a probe (benchmark/eval) set — the standard pre-training
+    * contamination check. The probe n-gram set is small by construction
+    * (benchmarks, not corpora), so the join broadcasts: one corpus scan,
+    * no shuffle of document data at any scale.
+    */
+  def ngramContamination(docs: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeTextCol: String,
+                         n: Int = 8): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val ptoks = expr(s"regexp_extract_all(lower($probeTextCol), '[a-z0-9]+', 0)")
+    val probeGrams = probes
+      .select(explode(array_distinct(shinglesCol(ptoks, n))).as("gram")).distinct()
+    val docGrams = docs.select(col(idCol),
+      explode(array_distinct(shinglesCol(toks, n))).as("gram"))
+    val hits = docGrams.join(broadcast(probeGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("hit_grams"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        (coalesce(col("hit_grams"), lit(0L)) > 0).cast(LongType).as("contaminated"))
+  }
+
+  /** Repetition signals (the Gopher-style repetition filters): fraction
+    * of duplicate non-empty lines, and the share of all word bigrams
+    * taken by the single most frequent one. One scan + a per-doc bigram
+    * aggregation (shuffle key = (doc, gram), never cross-doc).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val lineStats = docs.select(col(idCol),
+      size(lines).as("n_lines"),
+      size(array_distinct(lines)).as("n_distinct_lines"))
+    val bigrams = docs.select(col(idCol), explode(shinglesCol(toks, 2)).as("g"))
+    val bg = bigrams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("top_c"), sum("c").as("tot"))
+    lineStats.join(bg, Seq(idCol), "left")
+      .select(col(idCol),
+        round(when(col("n_lines") > 0,
+          lit(1.0) - col("n_distinct_lines").cast(DoubleType) / col("n_lines"))
+          .otherwise(0.0), 6).as("dup_line_frac"),
+        round(when(col("tot") > 0, col("top_c").cast(DoubleType) / col("tot"))
+          .otherwise(0.0), 6).as("top_bigram_frac"))
+  }
+
   /** Document fingerprints: full-content md5 over the normalized token
     * stream, plus a winnowing-style fingerprint = min shingle-hash per
     * window (here: global min + count of distinct shingle hashes, the

@@ -440,8 +440,14 @@ final class Engine(
     * over ALL scorer nodes, one _sumServerQuery), where the naive form
     * pays one blocking Spark job per complex leaf.
     */
-  private def complexStatsFor(node: QueryNode): Map[QueryNode, (Double, Long)] = {
-    val leaves = complexRawLeaves(node).distinct
+  private def complexStatsFor(node: QueryNode): Map[QueryNode, (Double, Long)] =
+    complexStatsBatch(complexRawLeaves(node))
+
+  /** the same one-job round over an arbitrary set of complex leaves —
+    * lets a query BATCH share a single stats job (runQueries)
+    */
+  private def complexStatsBatch(leaves0: Seq[QueryNode]): Map[QueryNode, (Double, Long)] = {
+    val leaves = leaves0.distinct
     if (leaves.isEmpty) return Map.empty
     val rows = leaves.zipWithIndex.map { case (n, i) =>
       statsAgg(n).select(lit(i).as("i"), col("occ"), col("df"))
@@ -680,15 +686,49 @@ final class Engine(
       case Some(termWeights) if useDaat && baseline && deletedDocs.isEmpty =>
         runDaat(termWeights, k, exhaustive = false)
       case _ =>
-        val belief = evaluate(ast)
-        val scored = deletedDocs match {
-          case Some(d) => belief.df.join(d, Seq("docId"), "left_anti")
-          case None => belief.df
-        }
-        scored
-          .select(col("docId"), col("score"))
-          .orderBy(col("score").desc, col("docId").asc)
-          .limit(k)
+        scoredTail(evaluate(ast), k)
+    }
+  }
+
+  /** deleted-doc filter + final (score desc, docId asc) top-k on a
+    * belief — the shared tail of runQuery and runQueries
+    */
+  private def scoredTail(belief: Belief, k: Int): DataFrame = {
+    val scored = deletedDocs match {
+      case Some(d) => belief.df.join(d, Seq("docId"), "left_anti")
+      case None => belief.df
+    }
+    scored
+      .select(col("docId"), col("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Batch retrieval: the whole batch shares ONE dictionary stats probe
+    * and ONE complex-leaf stats job, then each query's top-k evaluates
+    * independently — per-query results are identical to runQuery
+    * (reference: IndriRunQuery drives query batches against a shared
+    * QueryEnvironment, runquery/IndriRunQuery.cpp:710-726). On Spark the
+    * driver-blocking stats rounds are the per-query latency floor, so a
+    * B-query batch pays 2 rounds instead of 2B (plus the k-bounded
+    * topdocs seed probe per DAAT-path query).
+    */
+  def runQueries(queries: Seq[String], k: Int, useDaat: Boolean = true): Seq[(String, DataFrame)] = {
+    val asts = queries.map(q => q -> QueryParser.parse(q))
+    def daatPath(ast: QueryNode): Boolean =
+      daatBag(ast).isDefined && useDaat && baseline && deletedDocs.isEmpty
+    val allTerms = asts.flatMap { case (_, a) => QueryParser.termLeaves(a) }
+      .flatMap(t => Option(analyzer.processTerm(t)))
+    val tstats = termStatsFor(allTerms.distinct)
+    val cstats = complexStatsBatch(
+      asts.collect { case (_, a) if !daatPath(a) => complexRawLeaves(a) }.flatten)
+    asts.map { case (q, ast) =>
+      q -> (daatBag(ast) match {
+        case Some(termWeights) if daatPath(ast) =>
+          runDaat(termWeights, k, exhaustive = false, tstatsOpt = Some(tstats))
+        case _ =>
+          scoredTail(evaluateWith(ast, tstats, cstats, root = true), k)
+      })
     }
   }
 
@@ -709,7 +749,8 @@ final class Engine(
   /** Score a bag through the DAAT/WAND kernel. Stopped/OOV terms drop
     * out (okapi background = 0 — NullScorerNode semantics).
     */
-  def runDaat(termWeights: Seq[(String, Double)], k: Int, exhaustive: Boolean): DataFrame = {
+  def runDaat(termWeights: Seq[(String, Double)], k: Int, exhaustive: Boolean,
+              tstatsOpt: Option[Map[String, TermStats]] = None): DataFrame = {
     val processed = termWeights.flatMap { case (t, w) =>
       Option(analyzer.processTerm(t)).map(_ -> w)
     }
@@ -717,7 +758,7 @@ final class Engine(
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
     }
-    val tstats = termStatsFor(processed.map(_._1))
+    val tstats = tstatsOpt.getOrElse(termStatsFor(processed.map(_._1)))
     val qtfs = processed.groupBy(_._1).map { case (t, xs) => t -> xs.length }
     val engineTerms = processed.map { case (t, w) =>
       val ts = tstats.getOrElse(t, TermStats(0, 0))

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextPipeline
+
+/** Decontamination (probe n-gram overlap) and Gopher-style repetition
+  * signals, against hand-computed expectations.
+  */
+class PipelineFilterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("ngramContamination flags docs sharing an 8-gram with the probe set") {
+    val probe = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains probe 8-grams "two three four five six seven eight nine"
+      // and "three four five six seven eight nine ten" via copied tail
+      (1L, "zzz two three four five six seven eight nine ten"),
+      (2L, "totally different words with no overlap at all whatsoever here"),
+      (3L, "one two three four five six seven eight")  // exactly one probe 8-gram
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.ngramContamination(docs, "doc_id", "text", probe, "text", n = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((0L, 0L)))
+    assert(got(3L) == ((1L, 1L)))
+  }
+
+  test("repetitionStats: duplicate-line fraction and top-bigram share") {
+    val docs = Seq(
+      // 4 non-empty lines, 3 distinct -> dup_line_frac = 1 - 3/4 = 0.25
+      // tokens: a b a b a b c x y -> 8 bigrams, top "a b" x3 -> 3/8
+      (1L, "a b\na b\na b c\n\nx y"),
+      (2L, "")  // degenerate: no lines, no bigrams -> 0.0 / 0.0
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 lines: "a b", "a b", "a b c", "x y" -> 4 lines, 3 distinct
+    assert(got(1L)._1 == 0.25)
+    assert(got(1L)._2 == 0.375)
+    assert(got(2L) == ((0.0, 0.0)))
+  }
+}

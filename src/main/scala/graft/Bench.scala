@@ -127,9 +127,10 @@ object Bench {
   /** build + query-batch rates at one parallelism level (N executors ×
     * 4 cores each, separate executor JVMs)
     */
-  private def engineBench(executors: Int, nDocs: Int): (Double, Double, Long) = {
-    val cpus = executors * 4
-    val spark = clusterSession(executors)
+  private def engineBench(executors: Int, nDocs: Int,
+                          coresPerExec: Int = 4): (Double, Double, Long) = {
+    val cpus = executors * coresPerExec
+    val spark = clusterSession(executors, coresPerExec)
     try {
       val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024, numBuckets = 8)
       // in-session warmup: executor JVMs are fresh per level — let them
@@ -253,6 +254,26 @@ object Bench {
         (bh, qh, p, "")
       }
 
+    // ---- optional: N-vs-4N CORES in one executor JVM (unsaturated
+    // regime). The 1v4-EXECUTOR pair saturates this host's shared
+    // memory bus (BENCH.md), which caps the measurable ratio no matter
+    // how well the engine scales; 1 vs 4 cores at low absolute load
+    // stays under the bus ceiling — the regime a real cluster's
+    // per-node memory systems resemble.
+    val coresScalingJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_CORES_SCALING", "0") == "1") {
+        def bestC(c: Int): (Double, Double, Long) =
+          (1 to reps).map(_ => engineBench(1, nDocs, coresPerExec = c))
+            .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), a._3))
+        val (bl, ql, _) = bestC(1)
+        val (bh, qh, _) = bestC(4)
+        s""","cores_scaling":{"executors":1,"cores_n":1,"cores_4n":4,
+           |"build_docs_per_sec_n":$bl,"build_docs_per_sec_4n":$bh,
+           |"query_qps_n":$ql,"query_qps_4n":$qh,
+           |"build_efficiency":${(bh / bl) / 4.0},"query_efficiency":${(qh / ql) / 4.0}}"""
+          .stripMargin.replace("\n", "")
+      } else ""
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -260,6 +281,6 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
       s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
-      scalingJson + "}")
+      scalingJson + coresScalingJson + "}")
   }
 }

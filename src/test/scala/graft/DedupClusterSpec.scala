@@ -50,4 +50,27 @@ class DedupClusterSpec extends AnyFunSuite {
   private implicit class Tuple3Ops(rows: Array[(Long, Long, Int)]) {
     def toMap2: Map[Long, (Long, Int)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  test("components == scalar union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val n = 40
+      val nodes = (1L to n.toLong)
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // scalar oracle: union-find with min-root canonicalization
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expected = nodes.map(i => i -> find(i)).toMap
+      val got = TextPipeline.connectedComponents(
+        nodes.toDF("id"), "id", pairs.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
 }

@@ -735,6 +735,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_bmp" -> ((s, dir) => {
+      // REAL image decode: synthesize 24bpp BMPs whose pixel channels
+      // follow a closed-form formula of (doc_id, x, y), parse the actual
+      // bytes with the BMP decoder, emit mean-RGB features; the oracle
+      // recomputes the expected means arithmetically from the same
+      // formula — a wrong parse (BGR order, bottom-up rows, row padding)
+      // breaks the hash match
+      val synth = udf { (id: Long) =>
+        val w = 4; val h = 3
+        val px = Array.tabulate(w * h) { i =>
+          val v = ((id * 7 + (i % 4) * 13 + (i / 4) * 31) % 256).toInt
+          (v << 16) | (((v + 85) % 256) << 8) | ((v + 170) % 256)
+        }
+        graft.pipeline.Multimodal.synthBmpBytes(w, h, px)
+      }
+      val media = documents(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id").cast(LongType).as("id"), synth(col("doc_id")).as("media"))
+      graft.pipeline.Multimodal.decodeBmp(media)
+        .select(col("id").as("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    }),
+
+    "q_multimodal_png" -> ((s, dir) => {
+      // REAL compressed-image decode: synthesize PNGs (zlib-deflated,
+      // Paeth-filtered scanlines) from a closed-form pixel formula of
+      // (doc_id, i), inflate+de-filter them with the PNG decoder, emit
+      // mean-RGB features; oracle recomputes the means arithmetically
+      val synth = udf { (id: Long) =>
+        val w = 5; val h = 4
+        val px = Array.tabulate(w * h) { i =>
+          val v = ((id * 11 + i * 29) % 256).toInt
+          (v << 16) | (((v + 63) % 256) << 8) | ((v + 190) % 256)
+        }
+        graft.pipeline.Multimodal.synthPngBytes(w, h, px, filterType = 4)
+      }
+      val media = documents(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id").cast(LongType).as("id"), synth(col("doc_id")).as("media"))
+      graft.pipeline.Multimodal.decodePng(media)
+        .select(col("id").as("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    }),
+
     "q_snippets" -> ((s, dir) => {
       // SnippetBuilder analogue; no SQL oracle (string assembly) →
       // rows-only driver check; semantics pinned by AuxOpsSpec
@@ -1438,6 +1486,37 @@ object SparkEntry {
         |  64::BIGINT AS n_samples,
         |  round(list_sum(a) / 64.0, 6) AS mean_abs,
         |  list_max(a)::BIGINT AS peak
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // pixel channel formula mirrored from the driver query's synth UDF:
+    // v = (doc_id*7 + x*13 + y*31) % 256; r=v, g=(v+85)%256, b=(v+170)%256
+    "q_multimodal_bmp" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 12), i -> (doc_id * 7 + (i % 4) * 13 + (i // 4) * 31) % 256) AS v
+        |  FROM ids
+        |)
+        |SELECT doc_id, 4::BIGINT AS width, 3::BIGINT AS height,
+        |  12::BIGINT AS n_pixels,
+        |  round(list_sum(v)::DOUBLE / 12, 6) AS mean_r,
+        |  round(list_sum(list_transform(v, x -> (x + 85) % 256))::DOUBLE / 12, 6) AS mean_g,
+        |  round(list_sum(list_transform(v, x -> (x + 170) % 256))::DOUBLE / 12, 6) AS mean_b
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // v = (doc_id*11 + i*29) % 256; r=v, g=(v+63)%256, b=(v+190)%256
+    "q_multimodal_png" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 20), i -> (doc_id * 11 + i * 29) % 256) AS v
+        |  FROM ids
+        |)
+        |SELECT doc_id, 5::BIGINT AS width, 4::BIGINT AS height,
+        |  20::BIGINT AS n_pixels,
+        |  round(list_sum(v)::DOUBLE / 20, 6) AS mean_r,
+        |  round(list_sum(list_transform(v, x -> (x + 63) % 256))::DOUBLE / 20, 6) AS mean_g,
+        |  round(list_sum(list_transform(v, x -> (x + 190) % 256))::DOUBLE / 20, 6) AS mean_b
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> {

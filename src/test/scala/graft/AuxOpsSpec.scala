@@ -56,6 +56,55 @@ class AuxOpsSpec extends AnyFunSuite {
     assert(feats(3L) == ((8000, 1, 0L, 0.0, 0L)))
   }
 
+  test("BMP decode: 24bpp round-trip incl. row padding + bottom-up order; malformed observable") {
+    // 3×2, w=3 ⇒ 9 row bytes padded to 12 — exercises the pad path;
+    // distinct per-pixel channels pin BGR order and bottom-up rows
+    val px = Array(0x010203, 0x405060, 0xFF0080, 0x112233, 0x99AABB, 0x000000)
+    val bytes = Multimodal.synthBmpBytes(3, 2, px)
+    val parsed = Multimodal.parseBmp(bytes)
+    assert(parsed.exists { case (w, h, p) => w == 3 && h == 2 && p.sameElements(px) })
+
+    val media = Seq(
+      (1L, bytes),
+      (2L, "not a bmp".getBytes("UTF-8"))
+    ).toDF("id", "media")
+    val feats = Multimodal.decodeBmp(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    def mean(f: Int => Int): Double =
+      BigDecimal(px.map(f).sum / px.length.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(feats(1L) == ((3, 2, 6L,
+      mean(p => (p >> 16) & 0xff), mean(p => (p >> 8) & 0xff), mean(p => p & 0xff))))
+    assert(feats(2L) == ((-1, -1, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("PNG decode: zlib inflate + every scanline filter type round-trips; malformed observable") {
+    val px = Array(0x010203, 0x405060, 0xFF0080, 0x112233, 0x99AABB, 0x000000,
+      0xDEADBE, 0xC0FFEE, 0x123456)
+    // each filter type produces DIFFERENT bytes on disk; the decoder
+    // must invert all five against the unfiltered neighbor rows
+    (0 to 4).foreach { ft =>
+      val bytes = Multimodal.synthPngBytes(3, 3, px, filterType = ft)
+      val parsed = Multimodal.parsePng(bytes)
+      assert(parsed.exists { case (w, h, p) => w == 3 && h == 3 && p.sameElements(px) },
+        s"filter type $ft failed to round-trip")
+    }
+    val media = Seq(
+      (1L, Multimodal.synthPngBytes(3, 3, px, filterType = 4)),
+      (2L, "not a png".getBytes("UTF-8"))
+    ).toDF("id", "media")
+    val feats = Multimodal.decodePng(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    def mean(f: Int => Int): Double =
+      BigDecimal(px.map(f).sum / px.length.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(feats(1L) == ((3, 3, 9L,
+      mean(p => (p >> 16) & 0xff), mean(p => (p >> 8) & 0xff), mean(p => p & 0xff))))
+    assert(feats(2L) == ((-1, -1, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("snippets merge match regions and highlight terms") {
     val az = Analyzer(mode = "simple")
     val docs = Seq(

@@ -852,6 +852,10 @@ object SparkEntry {
 
     "q_repetition" -> ((s, dir) =>
       TextPipeline.repetitionStats(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_code_stats" -> ((s, dir) =>
+      TextPipeline.codeStats(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"))
   )
 
@@ -1652,6 +1656,24 @@ object SparkEntry {
         |        THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
         |  round(CASE WHEN coalesce(a.tot, 0) > 0
         |        THEN a.top_c::DOUBLE / a.tot ELSE 0.0 END, 6) AS top_bigram_frac
-        |FROM d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id""".stripMargin
+        |FROM d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_code_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lines
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  coalesce(list_max(list_transform(lines, l -> length(l))), 0)::BIGINT AS max_line_len,
+        |  len(lines)::BIGINT AS n_lines,
+        |  round(CASE WHEN length(text) > 0
+        |        THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(text)
+        |        ELSE 0.0 END, 6) AS alnum_frac,
+        |  round(CASE WHEN len(lines) > 0
+        |        THEN len(list_filter(lines, l -> starts_with(trim(l), '//') OR starts_with(trim(l), '#')))::DOUBLE / len(lines)
+        |        ELSE 0.0 END, 6) AS comment_line_frac,
+        |  (CASE WHEN contains(text, 'SPDX-License-Identifier') THEN 1 ELSE 0 END)::BIGINT AS has_spdx
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

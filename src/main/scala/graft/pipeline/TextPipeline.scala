@@ -335,6 +335,30 @@ object TextPipeline {
           .otherwise(0.0), 6).as("top_bigram_frac"))
   }
 
+  /** Code-corpus quality signals — the filters a source-code training
+    * pipeline runs per file: longest/count of non-empty lines, fraction
+    * of alphanumeric characters (low → minified/binary-ish), fraction
+    * of comment lines (`//` or `#` after trim), and an SPDX license tag
+    * flag. One scan, pure column expressions.
+    */
+  def codeStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    df.select(
+      col(idCol),
+      coalesce(array_max(transform(lines, l => length(l))), lit(0))
+        .cast(LongType).as("max_line_len"),
+      size(lines).cast(LongType).as("n_lines"),
+      round(when(length(col(textCol)) > 0,
+        length(regexp_replace(col(textCol), "[^a-zA-Z0-9]", "")).cast(DoubleType) /
+          length(col(textCol))).otherwise(0.0), 6).as("alnum_frac"),
+      round(when(size(lines) > 0,
+        size(filter(lines, l =>
+          trim(l).startsWith("//") || trim(l).startsWith("#"))).cast(DoubleType) /
+          size(lines)).otherwise(0.0), 6).as("comment_line_frac"),
+      col(textCol).contains("SPDX-License-Identifier")
+        .cast(LongType).as("has_spdx"))
+  }
+
   /** Document fingerprints: full-content md5 over the normalized token
     * stream, plus a winnowing-style fingerprint = min shingle-hash per
     * window (here: global min + count of distinct shingle hashes, the

@@ -28,6 +28,23 @@ class PipelineFilterSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1L)))
   }
 
+  test("codeStats: line lengths, alnum fraction, comment lines, SPDX flag") {
+    val docs = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\nval x = 1\n# config line\n\nlongest line here!"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.codeStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val text1 = "// SPDX-License-Identifier: MIT\nval x = 1\n# config line\n\nlongest line here!"
+    val alnum = text1.count(_.isLetterOrDigit).toDouble / text1.length
+    // 4 non-empty lines; longest = "// SPDX-License-Identifier: MIT" (31);
+    // comment lines: the // and # ones -> 2/4
+    assert(got(1L) == ((31L, 4L,
+      BigDecimal(alnum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5, 1L)))
+    assert(got(2L) == ((0L, 0L, 0.0, 0.0, 0L)))
+  }
+
   test("repetitionStats: duplicate-line fraction and top-bigram share") {
     val docs = Seq(
       // 4 non-empty lines, 3 distinct -> dup_line_frac = 1 - 3/4 = 0.25

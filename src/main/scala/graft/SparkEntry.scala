@@ -783,6 +783,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      // REAL lossy-image decode via the JDK's own ImageIO codec
+      // (java.desktop): solid-color JPEGs per doc. JPEG is lossy, so
+      // the oracle checks the lossless metadata columns — a parse
+      // failure flips width to -1 and breaks the hash match; pixel
+      // tolerance is pinned in AuxOpsSpec.
+      val synth = udf { (id: Long) =>
+        val v = ((id * 37) % 256).toInt
+        graft.pipeline.Multimodal.synthJpegBytes(6, 4,
+          (v << 16) | (((v + 90) % 256) << 8) | ((v + 180) % 256))
+      }
+      val media = documents(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id").cast(LongType).as("id"), synth(col("doc_id")).as("media"))
+      graft.pipeline.Multimodal.decodeImageIO(media)
+        .select(col("id").as("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_pixels"))
+        .orderBy("doc_id")
+    }),
+
     "q_snippets" -> ((s, dir) => {
       // SnippetBuilder analogue; no SQL oracle (string assembly) →
       // rows-only driver check; semantics pinned by AuxOpsSpec
@@ -1522,6 +1543,12 @@ object SparkEntry {
         |  round(list_sum(list_transform(v, x -> (x + 63) % 256))::DOUBLE / 20, 6) AS mean_g,
         |  round(list_sum(list_transform(v, x -> (x + 190) % 256))::DOUBLE / 20, 6) AS mean_b
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // lossless metadata of the per-doc solid-color JPEGs (decode
+    // failure → width -1 on the Spark side → mismatch)
+    "q_multimodal_jpeg" ->
+      """SELECT doc_id, 6::BIGINT AS width, 4::BIGINT AS height, 24::BIGINT AS n_pixels
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> {
       val prs = (1 to 10).map { i =>

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * inflates with JDK java.util.zip, all five scanline filters inverted)
   * are REAL decoders needing no external codec; oracled by
   * q_multimodal_wav / q_multimodal_bmp / q_multimodal_png against
-  * arithmetically-recomputed features. Codec-bound formats
-  * (jpeg/mp3/h264) have no libraries in this environment, so
+  * arithmetically-recomputed features. JPEG (and any format the JRE
+  * registers) decodes for real through the JDK's own ImageIO codec
+  * (`decodeImageIO`, q_multimodal_jpeg). Only audio/video codec formats
+  * (mp3/h264) have no libraries in this environment, so
   * `decodeFeatures`/`frameSample`/`resize` remain deterministic
   * byte-level STUBS (documented per method): schema, partitioning,
   * batch iteration, and column contracts are real and tested — swapping
@@ -444,6 +446,67 @@ object Multimodal {
     bos.write(chunk("IHDR", ihdr))
     bos.write(chunk("IDAT", comp.toByteArray))
     bos.write(chunk("IEND", Array.emptyByteArray))
+    bos.toByteArray
+  }
+
+  /** REAL compressed-image decode via the JDK's own ImageIO
+    * (java.desktop module — present in stock JDKs, no EXTERNAL codec):
+    * JPEG/GIF/TIFF plus anything the JRE registers. Same feature shape
+    * as decodeBmp/decodePng. The hand-rolled parseBmp/parsePng remain
+    * the default image path (no java.desktop requirement on executors);
+    * ImageIO also serves as the reference implementation the hand
+    * parsers are cross-validated against (AuxOpsSpec).
+    */
+  def decodeImageIO(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) (id, -1, -1, 0L, 0.0, 0.0, 0.0)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          def mean(s: Long): Double =
+            if (n == 0) 0.0
+            else BigDecimal(s / n.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, w, h, n, mean(sr), mean(sg), mean(sb))
+        }
+      }
+    }.toDF("id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Encode a solid-color JPEG via ImageIO — the harness for the JPEG
+    * driver query (JPEG is lossy, so the oracle checks the lossless
+    * metadata columns; pixel tolerance is pinned in AuxOpsSpec).
+    */
+  def synthJpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
 

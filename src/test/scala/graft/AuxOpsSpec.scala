@@ -105,6 +105,38 @@ class AuxOpsSpec extends AnyFunSuite {
     assert(feats(2L) == ((-1, -1, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("hand-rolled BMP/PNG parsers match the JDK ImageIO reference decoder") {
+    val px = Array(0x010203, 0x405060, 0xFF0080, 0x112233, 0x99AABB, 0x000000)
+    def viaImageIO(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth; val h = img.getHeight
+      (w, h, Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xffffff))
+    }
+    val bmp = Multimodal.synthBmpBytes(3, 2, px)
+    val (bw, bh, bp) = viaImageIO(bmp)
+    assert(Multimodal.parseBmp(bmp).exists { case (w, h, p) =>
+      w == bw && h == bh && p.sameElements(bp) })
+    (0 to 4).foreach { ft =>
+      val png = Multimodal.synthPngBytes(3, 2, px, filterType = ft)
+      val (pw, ph, pp) = viaImageIO(png)
+      assert(Multimodal.parsePng(png).exists { case (w, h, p) =>
+        w == pw && h == ph && p.sameElements(pp) }, s"PNG filter $ft vs ImageIO")
+    }
+  }
+
+  test("JPEG decode via ImageIO: real lossy decode, solid color within tolerance") {
+    val bytes = Multimodal.synthJpegBytes(8, 6, 0x8040C0)
+    val media = Seq((1L, bytes), (2L, "not a jpeg".getBytes("UTF-8"))).toDF("id", "media")
+    val feats = Multimodal.decodeImageIO(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val (w, h, n, mr, mg, mb) = feats(1L)
+    assert(w == 8 && h == 6 && n == 48L)
+    assert(math.abs(mr - 0x80) <= 4 && math.abs(mg - 0x40) <= 4 && math.abs(mb - 0xC0) <= 4,
+      s"solid-color JPEG decoded means drifted: $mr $mg $mb")
+    assert(feats(2L) == ((-1, -1, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("snippets merge match regions and highlight terms") {
     val az = Analyzer(mode = "simple")
     val docs = Seq(

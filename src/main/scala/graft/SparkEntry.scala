@@ -877,6 +877,11 @@ object SparkEntry {
 
     "q_code_stats" -> ((s, dir) =>
       TextPipeline.codeStats(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_hash_split" -> ((s, dir) =>
+      TextPipeline.hashSplit(documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("split"))
         .orderBy("doc_id"))
   )
 
@@ -1701,6 +1706,21 @@ object SparkEntry {
         |        THEN len(list_filter(lines, l -> starts_with(trim(l), '//') OR starts_with(trim(l), '#')))::DOUBLE / len(lines)
         |        ELSE 0.0 END, 6) AS comment_line_frac,
         |  (CASE WHEN contains(text, 'SPDX-License-Identifier') THEN 1 ELSE 0 END)::BIGINT AS has_spdx
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR) AS hx FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 100 AS bucket
+        |  FROM h
+        |)
+        |SELECT doc_id, bucket::BIGINT AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

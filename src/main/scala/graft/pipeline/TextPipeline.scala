@@ -359,6 +359,29 @@ object TextPipeline {
         .cast(LongType).as("has_spdx"))
   }
 
+  /** Deterministic train/validation/test assignment: bucket 0-99 from
+    * the first two hex chars of md5(id), thresholds at trainPct /
+    * trainPct+valPct. No sampling randomness — the split is a pure
+    * function of the id, reproducible across runs, engines, and
+    * re-partitionings (the property a training pipeline needs so a doc
+    * never migrates between splits between runs). 256 hash values onto
+    * 100 buckets is mildly non-uniform (realized train share ≈84% at
+    * the 80 threshold); widen to 4 hex chars if exact proportions
+    * matter more than oracle simplicity.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100)
+    val hx = md5(col(idCol).cast(StringType))
+    def hexVal(p: Int): Column =
+      (instr(lit("0123456789abcdef"), substring(hx, p, 1)) - 1).cast(IntegerType)
+    val bucket = (hexVal(1) * 16 + hexVal(2)) % 100
+    df.select(col(idCol), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "validation")
+        .otherwise("test").as("split"))
+  }
+
   /** Document fingerprints: full-content md5 over the normalized token
     * stream, plus a winnowing-style fingerprint = min shingle-hash per
     * window (here: global min + count of distinct shingle hashes, the

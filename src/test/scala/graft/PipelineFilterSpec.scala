@@ -45,6 +45,21 @@ class PipelineFilterSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, 0.0, 0.0, 0L)))
   }
 
+  test("hashSplit: deterministic, partition-invariant, respects thresholds") {
+    val ids = (1L to 400L).toDF("doc_id")
+    val a = TextPipeline.hashSplit(ids, "doc_id")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    val b = TextPipeline.hashSplit(ids.repartition(7), "doc_id")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b)) // pure function of the id, layout-invariant
+    assert(a.forall { case (_, bkt, s) =>
+      bkt >= 0 && bkt < 100 &&
+        s == (if (bkt < 80) "train" else if (bkt < 90) "validation" else "test")
+    })
+    val frac = a.count(_._3 == "train").toDouble / a.length
+    assert(frac > 0.7 && frac < 0.9) // ~80% within md5-uniformity slack
+  }
+
   test("repetitionStats: duplicate-line fraction and top-bigram share") {
     val docs = Seq(
       // 4 non-empty lines, 3 distinct -> dup_line_frac = 1 - 3/4 = 0.25

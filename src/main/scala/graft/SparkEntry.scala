@@ -882,7 +882,23 @@ object SparkEntry {
     "q_hash_split" -> ((s, dir) =>
       TextPipeline.hashSplit(documents(s, dir), "doc_id")
         .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("split"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q_snippet_stats" -> ((s, dir) => {
+      // structural verification of the BUILT snippet strings: region
+      // count (" ... " separators) and highlight count ("<b>") parsed
+      // back out of Snippets.build's output must equal the greedy
+      // region-merge the oracle recomputes from token positions alone
+      // (q_snippets itself stays the human-readable string surface)
+      // (highlight COUNT is not a clean invariant: a region's ±2-token
+      // context window may reprint a neighboring region's match, so only
+      // the region structure is compared)
+      val sn = graft.search.Snippets.build(corpusDocs(s, dir),
+        "#combine(data merge)", cfg.analyzer, windowWidth = 12)
+      sn.select(col("docId").as("doc_id"),
+        size(split(col("snippet"), " \\.\\.\\. ", -1)).cast(LongType).as("n_regions"))
+        .orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -1721,6 +1737,22 @@ object SparkEntry {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'validation'
         |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the greedy region merge (new region when match+1-regionStart >
+    // windowWidth=12) recomputed from token positions via a list_reduce
+    // whose accumulator packs (regionStart, count) into one BIGINT;
+    // gap arithmetic is shift-invariant so 1-based positions are fine
+    "q_snippet_stats" ->
+      s"""$DTok, m AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS ms FROM tok
+         |  WHERE term IN ('data','merge') GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  (list_reduce(list_transform(ms, x -> x::BIGINT * 100000 + 1),
+         |    (acc, x) -> CASE WHEN x // 100000 + 1 - acc // 100000 > 12
+         |                THEN (x // 100000) * 100000 + acc % 100000 + 1
+         |                ELSE acc END) % 100000)::BIGINT AS n_regions
+         |FROM m ORDER BY doc_id""".stripMargin
   )
 }

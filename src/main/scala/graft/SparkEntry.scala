@@ -884,6 +884,14 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    "q_pii" -> ((s, dir) =>
+      // counts + md5 of the redacted text (compact cross-engine compare
+      // of the full replacement output)
+      TextPipeline.redactPii(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
     "q_snippet_stats" -> ((s, dir) => {
       // structural verification of the BUILT snippet strings: region
       // count (" ... " separators) and highlight count ("<b>") parsed
@@ -1738,6 +1746,26 @@ object SparkEntry {
         |       WHEN bucket < 90 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // same RE2-subset regexes as TextPipeline.redactPii, applied in the
+    // same order; DuckDB regexp_replace needs the 'g' flag for
+    // replace-all (Spark replaces all by default)
+    "q_pii" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents
+        |), r2 AS (
+        |  SELECT doc_id, n_emails,
+        |    len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM r
+        |)
+        |SELECT doc_id, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4,
+        |  len(regexp_extract_all(t2, '\b\d{7,15}\b'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(t2, '\b\d{7,15}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM r2 ORDER BY doc_id""".stripMargin,
 
     // the greedy region merge (new region when match+1-regionStart >
     // windowWidth=12) recomputed from token positions via a list_reduce

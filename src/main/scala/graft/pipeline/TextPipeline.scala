@@ -382,6 +382,31 @@ object TextPipeline {
         .otherwise("test").as("split"))
   }
 
+  /** PII redaction — the standard pretraining scrub: emails, IPv4
+    * addresses and long standalone digit runs (phone-ish) are replaced
+    * with typed placeholder tokens, with per-doc counts so filters can
+    * threshold on PII density. Patterns deliberately stay in the
+    * RE2-compatible subset (no lookaround) so the DuckDB oracle applies
+    * the IDENTICAL regexes. One scan, pure column expressions.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{7,15}\\b"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(src: Column, re: String): Column =
+      size(regexp_extract_all(src, lit(re), lit(0))).cast(LongType)
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    df.select(col(idCol),
+      cnt(t0, EmailRe).as("n_emails"),
+      cnt(t1, Ipv4Re).as("n_ipv4"),
+      cnt(t2, PhoneRe).as("n_phones"),
+      t3.as("redacted"))
+  }
+
   /** Document fingerprints: full-content md5 over the normalized token
     * stream, plus a winnowing-style fingerprint = min shingle-hash per
     * window (here: global min + count of distinct shingle hashes, the

@@ -60,6 +60,20 @@ class PipelineFilterSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9) // ~80% within md5-uniformity slack
   }
 
+  test("redactPii: emails, IPv4s and digit runs replaced with typed tokens; counts reported") {
+    val docs = Seq(
+      (1L, "contact a.user+spam@ex-ample.org or 10.0.254.1 or call 5551234567 now"),
+      (2L, "clean text, short digits 123456 stay, code42 stays")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.redactPii(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L,
+      "contact <EMAIL> or <IP> or call <PHONE> now")))
+    assert(got(2L) == ((0L, 0L, 0L,
+      "clean text, short digits 123456 stay, code42 stays"))) // 6 digits < 7
+  }
+
   test("repetitionStats: duplicate-line fraction and top-bigram share") {
     val docs = Seq(
       // 4 non-empty lines, 3 distinct -> dup_line_frac = 1 - 3/4 = 0.25

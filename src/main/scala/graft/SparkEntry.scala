@@ -884,6 +884,10 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    "q_unigram_lp" -> ((s, dir) =>
+      TextPipeline.unigramLogProb(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q_pii" -> ((s, dir) =>
       // counts + md5 of the redacted text (compact cross-engine compare
       // of the full replacement output)
@@ -1746,6 +1750,22 @@ object SparkEntry {
         |       WHEN bucket < 90 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_lp" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM d
+        |), c AS (
+        |  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        |), t AS (
+        |  SELECT sum(c)::DOUBLE AS tt FROM c
+        |)
+        |SELECT tok.doc_id,
+        |  round(avg(log10(c.c::DOUBLE / t.tt)), 6) AS mean_log10p,
+        |  count(*)::BIGINT AS n_tokens
+        |FROM tok JOIN c USING (tok) CROSS JOIN t
+        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
 
     // same RE2-subset regexes as TextPipeline.redactPii, applied in the
     // same order; DuckDB regexp_replace needs the 'g' flag for

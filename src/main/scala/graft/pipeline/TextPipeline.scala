@@ -382,6 +382,28 @@ object TextPipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Unigram-LM quality score — the deterministic core of the
+    * CCNet-style perplexity filter: mean per-token log10 probability of
+    * a document's tokens under the CORPUS unigram distribution. Very
+    * low scores flag gibberish/OOV-heavy documents, very high ones flag
+    * boilerplate. One count pass + one scoring join keyed on term; the
+    * count table is vocabulary-sized (broadcastable for natural-language
+    * vocabularies, shuffle-joined for web-scale code vocabularies —
+    * Catalyst/AQE picks by size).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val exploded = df.select(col(idCol), explode(toks).as("tok"))
+    val counts = exploded.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast(DoubleType).as("tt"))
+    exploded
+      .join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(round(avg(log10(col("c").cast(DoubleType) / col("tt"))), 6).as("mean_log10p"),
+        count(lit(1)).cast(LongType).as("n_tokens"))
+  }
+
   /** PII redaction — the standard pretraining scrub: emails, IPv4
     * addresses and long standalone digit runs (phone-ish) are replaced
     * with typed placeholder tokens, with per-doc counts so filters can

@@ -60,6 +60,18 @@ class PipelineFilterSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9) // ~80% within md5-uniformity slack
   }
 
+  test("unigramLogProb: mean corpus-unigram log-prob, hand-computed") {
+    // corpus counts: a:3, b:2, c:1 -> T=6
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextPipeline.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp1 = (math.log10(3 / 6.0) * 2 + math.log10(2 / 6.0)) / 3
+    val lp2 = (math.log10(3 / 6.0) + math.log10(2 / 6.0) + math.log10(1 / 6.0)) / 3
+    assert(got(1L)._2 == 3L && got(2L)._2 == 3L)
+    assert(math.abs(got(1L)._1 - r6(lp1)) < 2e-6 && math.abs(got(2L)._1 - r6(lp2)) < 2e-6)
+  }
+
   test("redactPii: emails, IPv4s and digit runs replaced with typed tokens; counts reported") {
     val docs = Seq(
       (1L, "contact a.user+spam@ex-ample.org or 10.0.254.1 or call 5551234567 now"),

@@ -646,6 +646,10 @@ object SparkEntry {
           col("is_dup").cast(LongType).as("is_dup"))
         .orderBy("doc_id")),
 
+    "q_repeated_spans" -> ((s, dir) =>
+      TextPipeline.repeatedSpans(documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = documents(s, dir)
       val ids = docs.where(col("doc_id") < 40).select(col("doc_id").as("a"))
@@ -1475,6 +1479,26 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS keeper,
         |       (CASE WHEN min(r) <> id THEN 1 ELSE 0 END)::BIGINT AS is_dup
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // 8-gram window i runs 1..len-7 (range end len-6 exclusive), same
+    // offsets as q_decontaminate; docs shorter than 8 tokens drop out
+    "q_repeated_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) AS sh
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM s
+        |), c AS (
+        |  SELECT g, count(*) AS c FROM g GROUP BY g
+        |)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
+        |  round(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS repeat_frac
+        |FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (

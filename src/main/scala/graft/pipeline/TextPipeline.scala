@@ -178,6 +178,29 @@ object TextPipeline {
       .select(col("id").as(idCol), col("comp").as("keeper"), col("is_dup"))
   }
 
+  /** Repeated-span detection — the detection half of exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2022): token k-grams occurring more than once in
+    * the corpus mark the spans a substring-dedup pass would cut.
+    * Returns per doc the k-gram position count, how many of those sit
+    * in a corpus-repeated k-gram, and the repeat fraction. Shuffle key
+    * = the k-gram itself (hash-partitioned), the same scale shape as
+    * the minhash path; documents shorter than k drop out.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    val grams = df.select(col(idCol), explode(shinglesCol(toks, k)).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    grams.join(counts, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_repeated"))
+      .select(col(idCol), col("n_grams"), col("n_repeated"),
+        round(col("n_repeated").cast(DoubleType) / col("n_grams"), 6)
+          .as("repeat_frac"))
+  }
+
   /** SimHash over token md5 bits: bit_j(sig) = majority vote of
     * bit_j(md5(token)) across tokens (+1/−1). `bits` ≤ 64 (first
     * bits/4 hex chars of the md5). Pure column expressions.

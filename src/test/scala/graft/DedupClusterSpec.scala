@@ -51,6 +51,21 @@ class DedupClusterSpec extends AnyFunSuite {
     def toMap2: Map[Long, (Long, Int)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("repeatedSpans flags k-gram positions shared across (or within) documents") {
+    val shared = "zero one two three four five six seven"  // exactly one 8-gram
+    val docs = Seq(
+      (1L, s"prefixa $shared"),   // grams: [prefixa..six], [zero..seven]
+      (2L, s"$shared suffixb"),   // grams: [zero..seven], [one..suffixb]
+      (3L, "eight nine ten eleven twelve thirteen fourteen fifteen")  // unique
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repeatedSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+  }
+
   test("components == scalar union-find on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     (0 until 3).foreach { _ =>

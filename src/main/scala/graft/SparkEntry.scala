@@ -646,6 +646,18 @@ object SparkEntry {
           col("is_dup").cast(LongType).as("is_dup"))
         .orderBy("doc_id")),
 
+    "q_stream_neardup" -> ((s, dir) => {
+      // stateful LSH bucket-claim dedup on a static frame (one batch):
+      // keeper/isDup must equal the batch window semantics — min doc_id
+      // over each of the doc's band buckets — which the oracle computes
+      import graft.streaming.StreamNearDedup
+      StreamNearDedup.neardupStream(documents(s, dir), "doc_id", "text",
+        numHashes = 4, bands = 2)
+        .select(col("docId").as("doc_id"), col("keeper"),
+          col("isDup").cast(LongType).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     "q_repeated_spans" -> ((s, dir) =>
       TextPipeline.repeatedSpans(documents(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
@@ -1479,6 +1491,33 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS keeper,
         |       (CASE WHEN min(r) <> id THEN 1 ELSE 0 END)::BIGINT AS is_dup
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // batch window semantics of the stateful bucket-claim dedup:
+    // keeper(d) = min over d's bands of min(doc_id) in that band bucket
+    "q_stream_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM d
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh3
+        |  FROM s
+        |), banded AS (
+        |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig
+        |), bm AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS mn FROM banded
+        |)
+        |SELECT doc_id, min(mn) AS keeper,
+        |       (CASE WHEN min(mn) < doc_id THEN 1 ELSE 0 END)::BIGINT AS is_dup
+        |FROM bm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // 8-gram window i runs 1..len-7 (range end len-6 exclusive), same
     // offsets as q_decontaminate; docs shorter than 8 tokens drop out

@@ -108,18 +108,26 @@ object TextPipeline {
     * rows/band = precision knob); the driver queries pass small explicit
     * values so the DuckDB oracle stays cheap.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+  /** (id, band, bucket) band projections of a signature table — shared
+    * by the pair join and the streaming near-dup path.
+    */
+  def minhashBands(sigs: DataFrame, idCol: String,
+                   numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persist: the signature table feeds both band projections and both
-    // sides of the self-join — without it the md5-per-shingle minhash
-    // column tree is evaluated 4× (measured 41s → ~3s at sf0.1)
-    val sigs = minhash(df, idCol, textCol, numHashes, shingleK).persist()
-    val banded = (0 until bands).map { bnd =>
+    (0 until bands).map { bnd =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
       sigs.select(col(idCol).as("id"), lit(bnd).as("band"),
         concat_ws("|", bandCols: _*).as("bucket"))
     }.reduce(_ union _)
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    // persist: the signature table feeds both band projections and both
+    // sides of the self-join — without it the md5-per-shingle minhash
+    // column tree is evaluated 4× (measured 41s → ~3s at sf0.1)
+    val sigs = minhash(df, idCol, textCol, numHashes, shingleK).persist()
+    val banded = minhashBands(sigs, idCol, numHashes, bands)
     val a = banded.select(col("band"), col("bucket"), col("id").as("a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("b"))
     a.join(b, Seq("band", "bucket"))

@@ -926,6 +926,29 @@ object SparkEntry {
       sn.select(col("docId").as("doc_id"),
         size(split(col("snippet"), " \\.\\.\\. ", -1)).cast(LongType).as("n_regions"))
         .orderBy("doc_id")
+    }),
+
+    "q_sdm" -> ((s, dir) => {
+      // reformulateQuery genSDM: plain terms → Metzler-Croft sequential
+      // dependence #weight(0.85 terms 0.1 #1-pairs 0.05 #uw8-pairs),
+      // then run under Dirichlet (reference:
+      // src/QueryEnvironment.cpp:1410-1418, src/ReformulateQuery.cpp:144-165)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runQuery(graft.search.Reformulate.sdm(BmTerms), 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_clarity" -> ((s, dir) => {
+      // query clarity = KL(RM1 ‖ collection LM) in bits over the top-10
+      // feedback terms (reference: clarity/clarity.cpp:64-85)
+      val eng = engine(s, dir)
+      val c = graft.search.RelevanceModel.clarity(eng,
+        s"#combine(${BmTerms.mkString(" ")})",
+        graft.search.RelevanceModel.Params(fbDocs = 10, fbTerms = 10))
+      import s.implicits._
+      Seq(c).toDF("c").select(round(col("c"), 6).as("clarity"))
     })
   )
 
@@ -1864,6 +1887,127 @@ object SparkEntry {
          |    (acc, x) -> CASE WHEN x // 100000 + 1 - acc // 100000 > 12
          |                THEN (x // 100000) * 100000 + acc % 100000 + 1
          |                ELSE acc END) % 100000)::BIGINT AS n_regions
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // SDM under Dirichlet, scored directly: terms data/merge/query;
+    // ordered pairs = adjacent positions; #uw8 pair count = anchors (of
+    // either term) whose NEXT other-term occurrence is ≤7 positions away
+    // (the pooled-scan new-term walk of UnorderedWindowNode for k=2);
+    // window ctf = total match count; weights normalized left-to-right
+    // exactly as WeightNode folds them
+    "q_sdm" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term='data')  AS c1,
+         |         (SELECT count(*) FROM tok WHERE term='merge') AS c2,
+         |         (SELECT count(*) FROM tok WHERE term='query') AS c3
+         |), tf AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term='data')  AS t1,
+         |    count(*) FILTER (WHERE term='merge') AS t2,
+         |    count(*) FILTER (WHERE term='query') AS t3
+         |  FROM tok WHERE term IN ('data','merge','query') GROUP BY doc_id
+         |), od AS (
+         |  SELECT a.doc_id,
+         |    count(*) FILTER (WHERE a.term='data')  AS o1,
+         |    count(*) FILTER (WHERE a.term='merge') AS o2
+         |  FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+         |  WHERE (a.term='data' AND b.term='merge') OR (a.term='merge' AND b.term='query')
+         |  GROUP BY a.doc_id
+         |), uw1 AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS u FROM (
+         |    SELECT m.doc_id, count(*) AS c FROM (
+         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='merge'
+         |      WHERE a.term='data' GROUP BY a.doc_id, a.pos) m
+         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
+         |    UNION ALL
+         |    SELECT m.doc_id, count(*) AS c FROM (
+         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='data'
+         |      WHERE a.term='merge' GROUP BY a.doc_id, a.pos) m
+         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
+         |  ) GROUP BY doc_id
+         |), uw2 AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS u FROM (
+         |    SELECT m.doc_id, count(*) AS c FROM (
+         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='query'
+         |      WHERE a.term='merge' GROUP BY a.doc_id, a.pos) m
+         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
+         |    UNION ALL
+         |    SELECT m.doc_id, count(*) AS c FROM (
+         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='merge'
+         |      WHERE a.term='query' GROUP BY a.doc_id, a.pos) m
+         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
+         |  ) GROUP BY doc_id
+         |), ws AS (
+         |  SELECT (SELECT coalesce(sum(o1),0) FROM od)::DOUBLE AS oc1,
+         |         (SELECT coalesce(sum(o2),0) FROM od)::DOUBLE AS oc2,
+         |         (SELECT coalesce(sum(u),0) FROM uw1)::DOUBLE AS uc1,
+         |         (SELECT coalesce(sum(u),0) FROM uw2)::DOUBLE AS uc2
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge','query')
+         |), sc AS (
+         |  SELECT c.doc_id,
+         |    (0.85/(0.85+0.1+0.05)) * ((1.0/3 * ln((coalesce(tf.t1,0) + 2500.0*cf.c1/st.tt)/(dl.doclen+2500.0))
+         |       + 1.0/3 * ln((coalesce(tf.t2,0) + 2500.0*cf.c2/st.tt)/(dl.doclen+2500.0)))
+         |       + 1.0/3 * ln((coalesce(tf.t3,0) + 2500.0*cf.c3/st.tt)/(dl.doclen+2500.0)))
+         |  + (0.1/(0.85+0.1+0.05)) * (1.0/2 * ln((coalesce(od.o1,0) + 2500.0*ws.oc1/st.tt)/(dl.doclen+2500.0))
+         |       + 1.0/2 * ln((coalesce(od.o2,0) + 2500.0*ws.oc2/st.tt)/(dl.doclen+2500.0)))
+         |  + (0.05/(0.85+0.1+0.05)) * (1.0/2 * ln((coalesce(uw1.u,0) + 2500.0*ws.uc1/st.tt)/(dl.doclen+2500.0))
+         |       + 1.0/2 * ln((coalesce(uw2.u,0) + 2500.0*ws.uc2/st.tt)/(dl.doclen+2500.0))) AS s
+         |  FROM cand c
+         |  JOIN dl ON dl.doc_id = c.doc_id
+         |  LEFT JOIN tf ON tf.doc_id = c.doc_id
+         |  LEFT JOIN od ON od.doc_id = c.doc_id
+         |  LEFT JOIN uw1 ON uw1.doc_id = c.doc_id
+         |  LEFT JOIN uw2 ON uw2.doc_id = c.doc_id
+         |  CROSS JOIN st CROSS JOIN cf CROSS JOIN ws
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // clarity = KL(RM1 ‖ collection LM)/retained mass, in bits — the
+    // rm1 chain is q_rm3_terms' verbatim, then one KL aggregate
+    "q_clarity" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |), fb AS (
+         |  SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 10
+         |), mx AS (
+         |  SELECT max(s) AS m FROM fb
+         |), ex AS (
+         |  SELECT doc_id, exp(s - mx.m) AS e FROM fb CROSS JOIN mx
+         |), post AS (
+         |  SELECT doc_id, e / (SELECT sum(e) FROM ex) AS w FROM ex
+         |), tw AS (
+         |  SELECT cnt.term, sum(post.w * cnt.tf::DOUBLE / dl.doclen) AS weight
+         |  FROM (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term) cnt
+         |  JOIN post USING(doc_id) JOIN dl USING(doc_id)
+         |  WHERE regexp_matches(cnt.term, '^[a-zA-Z0-9]+$$')
+         |  GROUP BY cnt.term HAVING sum(post.w * cnt.tf::DOUBLE / dl.doclen) > 0
+         |), sel AS (
+         |  SELECT term, weight FROM tw ORDER BY weight DESC, term LIMIT 10
+         |), ctfs AS (
+         |  SELECT term, count(*) AS ctf FROM tok GROUP BY term
+         |)
+         |SELECT round(
+         |  sum(sel.weight * ln(sel.weight / (ctfs.ctf::DOUBLE / (SELECT tt FROM st)::DOUBLE)))
+         |  / sum(sel.weight) / ln(2), 6) AS clarity
+         |FROM sel JOIN ctfs USING(term)""".stripMargin
   )
 }

@@ -138,12 +138,20 @@ object SegmentStore {
 
   def open(spark: SparkSession, dir: String): StoredIndex = {
     val stats = spark.read.parquet(s"$dir/stats").head()
-    val numBuckets = Files.readString(Paths.get(dir, "segments", "_BUCKETS")).trim.toInt
+    // stores written before the bucketed-table change have no _BUCKETS
+    // file — open those as a plain (unbucketed) parquet read instead of
+    // failing with NoSuchFileException
+    val bucketsFile = Paths.get(dir, "segments", "_BUCKETS")
+    val numBuckets =
+      if (Files.exists(bucketsFile)) Files.readString(bucketsFile).trim.toInt else 0
     // (re)register the bucketed table — catalog metadata is per-session,
     // the files + bucket spec on disk are the durable state
-    val name = registerSegmentsTable(spark, dir, numBuckets)
+    val segments =
+      if (numBuckets > 0)
+        spark.table(registerSegmentsTable(spark, dir, numBuckets))
+      else spark.read.parquet(s"$dir/segments")
     StoredIndex(
-      segments = spark.table(name),
+      segments = segments,
       dictionary = spark.read.parquet(s"$dir/dictionary"),
       doclens = spark.read.parquet(s"$dir/doclens"),
       stats = CorpusStats(

@@ -115,13 +115,20 @@ object Similarity {
     */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                     bands: Int, rowsPerBand: Int, seed: Long = 42L): DataFrame = {
+    // persist: the banded projection feeds both sides of the self-join;
+    // eagerly materialize the (tiny: two longs/row) candidate list so the
+    // cache can be released immediately instead of leaking one cached
+    // frame per lshTopK/embeddingNearDups call in long-lived sessions.
     val banded = hyperplaneBands(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
       .persist()
     val a = banded.select(col("band"), col("bucket"), col("id").as("qid"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("nid"))
-    a.join(b, Seq("band", "bucket"))
+    val cands = a.join(b, Seq("band", "bucket"))
       .where(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
+      .localCheckpoint()
+    banded.unpersist()
+    cands
   }
 
   /** LSH-bucketed approximate top-k: exact cosine ranking over the banded

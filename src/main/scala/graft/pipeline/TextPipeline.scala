@@ -170,6 +170,14 @@ object TextPipeline {
       iter += 1
     }
     edges.unpersist()
+    // never return silently-wrong components: a dup chain longer than
+    // maxIter hops would leave labels mid-propagation. Real corpora hit
+    // this on long boilerplate chains; fail loudly so the caller raises
+    // maxIter (or switches to large-star/small-star reshaping).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 
@@ -192,21 +200,34 @@ object TextPipeline {
     * the corpus mark the spans a substring-dedup pass would cut.
     * Returns per doc the k-gram position count, how many of those sit
     * in a corpus-repeated k-gram, and the repeat fraction. Shuffle key
-    * = the k-gram itself (hash-partitioned), the same scale shape as
-    * the minhash path; documents shorter than k drop out.
+    * = xxhash64 of the k-gram (8 bytes instead of the ~50-byte raw
+    * token string — collision odds over a 64-bit space are negligible
+    * for counting), and the expensive tokenize+shingle+explode stream
+    * is reduced to per-(doc, gram) counts in ONE pass: the partial
+    * aggregation happens map-side and the persisted per-doc gram table
+    * feeds both the corpus totals and the final per-doc rollup. Both
+    * aggregations keep map-side combine, so a boilerplate-hot gram
+    * never concentrates raw rows on one reducer. Documents shorter
+    * than k drop out.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8): DataFrame = {
     val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
-    val grams = df.select(col(idCol), explode(shinglesCol(toks, k)).as("g"))
-    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
-    grams.join(counts, "g")
+    val perDoc = df.select(col(idCol), explode(shinglesCol(toks, k)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .groupBy(idCol, "gh").agg(count(lit(1)).as("m"))
+      .persist()
+    val totals = perDoc.groupBy("gh").agg(sum("m").as("c"))
+    val out = perDoc.join(totals, "gh")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_repeated"))
+      .agg(sum(col("m")).as("n_grams"),
+        sum(when(col("c") > 1, col("m")).otherwise(0L)).as("n_repeated"))
       .select(col(idCol), col("n_grams"), col("n_repeated"),
         round(col("n_repeated").cast(DoubleType) / col("n_grams"), 6)
           .as("repeat_frac"))
+      .localCheckpoint() // eager: lets us release the gram cache now
+    perDoc.unpersist()
+    out
   }
 
   /** SimHash over token md5 bits: bit_j(sig) = majority vote of

@@ -89,4 +89,38 @@ object RelevanceModel {
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
     engine.runQuery(expandedQuery(query, probs, p), k)
   }
+
+  /** Per-term clarity contributions: for each of the top fbTerms RM1
+    * grams, p(w|Q) = gram weight, p(w) = ctf(w)/|C| (the RM uses stemmed
+    * terms, so collection stats come from the stem's dictionary row),
+    * contribution = p(w|Q)·log₂(p(w|Q)/p(w))
+    * (reference: clarity/clarity.cpp:66-85,104-112).
+    *
+    * Driver cost: the fbTerms (term, weight) rows + ONE dictionary stats
+    * probe for those terms — nothing corpus-sized reaches the driver.
+    */
+  def clarityTerms(engine: Engine, query: String, p: Params = Params()): Seq[(String, Double, Double)] = {
+    val grams = rm1(engine, query, p).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    if (grams.isEmpty) return Nil
+    val tstats = engine.termStatsFor(grams.map(_._1))
+    val tt = engine.termCount().toDouble
+    grams.map { case (t, pwq) =>
+      val pw = tstats.get(t).map(_.ctf.toDouble).getOrElse(0.0) / tt
+      (t, pwq, pwq * math.log(pwq / pw) / math.log(2.0))
+    }
+  }
+
+  /** Query clarity score (Cronen-Townsend et al., "Predicting Query
+    * Performance", SIGIR'02): KL divergence in bits of the truncated RM1
+    * relevance model vs the collection LM, normalized by the retained
+    * probability mass — query-clarity = Σ_w p(w|Q)·log(p(w|Q)/p(w)) /
+    * Σ_w p(w|Q) / log 2 (reference: clarity/clarity.cpp:64-85 `clarity`).
+    */
+  def clarity(engine: Engine, query: String, p: Params = Params()): Double = {
+    val rows = clarityTerms(engine, query, p)
+    val sum = rows.map(_._2).sum
+    val lnPr = rows.map(_._3).sum // already in bits
+    lnPr / (if (sum != 0.0) sum else 1.0)
+  }
 }

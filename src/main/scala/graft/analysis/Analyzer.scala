@@ -191,202 +191,411 @@ object PorterStemmer extends Stemmer {
   }
 }
 
-/** Krovetz-style light stemmer (reference: src/KrovetzStemmer.cpp, the
-  * public algorithm from Krovetz 1993). The reference ships a ~7k-line
-  * exception dictionary; this implementation carries the rule steps
-  * (plural, past-tense, -ing) with a small exception table, capped at
-  * MAX_WORD_LENGTH 25 (reference: include/indri/KrovetzStemmer.hpp:46-52).
-  * It is NOT dictionary-complete; the default analyzer for the code
-  * corpus uses stemmer "none", and rank-identity tests pin whichever
-  * stemmer they enable on both engine and oracle sides.
+/** Krovetz stemmer — full port of the reference algorithm AND its
+  * head-word dictionary (reference: src/KrovetzStemmer.cpp, the public
+  * kstem algorithm from Krovetz, "Viewing Morphology as an Inference
+  * Process", SIGIR'93). The dictionary (27,797 head words, 216 direct
+  * conflations, 41 exception words — the reference's hard-coded tables,
+  * src/KrovetzStemmer.cpp:1146-6806, originally head_word_list.txt /
+  * dict_supplement.txt / direct_conflations.txt / country_nationality
+  * .txt / exception_words.txt) ships as classpath resources; load order
+  * and first-entry-wins duplicate handling mirror loadTables()
+  * (src/KrovetzStemmer.cpp:6820-6832).
+  *
+  * Control flow mirrors kstem_stem_tobuffer (src/KrovetzStemmer.cpp:
+  * 1025-1102): dictionary lookup between every rule step, each step's
+  * candidate sequence identical to the reference (incl. the exception
+  * gates in past_tense/aspect and the buffer-restore defaults). Words
+  * ≤2 or ≥25 chars or with non-[a-zA-Z] chars are lowercased only.
+  * KrovetzSpec pins equivalence against golden vectors generated from
+  * the reference implementation itself.
   */
 object KrovetzStemmer extends Stemmer {
   val name = "krovetz"
+  private val MaxWordLength = 25
 
-  /** Direct conflation classes mirroring the reference's hard-coded
-    * dictionary sections (reference: src/KrovetzStemmer.cpp:1136-1162 —
-    * direct_conflations.txt, country_nationality.txt,
-    * exception_words.txt folded into static tables; consulted before the
-    * rule steps exactly like the reference's direct-mapping lookup,
-    * src/KrovetzStemmer.cpp:1099-1104). The word lists are standard
-    * English irregulars / nationality pairs (public linguistic data);
-    * the reference's full head-word dictionary (~30k entries) gates every
-    * rule step there — without it the rule steps below stay heuristic,
-    * so the table carries the classes where the heuristics misfire.
+  private final class DictEntry(val root: String, val exception: Boolean)
+
+  private val dict: java.util.HashMap[String, DictEntry] = {
+    val m = new java.util.HashMap[String, DictEntry](1 << 16)
+    def lines(res: String): Iterator[String] = {
+      val in = getClass.getResourceAsStream(res)
+      require(in != null, s"missing resource $res")
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty)
+    }
+    // loadTables() order; duplicates keep the FIRST entry
+    lines("/graft/kstem_exceptions.txt")
+      .foreach(w => m.putIfAbsent(w, new DictEntry("", true)))
+    lines("/graft/kstem_headwords.txt")
+      .foreach(w => m.putIfAbsent(w, new DictEntry("", false)))
+    lines("/graft/kstem_conflations.txt").foreach { ln =>
+      val t = ln.indexOf('\t')
+      m.putIfAbsent(ln.substring(0, t), new DictEntry(ln.substring(t + 1), false))
+    }
+    m
+  }
+
+  // getdep: null for words of length <= 1 (reference :106-116)
+  @inline private def dep(w: String): DictEntry =
+    if (w.length <= 1) null else dict.get(w)
+  @inline private def found(w: String): Boolean = dep(w) != null
+
+  /** y is a consonant at position 0 or after a vowel (reference cons()) */
+  private def cons(w: String, i: Int): Boolean = {
+    val ch = w.charAt(i)
+    if (ch == 'a' || ch == 'e' || ch == 'i' || ch == 'o' || ch == 'u') false
+    else if (ch != 'y' || i == 0) true
+    else {
+      val p = w.charAt(i - 1)
+      p == 'a' || p == 'e' || p == 'i' || p == 'o' || p == 'u'
+    }
+  }
+  @inline private def vowel(w: String, i: Int): Boolean = !cons(w, i)
+  private def vowelInStem(w: String, j: Int): Boolean = {
+    var i = 0
+    while (i <= j) { if (vowel(w, i)) return true; i += 1 }
+    false
+  }
+  @inline private def doublec(w: String, i: Int): Boolean =
+    i >= 1 && w.charAt(i) == w.charAt(i - 1) && cons(w, i)
+
+  /** ends(): the suffix must be PROPER (sufflength <= k = len-1);
+    * returns j = index before the suffix, or -1
     */
-  private val irregularPlurals: Map[String, String] = Map(
-    "indices" -> "index", "matrices" -> "matrix", "vertices" -> "vertex",
-    "appendices" -> "appendix",
-    "children" -> "child", "men" -> "man", "women" -> "woman",
-    "feet" -> "foot", "teeth" -> "tooth", "geese" -> "goose",
-    "mice" -> "mouse", "lice" -> "louse",
-    "alumni" -> "alumnus", "fungi" -> "fungus", "nuclei" -> "nucleus",
-    "radii" -> "radius", "stimuli" -> "stimulus", "syllabi" -> "syllabus",
-    "analyses" -> "analysis", "crises" -> "crisis",
-    "diagnoses" -> "diagnosis", "hypotheses" -> "hypothesis",
-    "oases" -> "oasis", "parentheses" -> "parenthesis", "syntheses" -> "synthesis",
-    "theses" -> "thesis",
-    "leaves" -> "leaf", "halves" -> "half",
-    "knives" -> "knife", "lives" -> "life", "loaves" -> "loaf",
-    "selves" -> "self", "shelves" -> "shelf", "thieves" -> "thief",
-    "wives" -> "wife", "wolves" -> "wolf"
-    // deliberately ABSENT: data/media/criteria/phenomena — the reference's
-    // plural() step only fires on -s endings and its conflation table
-    // carries none of them, so the reference leaves them unstemmed
-  )
+  @inline private def endsIn(w: String, s: String): Int =
+    if (s.length > w.length - 1 || !w.endsWith(s)) -1
+    else w.length - s.length - 1
 
-  /** direct form conflations — the reference's direct_conflations class
-    * (spelling-level pairs like aging→age, goes→go; NOT lemmatization —
-    * the reference never maps was→be). Values mirror the reference table
-    * (src/KrovetzStemmer.cpp:1157-1196) so `stemmer=krovetz` conflates
-    * identically for these classes.
-    */
-  private val directConflations: Map[String, String] = Map(
-    "aging" -> "age", "going" -> "go", "goes" -> "go", "lying" -> "lie",
-    "using" -> "use", "owing" -> "owe", "suing" -> "sue", "dying" -> "die",
-    "tying" -> "tie", "vying" -> "vie", "aged" -> "age", "used" -> "use",
-    "vied" -> "vie", "cued" -> "cue", "died" -> "die", "eyed" -> "eye",
-    "hued" -> "hue", "iced" -> "ice", "lied" -> "lie", "owed" -> "owe",
-    "sued" -> "sue", "toed" -> "toe", "tied" -> "tie", "does" -> "do",
-    "doing" -> "do", "fled" -> "flee", "belying" -> "belie",
-    "aeronautical" -> "aeronautics", "mathematical" -> "mathematics",
-    "political" -> "politics", "metaphysical" -> "metaphysics",
-    "cylindrical" -> "cylinder", "nazism" -> "nazi",
-    "miscarriage" -> "miscarry", "eerily" -> "eerie", "taxied" -> "taxi",
-    "ambiguity" -> "ambiguous", "barbarity" -> "barbarous",
-    "credulity" -> "credulous", "generosity" -> "generous",
-    "spontaneity" -> "spontaneous", "unanimity" -> "unanimous",
-    "voracity" -> "voracious",
-    "babysitting" -> "babysit", "bootstrapped" -> "bootstrap",
-    "bootstrapping" -> "bootstrap", "checksummed" -> "checksum",
-    "checksumming" -> "checksum",
-    "bookshelves" -> "bookshelf", "dwarves" -> "dwarf",
-    "housewives" -> "housewife", "midwives" -> "midwife",
-    "scarves" -> "scarf", "wharves" -> "wharf",
-    "synopses" -> "synopsis", "vortices" -> "vortex",
-    "yourselves" -> "yourself"
-  )
+  private def plural(w: String): String = {
+    val n = w.length
+    if (w.charAt(n - 1) != 's') return w
+    val jIes = endsIn(w, "ies")
+    if (jIes >= 0) {
+      val c = w.substring(0, n - 1) // calories -> calorie
+      if (found(c)) return c
+      return w.substring(0, jIes + 1) + "y"
+    }
+    val jEs = endsIn(w, "es")
+    if (jEs >= 0) {
+      // remove just the s — but never leave a double-s root (crosses)
+      val c1 = w.substring(0, n - 1)
+      if (found(c1) && jEs > 0 &&
+          !(w.charAt(jEs) == 's' && w.charAt(jEs - 1) == 's')) return c1
+      val c2 = w.substring(0, n - 2)
+      if (found(c2)) return c2
+      return c1 // default: retain the e
+    }
+    if (n > 3 && w.charAt(n - 2) != 's' && endsIn(w, "ous") < 0)
+      return w.substring(0, n - 1)
+    w
+  }
 
-  /** nationality → country (the country_nationality class; pair values
-    * mirror the reference table, src/KrovetzStemmer.cpp:1172-1222)
-    */
-  private val countryNationality: Map[String, String] = Map(
-    "afghan" -> "afghanistan", "african" -> "africa", "albanian" -> "albania",
-    "algerian" -> "algeria", "american" -> "america", "andorran" -> "andorra",
-    "angolan" -> "angola", "arabian" -> "arabia", "argentine" -> "argentina",
-    "armenian" -> "armenia", "asian" -> "asia", "australian" -> "australia",
-    "austrian" -> "austria", "azerbaijani" -> "azerbaijan", "azeri" -> "azerbaijan",
-    "bangladeshi" -> "bangladesh", "belgian" -> "belgium", "bermudan" -> "bermuda",
-    "bolivian" -> "bolivia", "bosnian" -> "bosnia", "botswanan" -> "botswana",
-    "brazilian" -> "brazil", "british" -> "britain", "bulgarian" -> "bulgaria",
-    "burmese" -> "burma", "californian" -> "california", "cambodian" -> "cambodia",
-    "canadian" -> "canada", "chadian" -> "chad", "chilean" -> "chile",
-    "chinese" -> "china", "colombian" -> "colombia", "croat" -> "croatia",
-    "croatian" -> "croatia", "cuban" -> "cuba", "cypriot" -> "cyprus",
-    "czechoslovakian" -> "czechoslovakia", "danish" -> "denmark",
-    "egyptian" -> "egypt", "equadorian" -> "equador", "eritrean" -> "eritrea",
-    "estonian" -> "estonia", "ethiopian" -> "ethiopia", "european" -> "europe",
-    "fijian" -> "fiji", "filipino" -> "philippines", "finnish" -> "finland",
-    "french" -> "france", "gambian" -> "gambia", "georgian" -> "georgia",
-    "german" -> "germany", "ghanian" -> "ghana", "greek" -> "greece",
-    "grenadan" -> "grenada", "guamian" -> "guam", "guatemalan" -> "guatemala",
-    "guinean" -> "guinea", "guyanan" -> "guyana", "haitian" -> "haiti",
-    "hawaiian" -> "hawaii", "holland" -> "dutch", "honduran" -> "honduras",
-    "hungarian" -> "hungary", "icelandic" -> "iceland",
-    "indonesian" -> "indonesia", "iranian" -> "iran", "iraqi" -> "iraq",
-    "iraqui" -> "iraq", "irish" -> "ireland", "israeli" -> "israel",
-    "italian" -> "italy", "jamaican" -> "jamaica", "japanese" -> "japan",
-    "jordanian" -> "jordan", "kampuchean" -> "cambodia", "kenyan" -> "kenya",
-    "korean" -> "korea", "kuwaiti" -> "kuwait", "lankan" -> "lanka",
-    "laotian" -> "laos", "latvian" -> "latvia", "lebanese" -> "lebanon",
-    "liberian" -> "liberia", "libyan" -> "libya", "lithuanian" -> "lithuania",
-    "macedonian" -> "macedonia", "madagascan" -> "madagascar",
-    "malaysian" -> "malaysia", "maltese" -> "malta",
-    "mauritanian" -> "mauritania", "mexican" -> "mexico",
-    "micronesian" -> "micronesia", "moldovan" -> "moldova",
-    "monacan" -> "monaco", "mongolian" -> "mongolia",
-    "montenegran" -> "montenegro", "moroccan" -> "morocco",
-    "myanmar" -> "burma", "namibian" -> "namibia", "nepalese" -> "nepal",
-    "nicaraguan" -> "nicaragua", "nigerian" -> "nigeria",
-    "norwegian" -> "norway", "omani" -> "oman", "pakistani" -> "pakistan",
-    "panamanian" -> "panama", "papuan" -> "papua", "paraguayan" -> "paraguay",
-    "peruvian" -> "peru", "portuguese" -> "portugal", "romanian" -> "romania",
-    "rumania" -> "romania", "rumanian" -> "romania", "russian" -> "russia",
-    "rwandan" -> "rwanda", "samoan" -> "samoa", "scottish" -> "scotland",
-    "serb" -> "serbia", "serbian" -> "serbia", "siam" -> "thailand",
-    "siamese" -> "thailand", "slovakia" -> "slovak", "slovakian" -> "slovak",
-    "slovenian" -> "slovenia", "somali" -> "somalia", "somalian" -> "somalia",
-    "spanish" -> "spain", "swedish" -> "sweden", "swiss" -> "switzerland",
-    "syrian" -> "syria", "taiwanese" -> "taiwan", "tanzanian" -> "tanzania",
-    "texan" -> "texas", "thai" -> "thailand", "tunisian" -> "tunisia",
-    "turkish" -> "turkey", "ugandan" -> "uganda", "ukrainian" -> "ukraine",
-    "uruguayan" -> "uruguay", "uzbek" -> "uzbekistan",
-    "venezuelan" -> "venezuela", "vietnamese" -> "viet",
-    "virginian" -> "virginia", "yemeni" -> "yemen",
-    "yugoslav" -> "yugoslavia", "yugoslavian" -> "yugoslavia",
-    "zambian" -> "zambia", "zealander" -> "zealand",
-    "zimbabwean" -> "zimbabwe"
-  )
+  private def pastTense(w: String): String = {
+    val n = w.length
+    if (n <= 4) return w // direct mapping handles fled etc.
+    val jIed = endsIn(w, "ied")
+    if (jIed >= 0) {
+      val c = w.substring(0, n - 1)
+      if (found(c)) return c
+      return w.substring(0, jIed + 1) + "y"
+    }
+    val jEd = endsIn(w, "ed")
+    if (jEd >= 0 && vowelInStem(w, jEd)) {
+      val c1 = w.substring(0, n - 1) // root ends in e
+      val d1 = dep(c1)
+      if (d1 != null && !d1.exception) return c1
+      val c2 = w.substring(0, n - 2)
+      if (found(c2)) return c2
+      if (doublec(w, n - 3)) {
+        val c3 = w.substring(0, n - 3)
+        if (found(c3)) return c3
+        return c2 // default: leave doubled (backfilled -> backfill)
+      }
+      if (w.charAt(0) == 'u' && w.charAt(1) == 'n') return w
+      return c1 // prefer ending with e (microcoded -> microcode)
+    }
+    w
+  }
 
-  /** words the rule steps must NOT touch (the exception_words class —
-    * look inflected but are head words: silent-e nouns, -ss words, …)
-    */
-  private val leaveAlone: Set[String] = Set(
-    "aide", "bathe", "caste", "cute", "dame", "dime", "doge", "done",
-    "dune", "envelope", "gage", "grille", "grippe", "lobe", "mane",
-    "mare", "nape", "node", "pane", "pate", "plane", "pope",
-    "programme", "quite", "ripe", "rote", "rune", "sage", "severe",
-    "shoppe", "sine", "slime", "snipe", "steppe", "suite", "swinge",
-    "tare", "tine", "tope", "tripe", "twine",
-    // look-plural head words
-    "series", "species", "news", "analysis", "basis", "canvas", "chaos",
-    "lens", "axis", "atlas", "bias", "bus", "census", "corps"
-  )
+  private def aspect(w: String): String = {
+    val n = w.length
+    if (n <= 5) return w // direct mapping handles aging etc.
+    val j = endsIn(w, "ing")
+    if (j >= 0 && vowelInStem(w, j)) {
+      val c1 = w.substring(0, j + 1) + "e"
+      val d1 = dep(c1)
+      if (d1 != null && !d1.exception) return c1
+      val c2 = w.substring(0, j + 1)
+      if (found(c2)) return c2
+      if (doublec(w, j)) {
+        val c3 = w.substring(0, j)
+        if (found(c3)) return c3
+        return c2 // default: leave doubled (fingerspelling -> fingerspell)
+      }
+      if (j > 0 && cons(w, j) && cons(w, j - 1)) return c2
+      return c1 // default add e unless double consonant (microcoding)
+    }
+    w
+  }
 
-  private val exceptions: Map[String, String] =
-    irregularPlurals ++ directConflations ++ countryNationality
+  private def ityEndings(w: String): String = {
+    val j = endsIn(w, "ity")
+    if (j < 0) return w
+    val c1 = w.substring(0, j + 1)
+    if (found(c1)) return c1
+    val c2 = c1 + "e"
+    if (found(c2)) return c2
+    if (j > 0 && w.charAt(j - 1) == 'i' && w.charAt(j) == 'l')
+      return w.substring(0, j - 1) + "le" // -ability/-ibility -> -ble
+    if (j > 0 && w.charAt(j - 1) == 'i' && w.charAt(j) == 'v')
+      return c2 // -ivity -> -ive
+    if (j > 0 && w.charAt(j - 1) == 'a' && w.charAt(j) == 'l')
+      return c1 // -ality: remove -ity
+    if (found(w)) return w // immunity stays if immune absent
+    c1
+  }
+
+  private def nessEndings(w: String): String = {
+    val j = endsIn(w, "ness")
+    if (j < 0) return w
+    if (w.charAt(j) == 'i') w.substring(0, j) + "y" else w.substring(0, j + 1)
+  }
+
+  private def ionEndings(w: String): String = {
+    var j = endsIn(w, "ization")
+    if (j >= 0) return w.substring(0, j + 3) + "e" // -ize, always
+    j = endsIn(w, "ition")
+    if (j >= 0) {
+      val c = w.substring(0, j + 1) + "e" // definition -> define
+      if (found(c)) return c
+    }
+    j = endsIn(w, "ation")
+    if (j >= 0) {
+      val c1 = w.substring(0, j + 3) + "e" // elimination -> eliminate
+      if (found(c1)) return c1
+      val c2 = w.substring(0, j + 1) + "e" // allegation -> allege
+      if (found(c2)) return c2
+      val c3 = w.substring(0, j + 1) // resignation -> resign
+      if (found(c3)) return c3
+    }
+    j = endsIn(w, "ication")
+    if (j >= 0) {
+      val c = w.substring(0, j + 1) + "y" // amplification -> amplify
+      if (found(c)) return c
+    }
+    j = endsIn(w, "ion")
+    if (j >= 0) {
+      val c1 = w.substring(0, j + 1) + "e"
+      if (found(c1)) return c1
+      val c2 = w.substring(0, j + 1)
+      if (found(c2)) return c2
+    }
+    w
+  }
+
+  private def erOrEndings(w: String): String = {
+    val n = w.length
+    var j = endsIn(w, "izer")
+    if (j >= 0) return w.substring(0, n - 1) // -ize, always
+    j = endsIn(w, "er"); if (j < 0) j = endsIn(w, "or")
+    if (j >= 0) {
+      if (doublec(w, j)) {
+        val c = w.substring(0, j)
+        if (found(c)) return c
+      }
+      if (w.charAt(j) == 'i') { // -ier
+        val c = w.substring(0, j) + "y"
+        if (found(c)) return c
+      }
+      if (w.charAt(j) == 'e') { // -eer
+        val c = w.substring(0, j)
+        if (found(c)) return c
+      }
+      val c1 = w.substring(0, j + 2) // remove the r
+      if (found(c1)) return c1
+      val c2 = w.substring(0, j + 1) // remove -er/-or
+      if (found(c2)) return c2
+      val c3 = c2 + "e" // -or -> -e
+      if (found(c3)) return c3
+    }
+    w
+  }
+
+  private def lyEndings(w: String): String = {
+    val n = w.length
+    val j = endsIn(w, "ly")
+    if (j < 0) return w
+    val le = w.substring(0, n - 1) + "e" // -ly -> -le
+    if (found(le)) return le
+    val c1 = w.substring(0, j + 1)
+    if (found(c1)) return c1
+    if (j > 0 && w.charAt(j - 1) == 'a' && w.charAt(j) == 'l')
+      return c1 // -ally -> -al, always
+    if (j > 0 && w.charAt(j - 1) == 'a' && w.charAt(j) == 'b')
+      return le // -ably -> -able, always
+    if (w.charAt(j) == 'i') { // militarily -> military
+      val c = w.substring(0, j) + "y"
+      if (found(c)) return c
+    }
+    c1 // default: remove -ly
+  }
+
+  private def alEndings(w: String): String = {
+    val j = endsIn(w, "al")
+    if (j < 0) return w
+    val c1 = w.substring(0, j + 1)
+    if (found(c1)) return c1
+    if (doublec(w, j)) {
+      val c = w.substring(0, j)
+      if (found(c)) return c
+    }
+    val c2 = c1 + "e"
+    if (found(c2)) return c2
+    val c3 = c1 + "um" // optimal -> optimum
+    if (found(c3)) return c3
+    if (j > 0 && w.charAt(j - 1) == 'i' && w.charAt(j) == 'c') {
+      val c4 = w.substring(0, j - 1) // remove -ical
+      if (found(c4)) return c4
+      val c5 = c4 + "y" // bibliographical -> bibliography
+      if (found(c5)) return c5
+      return c1 // default: -ical -> -ic
+    }
+    if (w.charAt(j) == 'i') { // -ial
+      val c = w.substring(0, j)
+      if (found(c)) return c
+    }
+    w
+  }
+
+  private def iveEndings(w: String): String = {
+    val n = w.length
+    val j = endsIn(w, "ive")
+    if (j < 0) return w
+    val c1 = w.substring(0, j + 1)
+    if (found(c1)) return c1
+    val c2 = c1 + "e"
+    if (found(c2)) return c2
+    if (j > 0 && w.charAt(j - 1) == 'a' && w.charAt(j) == 't') {
+      val c3 = w.substring(0, j - 1) + "e" // determinative -> determine
+      if (found(c3)) return c3
+      val c4 = w.substring(0, j - 1)
+      if (found(c4)) return c4
+    }
+    val c5 = w.substring(0, n - 2) + "on" // injunctive -> injunction
+    if (found(c5)) return c5
+    w
+  }
+
+  private def izeEndings(w: String): String = {
+    val j = endsIn(w, "ize")
+    if (j < 0) return w
+    val c1 = w.substring(0, j + 1)
+    if (found(c1)) return c1
+    if (doublec(w, j)) {
+      val c = w.substring(0, j)
+      if (found(c)) return c
+    }
+    val c2 = c1 + "e"
+    if (found(c2)) return c2
+    w
+  }
+
+  private def mentEndings(w: String): String = {
+    val j = endsIn(w, "ment")
+    if (j < 0) return w
+    val c = w.substring(0, j + 1)
+    if (found(c)) return c
+    w
+  }
+
+  private def bleEndings(w: String): String = {
+    val j = endsIn(w, "ble")
+    if (j < 0) return w
+    if (w.charAt(j) != 'a' && w.charAt(j) != 'i') return w
+    val c1 = w.substring(0, j)
+    if (found(c1)) return c1
+    if (doublec(w, j - 1)) {
+      val c = w.substring(0, j - 1)
+      if (found(c)) return c
+    }
+    val c2 = c1 + "e"
+    if (found(c2)) return c2
+    val c3 = c1 + "ate" // compensable -> compensate
+    if (found(c3)) return c3
+    w
+  }
+
+  private def ismEndings(w: String): String = {
+    val j = endsIn(w, "ism")
+    if (j < 0) w else w.substring(0, j + 1) // productive: just accept
+  }
+
+  private def icEndings(w: String): String = {
+    val j = endsIn(w, "ic")
+    if (j < 0) return w
+    val c1 = w + "al" // canonic -> canonical (the one EXPANDING rule)
+    if (found(c1)) return c1
+    val c2 = w.substring(0, j + 1) + "y"
+    if (found(c2)) return c2
+    val c3 = w.substring(0, j + 1) + "e"
+    if (found(c3)) return c3
+    val c4 = w.substring(0, j + 1)
+    if (found(c4)) return c4
+    w
+  }
+
+  private def ncyEndings(w: String): String = {
+    val j = endsIn(w, "ncy")
+    if (j < 0) return w
+    if (w.charAt(j) != 'e' && w.charAt(j) != 'a') return w
+    val c1 = w.substring(0, j + 2) + "t" // constituency -> constituent
+    if (found(c1)) return c1
+    w.substring(0, j + 2) + "ce" // default: -nce
+  }
+
+  private def nceEndings(w: String): String = {
+    val j = endsIn(w, "nce")
+    if (j < 0) return w
+    if (w.charAt(j) != 'e' && w.charAt(j) != 'a') return w
+    val c1 = w.substring(0, j) + "e" // adherance -> adhere
+    if (found(c1)) return c1
+    val c2 = w.substring(0, j) // disappearance -> disappear
+    if (found(c2)) return c2
+    w
+  }
+
+  @inline private def isAsciiAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
   def stem(term: String): String = {
-    if (term == null || term.length <= 2 || term.length > 25) return term
-    if (leaveAlone.contains(term)) return term
-    exceptions.get(term) match {
-      case Some(s) => return s
-      case None =>
-    }
-    var w = term
-    // plural step
-    if (w.endsWith("ies") && w.length > 4) w = w.dropRight(3) + "y"
-    else if (w.endsWith("sses")) w = w.dropRight(2)
-    else if (w.endsWith("es") && w.length > 3 &&
-      (w.endsWith("ches") || w.endsWith("shes") || w.endsWith("sses") || w.endsWith("xes") || w.endsWith("zes")))
-      w = w.dropRight(2)
-    else if (w.endsWith("s") && !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is") && w.length > 3)
-      w = w.dropRight(1)
-    // past-tense step
-    if (w.endsWith("ied") && w.length > 4) w = w.dropRight(3) + "y"
-    else if (w.endsWith("ed") && w.length > 4) {
-      val base = w.dropRight(2)
-      w = if (base.length >= 2 && base.charAt(base.length - 1) == base.charAt(base.length - 2)) base.dropRight(1)
-          else if (base.endsWith("at") || base.endsWith("it") || base.endsWith("iz") || base.endsWith("us")) base + "e"
-          else base
-    }
-    // -ing step
-    if (w.endsWith("ing") && w.length > 5) {
-      val base = w.dropRight(3)
-      w = if (base.length >= 2 && base.charAt(base.length - 1) == base.charAt(base.length - 2) &&
-              base.last != 'l' && base.last != 's') base.dropRight(1)
-          else if (base.length <= 3 || base.endsWith("nn")) base
-          else base
-      // restore silent e for CVC-like stems (runn→run handled above; mak+ing→make)
-      if (w.length >= 3 && isCons(w.last) && !isCons(w.charAt(w.length - 2)) && isCons(w.charAt(w.length - 3)) &&
-          w.last != 'w' && w.last != 'x' && w.last != 'y' && (term.length - w.length) == 3 && !term.endsWith(w.last.toString + w.last + "ing"))
-        w = w + "e"
-    }
-    if (w.length <= 1) term else w
-  }
-  @inline private def isCons(c: Char): Boolean = c match {
-    case 'a' | 'e' | 'i' | 'o' | 'u' => false
-    case _ => true
+    if (term == null) return term
+    val n = term.length
+    // too short/long or not all-alphabetic: lowercase copy only
+    if (n <= 2 || n >= MaxWordLength || !term.forall(isAsciiAlpha))
+      return term.toLowerCase
+    var w = term.toLowerCase
+    // dictionary check between every step (longings -> longing, not long)
+    var d = dep(w)
+    if (d == null) { w = plural(w); d = dep(w) }
+    if (d == null) { w = pastTense(w); d = dep(w) }
+    if (d == null) { w = aspect(w); d = dep(w) }
+    if (d == null) { w = ityEndings(w); d = dep(w) }
+    if (d == null) { w = nessEndings(w); d = dep(w) }
+    if (d == null) { w = ionEndings(w); d = dep(w) }
+    if (d == null) { w = erOrEndings(w); d = dep(w) }
+    if (d == null) { w = lyEndings(w); d = dep(w) }
+    if (d == null) { w = alEndings(w); d = dep(w) }
+    if (d == null) { w = iveEndings(w); d = dep(w) }
+    if (d == null) { w = izeEndings(w); d = dep(w) }
+    if (d == null) { w = mentEndings(w); d = dep(w) }
+    if (d == null) { w = bleEndings(w); d = dep(w) }
+    if (d == null) { w = ismEndings(w); d = dep(w) }
+    if (d == null) { w = icEndings(w); d = dep(w) }
+    if (d == null) { w = ncyEndings(w); d = dep(w) }
+    if (d == null) { w = nceEndings(w); d = dep(w) }
+    // direct mapping (italian -> italy, and via plural: italians -> italy)
+    if (d != null && d.root.nonEmpty) d.root else w
   }
 }
 

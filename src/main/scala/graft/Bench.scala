@@ -243,24 +243,38 @@ object Bench {
     val execs4N = sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "4").toInt
     val execsN = math.max(execs4N / 4, 1)
     warmup()
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    def best(e: Int): (Double, Double, Long) =
-      (1 to reps).map(_ => engineBench(e, nDocs))
-        .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), a._3))
+    // scaling evidence runs ≥3 PAIRED reps (N then 4N inside the same
+    // noise window) and reports every rep plus the MEDIAN — a single
+    // draw on a shared sandbox has been observed to land 0.38 while
+    // same-HEAD medians sit at ~0.6 (BENCH.md reps tables)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val (bHi, qHi, postings, scalingJson) =
       if (doScaling) {
-        val (bl, ql, _) = best(execsN)
-        val (bh, qh, p) = best(execs4N)
-        val effB = (bh / bl) / (execs4N.toDouble / execsN)
-        val effQ = (qh / ql) / (execs4N.toDouble / execsN)
-        (bh, qh, p,
+        val factor = execs4N.toDouble / execsN
+        val pairs = (1 to reps).map { _ =>
+          val (bl, ql, _) = engineBench(execsN, nDocs)
+          val (bh, qh, p) = engineBench(execs4N, nDocs)
+          (bl, ql, bh, qh, p, (bh / bl) / factor, (qh / ql) / factor)
+        }
+        val repsJson = pairs.map { case (bl, ql, bh, qh, _, eb, eq) =>
+          s"""{"build_docs_per_sec_n":$bl,"build_docs_per_sec_4n":$bh,""" +
+            s""""query_qps_n":$ql,"query_qps_4n":$qh,""" +
+            s""""build_efficiency":$eb,"query_efficiency":$eq}"""
+        }.mkString("[", ",", "]")
+        (pairs.map(_._3).max, pairs.map(_._4).max, pairs.head._5,
           s""","scaling":{"n_executors":$execsN,"n4_executors":$execs4N,"cores_per_executor":4,
-             |"build_docs_per_sec_n":$bl,"build_docs_per_sec_4n":$bh,
-             |"query_qps_n":$ql,"query_qps_4n":$qh,
-             |"build_efficiency":$effB,"query_efficiency":$effQ}"""
+             |"build_docs_per_sec_n":${median(pairs.map(_._1))},"build_docs_per_sec_4n":${median(pairs.map(_._3))},
+             |"query_qps_n":${median(pairs.map(_._2))},"query_qps_4n":${median(pairs.map(_._4))},
+             |"build_efficiency":${median(pairs.map(_._6))},"query_efficiency":${median(pairs.map(_._7))},
+             |"reps":$repsJson}"""
             .stripMargin.replace("\n", ""))
       } else {
-        val (bh, qh, p) = best(execs4N)
+        val (bh, qh, p) = (1 to reps).map(_ => engineBench(execs4N, nDocs))
+          .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), a._3))
         (bh, qh, p, "")
       }
 
@@ -272,15 +286,21 @@ object Bench {
     // per-node memory systems resemble.
     val coresScalingJson =
       if (sys.env.getOrElse("SPARK_GRAFT_CORES_SCALING", "0") == "1") {
-        def bestC(c: Int): (Double, Double, Long) =
-          (1 to reps).map(_ => engineBench(1, nDocs, coresPerExec = c))
-            .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), a._3))
-        val (bl, ql, _) = bestC(1)
-        val (bh, qh, _) = bestC(4)
+        val pairs = (1 to reps).map { _ =>
+          val (bl, ql, _) = engineBench(1, nDocs, coresPerExec = 1)
+          val (bh, qh, _) = engineBench(1, nDocs, coresPerExec = 4)
+          (bl, ql, bh, qh, (bh / bl) / 4.0, (qh / ql) / 4.0)
+        }
+        val repsJson = pairs.map { case (bl, ql, bh, qh, eb, eq) =>
+          s"""{"build_docs_per_sec_n":$bl,"build_docs_per_sec_4n":$bh,""" +
+            s""""query_qps_n":$ql,"query_qps_4n":$qh,""" +
+            s""""build_efficiency":$eb,"query_efficiency":$eq}"""
+        }.mkString("[", ",", "]")
         s""","cores_scaling":{"executors":1,"cores_n":1,"cores_4n":4,
-           |"build_docs_per_sec_n":$bl,"build_docs_per_sec_4n":$bh,
-           |"query_qps_n":$ql,"query_qps_4n":$qh,
-           |"build_efficiency":${(bh / bl) / 4.0},"query_efficiency":${(qh / ql) / 4.0}}"""
+           |"build_docs_per_sec_n":${median(pairs.map(_._1))},"build_docs_per_sec_4n":${median(pairs.map(_._3))},
+           |"query_qps_n":${median(pairs.map(_._2))},"query_qps_4n":${median(pairs.map(_._4))},
+           |"build_efficiency":${median(pairs.map(_._5))},"query_efficiency":${median(pairs.map(_._6))},
+           |"reps":$repsJson}"""
           .stripMargin.replace("\n", "")
       } else ""
 

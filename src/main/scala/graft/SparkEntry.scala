@@ -153,6 +153,40 @@ object SparkEntry {
 
   private def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("(", ",", ")")
 
+  /** shared oracle for the boolean NEXI pair: two about() beliefs over
+    * the head extent [0, min(10, doclen)), folded by and (combine 1/k)
+    * or or (log(1−Π(1−exp)))
+    */
+  private def nexiBoolSql(orFold: Boolean): String = {
+    val fold =
+      if (orFold) "ln(1.0 - (1.0 - exp(g1)) * (1.0 - exp(g2)))"
+      else "g1 / 2 + g2 / 2"
+    s"""$DTok, st AS (
+       |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+       |), cf AS (
+       |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+       |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm,
+       |         (SELECT count(*) FROM tok WHERE term = 'query') AS cq
+       |), cand AS (
+       |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge','query')
+       |), tfe AS (
+       |  SELECT doc_id,
+       |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS tfd,
+       |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS tfm,
+       |    count(*) FILTER (WHERE term = 'query' AND pos <= 10) AS tfq
+       |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+       |), sc AS (
+       |  SELECT t.doc_id, least(10, dl.doclen) AS hlen,
+       |    0.5 * ln((t.tfd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0))
+       |  + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)) AS g1,
+       |    1.0 * ln((t.tfq + 2500.0 * cf.cq / st.tt) / (least(10, dl.doclen) + 2500.0)) AS g2
+       |  FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+       |)
+       |SELECT doc_id, 0::BIGINT AS "begin", hlen::BIGINT AS "end",
+       |  round($fold, 6) AS score
+       |FROM sc ORDER BY doc_id, "begin"""".stripMargin
+  }
+
   /** exact okapi BM25 SQL (k1=1.2, b=0.75, qtw=1) over the simple tokens */
   private def bm25Sql(terms: Seq[String], k: Int): String =
     s"""$DTok, st AS (
@@ -567,6 +601,33 @@ object SparkEntry {
       val eng = fieldEngine(s, dir)
       eng.setScoringRules("method:dirichlet")
       eng.runNexi(s"//head[about(., ${BmTerms.take(2).mkString(" ")})]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_nexi_bool" -> ((s, dir) => {
+      // NEXI boolean clause: //head[about(., data merge) and about(., query)]
+      // — the grammar's single logical combination; `and` folds the two
+      // about beliefs with CombineNode 1/k weights inside each extent
+      // (reference: nexilang.g:312-334)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head[about(., ${BmTerms.take(2).mkString(" ")}) and about(., ${BmTerms(2)})]",
+          1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_nexi_or" -> ((s, dir) => {
+      // same clauses with `or` → OrNode fold log(1 − Π(1 − exp(s_g)))
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head[about(., ${BmTerms.take(2).mkString(" ")}) or about(., ${BmTerms(2)})]",
+          1000000)
         .select(col("docId").as("doc_id"),
           col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
           round(col("score"), 6).as("score"))
@@ -1379,6 +1440,11 @@ object SparkEntry {
          |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    // boolean NEXI: g1 = ½ln(d_data)+½ln(d_merge), g2 = ln(d_query)
+    // inside the head extent; and → (g1/2 + g2/2), or → ln(1−(1−e^g1)(1−e^g2))
+    "q_nexi_bool" -> nexiBoolSql(orFold = false),
+    "q_nexi_or" -> nexiBoolSql(orFold = true),
 
     "q_incremental_build" ->
       s"""$DTok, p AS (

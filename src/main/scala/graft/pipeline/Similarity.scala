@@ -159,7 +159,8 @@ object Similarity {
     * duplicates are provably routed to their source's cell.
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                   ncells: Int, iters: Int = 5): Array[Array[Double]] = {
+                   ncells: Int, iters: Int = 5,
+                   trainPerCell: Int = 256): Array[Array[Double]] = {
     val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     def normalize(c: Array[Double]): Array[Double] = {
@@ -168,11 +169,18 @@ object Similarity {
       val s = math.sqrt(n)
       if (s == 0) c else c.map(_ / s)
     }
+    // Bounded training sample — the standard IVF recipe (~trainPerCell
+    // vectors per cell): per-iteration cost is O(sample × dim), FLAT in
+    // corpus size, while the assignment pass (ivfTopK) stays full-corpus.
+    // Deterministic pseudo-random draw: TakeOrdered on xxhash64(id) —
+    // one scan, no full shuffle. Persisted across the Lloyd iterations.
+    val cap = math.min(ncells.toLong * trainPerCell, Int.MaxValue.toLong).toInt
+    val train = base.orderBy(xxhash64(col("id")), col("id")).limit(cap).persist()
     var cents: Array[Array[Double]] = base.orderBy("id").limit(ncells)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble)).map(normalize)
     var it = 0
     while (it < iters) {
-      val assigned = ivfAssignCells(base, cents, nProbe = 1)
+      val assigned = ivfAssignCells(train, cents, nProbe = 1)
         .select(col("id"), col("v"), col("cell"))
       // mean per (cell, dim): ncells × dim rows — a driver-sized collect
       val sums = assigned
@@ -188,6 +196,7 @@ object Similarity {
       cents = next.zipWithIndex.map { case (c, i) => if (touched(i)) normalize(c) else c }
       it += 1
     }
+    train.unpersist()
     cents
   }
 

@@ -840,29 +840,41 @@ final class Engine(
           .groupBy("docId").agg(
             sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
     }
-    scoreExtentContexts(childTerms, fx, er.passage, k)
+    scoreExtentContexts(Seq(childTerms), None, fx, er.passage, k)
   }
 
   /** Score every extent (or sliding passage) of candidate documents as
     * its own context — the shared tail of runExtentQuery and runNexi.
     *
+    * Each group in `childGroups` is one about()/term-bag belief scored
+    * with 1/|group| weights inside the extent; `groupOp` folds multiple
+    * groups per the NEXI logical (reference: nexilang.g:312-334 —
+    * "and" → CombineNode 1/k mean of logs, "or" → OrNode
+    * log(1−Π(1−exp(s)))). A single group is the plain CAS path.
+    *
     * @param extentsByDoc (docId, ex: array<struct<begin,end>>); null when
     *                     `passage` drives the contexts instead
     */
-  private def scoreExtentContexts(childTerms: Seq[String],
+  private def scoreExtentContexts(childGroups: Seq[Seq[String]],
+                                  groupOp: Option[String],
                                   extentsByDoc: DataFrame,
                                   passage: Option[(Int, Int)],
                                   k: Int): DataFrame = {
-    val processed = childTerms.map(analyzer.processTerm)
+    val processed = childGroups.flatten.map(analyzer.processTerm)
     val live = processed.filter(_ != null).distinct
     val tstats = termStatsFor(live)
-    // per-child score functions (1/k weights, query order)
+    // per-child score functions (1/|group| weights, query order)
     val fns: Array[TermScoreFunction] = processed.map { pt =>
       val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
       Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
         ts.df.toDouble, stats.totalDocs)
     }.toArray
-    val w = 1.0 / processed.length
+    val groupOf: Array[Int] = childGroups.zipWithIndex
+      .flatMap { case (g, gi) => g.map(_ => gi) }.toArray
+    val wChild: Array[Double] = childGroups
+      .flatMap(g => g.map(_ => 1.0 / g.length)).toArray
+    val nGroups = childGroups.length
+    val isOr = groupOp.contains("or")
     val termIdx: Map[String, Seq[Int]] =
       processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
         .map { case (t, xs) => t -> xs.map(_._2) }
@@ -888,13 +900,16 @@ final class Engine(
 
     val bcFns = spark.sparkContext.broadcast(fns)
     val bcIdx = spark.sparkContext.broadcast(termIdx)
+    val bcGroupOf = spark.sparkContext.broadcast(groupOf)
+    val bcWChild = spark.sparkContext.broadcast(wChild)
     val scoreUdf = udf { (tp: Map[String, Seq[Int]], bs: Seq[Int], es: Seq[Int]) =>
       val fs = bcFns.value
       val tIdx = bcIdx.value
+      val gOf = bcGroupOf.value
+      val wc = bcWChild.value
       bs.indices.map { i =>
         val b = bs(i); val e = es(i)
         val ctx = e - b
-        var acc = 0.0
         var child = 0
         val tfByChild = new Array[Int](fs.length)
         tp.foreach { case (t, ps) =>
@@ -904,10 +919,23 @@ final class Engine(
             tfByChild(ci) = c
           }
         }
+        val groupScore = new Array[Double](nGroups)
         while (child < fs.length) {
-          acc += w * fs(child).scoreOccurrence(tfByChild(child).toDouble, ctx)
+          groupScore(gOf(child)) +=
+            wc(child) * fs(child).scoreOccurrence(tfByChild(child).toDouble, ctx)
           child += 1
         }
+        val acc =
+          if (nGroups == 1) groupScore(0)
+          else if (isOr) { // OrNode fold
+            var notAny = 1.0; var g = 0
+            while (g < nGroups) { notAny *= (1.0 - math.exp(groupScore(g))); g += 1 }
+            math.log(1.0 - notAny)
+          } else { // CombineNode 1/k fold
+            var s = 0.0; var g = 0
+            while (g < nGroups) { s += groupScore(g) / nGroups; g += 1 }
+            s
+          }
         (b, e, acc)
       }
     }
@@ -1040,7 +1068,7 @@ final class Engine(
       case p => throw new IllegalArgumentException(
         s"NEXI paths deeper than 2 fields are outside the supported subset: //${p.mkString("//")}")
     }
-    scoreExtentContexts(nq.terms, extentsByDoc, passage = None, k)
+    scoreExtentContexts(nq.clauses, nq.op, extentsByDoc, passage = None, k)
   }
 
   /** Shrinkage-smoothed extent retrieval — ShrinkageBeliefNode's default

@@ -1,7 +1,7 @@
 package graft.search
 
 /** NEXI (Narrowed Extended XPath I) query parser — the CAS/CO subset of
-  * the reference's NEXI grammar (reference: src/nexilang.g:151-240,
+  * the reference's NEXI grammar (reference: src/nexilang.g:151-270,
   * src/NexiParser.cpp; the INEX query language):
   *
   *  - CO (content-only): `t1 t2 …` → document ranking over the terms
@@ -10,27 +10,38 @@ package graft.search
   *    scored as its own context and ranked (ExtentRestriction,
   *    nexilang.g:159-177);
   *  - nested path: `//a//b[about(., …)]` → extents of b nested inside an
-  *    a extent (NestedExtentInside, nexilang.g:251-270).
+  *    a extent (NestedExtentInside, nexilang.g:251-270);
+  *  - boolean clause: `//f[about(., …) and|or about(., …)]` — the
+  *    grammar's single optional logical combination (nexilang.g:312-334
+  *    `clause := filter (logical filter)?`): `and` → CombineNode over
+  *    the two about-scored beliefs inside the extent context, `or` →
+  *    OrNode.
   *
   * Term prefixes: `+t` = t (mandatory markers are scoring hints the
   * reference also ignores); `-t` dropped (nexilang.g UNDASH terms carry
   * negative weight in the reference; the subset drops them and
   * documents it). Quoted phrases are split into their terms.
   *
-  * Out of subset (throws): multi-clause boolean combinations
-  * (`and`/`or` between abouts), relative about paths (`about(.//s, …)`),
-  * numeric predicates, the two-level `//a[about]//b[about]` CAS form.
+  * Out of subset (throws): relative about paths (`about(.//s, …)`),
+  * numeric predicates, the two-level `//a[about]//b[about]` CAS form,
+  * parenthesized clause nesting.
   */
 object NexiParser {
 
-  /** path = field chain (outermost first; empty = CO query) */
-  final case class NexiQuery(path: Seq[String], terms: Seq[String])
+  /** path = field chain (outermost first; empty = CO query);
+    * clauses = one term list per about(); op = the logical connector
+    * when two clauses are present ("and" | "or")
+    */
+  final case class NexiQuery(path: Seq[String], clauses: Seq[Seq[String]],
+                             op: Option[String]) {
+    def terms: Seq[String] = clauses.flatten
+  }
 
   def parse(query: String): NexiQuery = {
     val q = query.trim
     if (!q.startsWith("//")) {
       // CO query: plain term list
-      return NexiQuery(Nil, termList(q))
+      return NexiQuery(Nil, Seq(termList(q)), None)
     }
     val open = q.indexOf('[')
     require(open > 0 && q.endsWith("]"), s"NEXI CAS query needs //path[about(…)]: $query")
@@ -39,13 +50,25 @@ object NexiParser {
     val path = pathStr.split("//").toSeq.map(_.trim).filter(_.nonEmpty)
     require(path.nonEmpty && path.forall(_.matches("[A-Za-z0-9_]+")),
       s"unsupported NEXI path: $pathStr")
-    require(!clause.toLowerCase.matches(".*\\b(and|or)\\b.*"),
-      s"multi-clause NEXI boolean combinations are outside the supported subset: $clause")
-    val about = "(?i)about\\s*\\(\\s*\\.\\s*,(.*)\\)\\s*".r
-    clause match {
-      case about(ts) => NexiQuery(path, termList(ts))
+    val about = "(?i)about\\s*\\(\\s*\\.\\s*,([^()]*)\\)".r
+    val abouts = about.findAllMatchIn(clause).toSeq
+    require(abouts.nonEmpty, s"unsupported NEXI clause (subset: about(., terms)): $clause")
+    // everything outside the about() spans must be empty (one clause) or
+    // exactly one and/or connector (two clauses — the grammar's maximum)
+    val outside = {
+      val sb = new StringBuilder
+      var last = 0
+      abouts.foreach { m => sb.append(clause.substring(last, m.start)); last = m.end }
+      sb.append(clause.substring(last))
+      sb.toString.trim.toLowerCase
+    }
+    (abouts.size, outside) match {
+      case (1, "") =>
+        NexiQuery(path, Seq(termList(abouts.head.group(1))), None)
+      case (2, "and") | (2, "or") =>
+        NexiQuery(path, abouts.map(m => termList(m.group(1))), Some(outside))
       case _ => throw new IllegalArgumentException(
-        s"unsupported NEXI clause (subset: about(., terms)): $clause")
+        s"unsupported NEXI clause (subset: about(., terms) with one optional and/or): $clause")
     }
   }
 

@@ -210,9 +210,30 @@ class FieldOpsSpec extends AnyFunSuite {
     // doc2's top-level par is NOT inside a sec — only doc1's [1,4)
     assert(nested == Seq((1L, 1, 4)))
 
-    // parser guards: boolean combinations, deep paths, non-about clauses
+    // boolean clause (nexilang.g:312-334): two abouts, one and/or
+    val booled = NexiParser.parse("//a[about(., x y) and about(., z)]")
+    assert(booled.clauses == Seq(Seq("x", "y"), Seq("z")) && booled.op.contains("and"))
+    val ored = NexiParser.parse("//a[about(., x) OR about(., z)]")
+    assert(ored.op.contains("or"))
+    // and == combine 1/k of the per-about beliefs inside each extent:
+    // //par[about(., beta) and about(., beta)] must score exactly like
+    // //par[about(., beta)] (mean of two identical group scores)
+    val single = eng2.runNexi("//par[about(., beta)]", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    val doubled = eng2.runNexi("//par[about(., beta) and about(., beta)]", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(doubled == single)
+    // or == log(1 − Π(1 − exp(s_g))) — strictly above either branch
+    val orScores = eng2.runNexi("//par[about(., beta) or about(., beta)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    single.foreach { case (d, b, _, s) =>
+      val so = orScores((d, b))
+      assert(so > s && math.abs(so - math.log(1 - math.pow(1 - math.exp(s), 2))) < 1e-9)
+    }
+
+    // parser guards: three clauses, deep paths, non-about clauses
     intercept[IllegalArgumentException] {
-      NexiParser.parse("//a[about(., x) and about(., y)]")
+      NexiParser.parse("//a[about(., x) and about(., y) and about(., z)]")
     }
     intercept[IllegalArgumentException] {
       eng2.runNexi("//a//b//c[about(., x)]", 5)

@@ -125,7 +125,8 @@ object SparkEntry {
         .select(col("doc_id").as("docId"), col("text").as("content"), col("n_chars"))
       val built = IndexBuilder.build(docs, cfg,
         annotate = df => FieldAnnotators.numericField("nchars", "n_chars")(
-          FieldAnnotators.headField(10)(df)))
+          FieldAnnotators.nestedHeadField(4)( // lead ⊂ head: shrinkage tree
+            FieldAnnotators.headField(10)(df))))
       built.copy(fieldExtents = built.fieldExtents.persist(),
         doclens = built.doclens.persist(), postings = built.postings.persist())
     })
@@ -587,6 +588,22 @@ object SparkEntry {
       val eng = fieldEngine(s, dir)
       eng.runShrinkageQuery("head", BmTerms.take(2), 1000000,
         parentWeight = 0.2, docWeight = 0.2, lambda = 0.4)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_shrinkage_rules" -> ((s, dir) => {
+      // per-field rule strings + recursive smoothing over the two-level
+      // head ⊃ lead tree (reference: ShrinkageBeliefNode::addShrinkageRule
+      // + the recursive up/down passes): the lead extents are scored with
+      // up[head] absorbing the lead rule (weight 0.3, absolute) and
+      // down[lead] mixing the RECURSIVE down[head]
+      val eng = fieldEngine(s, dir)
+      eng.runShrinkageQuery("lead", BmTerms.take(2), 1000000,
+        parentWeight = 0.2, docWeight = 0.2, lambda = 0.4,
+        rules = Seq("recursive:true", "field:lead,weight:0.3,length:false"))
         .select(col("docId").as("doc_id"),
           col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
           round(col("score"), 6).as("score"))
@@ -1440,6 +1457,58 @@ object SparkEntry {
          |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    // two-level shrinkage with a rule on lead (weight .3 absolute) and
+    // recursive down-mixing, closed-form per doc:
+    //   up_d  = (mle_d·dlen)/dlen                      (no children)
+    //   up_h  = (1−.3)·((mle_h·hlen)/hlen) + .3·up_d   (rule folds lead)
+    //   down_h = (1−.2)·up_h + .2·pdoc                 (root level)
+    //   down_d = (1−.2−.2)·up_d + .2·down_h + .2·pdoc  (recursive parent)
+    //   p = (1−.4)·down_d + .4·cf; score = ½ln(p_data)+½ln(p_merge)
+    "q_shrinkage_rules" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge')
+         |), tfx AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS hd,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS hm,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 4) AS ld,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 4) AS lm,
+         |    count(*) FILTER (WHERE term = 'data') AS ad,
+         |    count(*) FILTER (WHERE term = 'merge') AS am
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |), m AS (
+         |  SELECT t.doc_id, least(4, dl.doclen) AS dlen,
+         |    least(10, dl.doclen) AS hlen, dl.doclen AS L,
+         |    t.hd::DOUBLE / least(10, dl.doclen) AS mhd,
+         |    t.hm::DOUBLE / least(10, dl.doclen) AS mhm,
+         |    t.ld::DOUBLE / least(4, dl.doclen) AS mld,
+         |    t.lm::DOUBLE / least(4, dl.doclen) AS mlm,
+         |    (1 - 0.4) * (t.ad::DOUBLE / dl.doclen) + 0.4 * (cf.cd / st.tt) AS pdd,
+         |    (1 - 0.4) * (t.am::DOUBLE / dl.doclen) + 0.4 * (cf.cm / st.tt) AS pdm,
+         |    cf.cd / st.tt AS cfd, cf.cm / st.tt AS cfm
+         |  FROM tfx t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |), u AS (
+         |  SELECT doc_id, dlen, cfd, cfm, pdd, pdm,
+         |    (mld * dlen) / dlen AS upd_d, (mlm * dlen) / dlen AS upd_m,
+         |    (1 - 0.3) * ((mhd * hlen) / hlen) + 0.3 * ((mld * dlen) / dlen) AS uph_d,
+         |    (1 - 0.3) * ((mhm * hlen) / hlen) + 0.3 * ((mlm * dlen) / dlen) AS uph_m
+         |  FROM m
+         |), dn AS (
+         |  SELECT doc_id, dlen, cfd, cfm,
+         |    (1 - 0.2 - 0.2) * upd_d + 0.2 * ((1 - 0.2) * uph_d + 0.2 * pdd) + 0.2 * pdd AS dd,
+         |    (1 - 0.2 - 0.2) * upd_m + 0.2 * ((1 - 0.2) * uph_m + 0.2 * pdm) + 0.2 * pdm AS dm
+         |  FROM u
+         |)
+         |SELECT doc_id, 0::BIGINT AS "begin", dlen::BIGINT AS "end",
+         |  round(0.5 * ln((1 - 0.4) * dd + 0.4 * cfd)
+         |      + 0.5 * ln((1 - 0.4) * dm + 0.4 * cfm), 6) AS score
+         |FROM dn ORDER BY doc_id, "begin"""".stripMargin,
 
     // boolean NEXI: g1 = ½ln(d_data)+½ln(d_merge), g2 = ln(d_query)
     // inside the head extent; and → (g1/2 + g2/2), or → ln(1−(1−e^g1)(1−e^g2))

@@ -552,6 +552,22 @@ object FieldAnnotators {
       lit(null).cast("string").as("parentField"),
       lit(0).as("parentOrdinal")))
 
+  /** Positional field over the first `n` positions nested INSIDE a
+    * parent field — gives the document-structure tree a child level
+    * (title-inside-header style), the input the shrinkage rule strings
+    * smooth over (reference: src/ShrinkageBeliefNode.cpp child walk).
+    */
+  def nestedHeadField(n: Int, parent: String = "head", parentOrd: Int = 1,
+                      name: String = "lead")(df: DataFrame): DataFrame =
+    appendField(df, struct(
+      lit(name).as("field"),
+      lit(0).as("begin"),
+      least(lit(n), size(col("slots"))).cast("int").as("end"),
+      lit(0L).as("number"),
+      lit(1).as("ordinal"),
+      lit(parent).cast("string").as("parentField"),
+      lit(parentOrd).as("parentOrdinal")))
+
   /** Whole-document numeric field whose payload comes from a column —
     * the NumericFieldAnnotator analogue over tabular metadata.
     */

@@ -1088,9 +1088,53 @@ final class Engine(
     *
     * Returns ranked (docId, begin, end, score) extents of `field`.
     */
+  /** one per-field smoothing rule (reference: ShrinkageBeliefNode
+    * smoothing_rule, include/indri/ShrinkageBeliefNode.hpp:54-58)
+    */
+  final case class ShrinkRule(field: String, weight: Double,
+                              lengthProportional: Boolean)
+
+  /** parse `addShrinkageRule` strings — `key:value,key:value,…` where
+    * keys are parentWeight / docWeight / recursive / queryLevelCombine /
+    * field / weight / length (reference: src/ShrinkageBeliefNode.cpp:
+    * 483-530). A string with a `field:` key contributes one rule; the
+    * weight keys update the node parameters.
+    */
+  private def parseShrinkageRules(rules: Seq[String], pw0: Double, dw0: Double)
+      : (Map[String, ShrinkRule], Double, Double, Boolean) = {
+    var pw = pw0; var dw = dw0; var recursive = false
+    val map = scala.collection.mutable.LinkedHashMap.empty[String, ShrinkRule]
+    rules.foreach { text =>
+      var field = ""; var weight = 0.0; var lenProp = false
+      text.split(',').foreach { kv =>
+        val i = kv.indexOf(':')
+        if (i > 0) {
+          val key = kv.substring(0, i).trim
+          val value = kv.substring(i + 1).trim
+          key match {
+            case "parentWeight" => pw = value.toDouble
+            case "docWeight" => dw = value.toDouble
+            case "recursive" => recursive = value == "true"
+            case "queryLevelCombine" => require(value != "true",
+              "queryLevelCombine:true is outside the supported subset")
+            case "field" => field = value
+            case "weight" => weight = value.toDouble
+            case "length" => lenProp = value == "true"
+            case _ =>
+          }
+        }
+      }
+      if (field.nonEmpty) map(field) = ShrinkRule(field, weight, lenProp)
+    }
+    (map.toMap, pw, dw, recursive)
+  }
+
   def runShrinkageQuery(field: String, terms: Seq[String], k: Int,
                         parentWeight: Double = 0.2, docWeight: Double = 0.2,
-                        lambda: Double = 0.4): DataFrame = {
+                        lambda: Double = 0.4,
+                        rules: Seq[String] = Nil): DataFrame = {
+    val (ruleMap, wp, wd, recursive) =
+      parseShrinkageRules(rules, parentWeight, docWeight)
     val processed = terms.map(analyzer.processTerm)
     val live = processed.filter(_ != null).distinct
     val tstats = termStatsFor(live)
@@ -1118,11 +1162,14 @@ final class Engine(
 
     val bcCfs = spark.sparkContext.broadcast(cfs)
     val bcIdx = spark.sparkContext.broadcast(termIdx)
-    val f = field; val wp = parentWeight; val wd = docWeight; val lam = lambda
+    val bcRules = spark.sparkContext.broadcast(ruleMap)
+    val f = field; val lam = lambda; val rec = recursive
     val scoreUdf = udf { (tp: Map[String, Seq[Int]], doclen: Int, tree: Seq[Row]) =>
       val cfsV = bcCfs.value
       val tIdx = bcIdx.value
+      val rulesV = bcRules.value
       val nChildren = cfsV.length
+      val nNodes = tree.length
       // per-child positions
       val posByChild = Array.fill(nChildren)(Seq.empty[Int])
       tp.foreach { case (t, ps) =>
@@ -1132,27 +1179,97 @@ final class Engine(
         val len = e - b
         if (len <= 0) 0.0 else ps.count(p => p >= b && p < e).toDouble / len
       }
-      val byKey = tree.map(r => (r.getString(0), r.getInt(3)) -> r).toMap
-      tree.filter(_.getString(0) == f).map { ex =>
-        val b = ex.getInt(1); val e = ex.getInt(2)
-        var acc = 0.0
-        var ci = 0
-        while (ci < nChildren) {
-          val ps = posByChild(ci)
-          val cf = cfsV(ci)
-          val pDoc = (1 - lam) * (if (doclen > 0) ps.length.toDouble / doclen else 0.0) + lam * cf
-          val own = mle(ps, b, e)
-          val down = ex.getString(4) match {
-            case null => (1 - wd) * own + wd * pDoc // root-level extent
-            case pf =>
-              val parent = byKey.get((pf, ex.getInt(5)))
-              val pm = parent.map(p => mle(ps, p.getInt(1), p.getInt(2))).getOrElse(own)
-              (1 - wp - wd) * own + wp * pm + wd * pDoc
-          }
-          acc += w * math.log((1 - lam) * down + lam * cf)
-          ci += 1
+      // tree wiring: (field, ordinal) keys, children lists, depth-sorted
+      // topological order (parents first — depth via parent chain, cycle
+      // guarded by nNodes)
+      val byKey = tree.zipWithIndex
+        .map { case (r, i) => (r.getString(0), r.getInt(3)) -> i }.toMap
+      val parentOf: Array[Int] = tree.map { r =>
+        r.getString(4) match {
+          case null => -1
+          case pf => byKey.getOrElse((pf, r.getInt(5)), -1)
         }
-        (b, e, acc)
+      }.toArray
+      val childrenOf = Array.fill(nNodes)(List.empty[Int])
+      var i0 = nNodes - 1
+      while (i0 >= 0) { // reverse build keeps child lists in tree order
+        val p = parentOf(i0)
+        if (p >= 0) childrenOf(p) = i0 :: childrenOf(p)
+        i0 -= 1
+      }
+      val depth = Array.tabulate(nNodes) { i =>
+        var d = 0; var cur = parentOf(i)
+        while (cur >= 0 && d <= nNodes) { d += 1; cur = parentOf(cur) }
+        d
+      }
+      val topo = (0 until nNodes).sortBy(depth(_))
+
+      val targetIdx = (0 until nNodes).filter(tree(_).getString(0) == f)
+      val accs = new Array[Double](targetIdx.length)
+      var ci = 0
+      while (ci < nChildren) {
+        val ps = posByChild(ci)
+        val cf = cfsV(ci)
+        locally {
+          // base[0] — the λ-mixed document model (reference keeps it
+          // mixed; node bases are the un-mixed MLEs, :282-306)
+          val pDoc = (1 - lam) * (if (doclen > 0) ps.length.toDouble / doclen else 0.0) + lam * cf
+          val base = Array.tabulate(nNodes)(i =>
+            mle(ps, tree(i).getInt(1), tree(i).getInt(2)))
+          // up pass — child rules fold into the parent, bottom-up
+          // (reference :318-379; recursive uses the child's smoothed up)
+          val up = new Array[Double](nNodes)
+          topo.reverseIterator.foreach { i =>
+            var remaining = 1.0
+            var absolute = 0.0
+            val len = tree(i).getInt(2) - tree(i).getInt(1)
+            var divisor = len.toDouble
+            var relative = base(i) * len
+            if (rulesV.nonEmpty) childrenOf(i).foreach { c =>
+              rulesV.get(tree(c).getString(0)) match {
+                case Some(r) if r.lengthProportional =>
+                  val la = r.weight * (tree(c).getInt(2) - tree(c).getInt(1))
+                  relative += la * (if (rec) up(c) else base(c))
+                  divisor += la
+                case Some(r) =>
+                  absolute += r.weight * (if (rec) up(c) else base(c))
+                  remaining -= r.weight
+                case None =>
+              }
+            }
+            relative /= divisor
+            up(i) =
+              if (relative.isNaN) { // divisor 0 — empty extent
+                if (remaining >= 0) remaining * base(i) + absolute else base(i)
+              } else {
+                if (remaining >= 0) remaining * relative + absolute else relative
+              }
+          }
+          // down pass — doc + parent mixing, top-down (reference
+          // :383-410; recursive mixes the parent's DOWN score)
+          val down = new Array[Double](nNodes)
+          val down0 = pDoc // up[0] = base[0]; down[0] = up[0]
+          topo.foreach { i =>
+            val p = parentOf(i)
+            down(i) =
+              if (tree(i).getString(4) == null)
+                (1 - wd) * up(i) + wd * down0
+              else {
+                val pSmooth =
+                  if (p >= 0) { if (rec) down(p) else up(p) } else up(i)
+                (1 - wp - wd) * up(i) + wp * pSmooth + wd * down0
+              }
+          }
+          var t = 0
+          while (t < targetIdx.length) {
+            accs(t) += w * math.log((1 - lam) * down(targetIdx(t)) + lam * cf)
+            t += 1
+          }
+        }
+        ci += 1
+      }
+      targetIdx.zipWithIndex.map { case (i, t) =>
+        (tree(i).getInt(1), tree(i).getInt(2), accs(t))
       }
     }
     notDeleted(perDoc.join(tree, Seq("docId"), "inner"))

@@ -273,6 +273,47 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(math.abs(got((2L, 0, 2)) - d2) < 1e-12)
   }
 
+  test("shrinkage rule strings + recursive smoothing match the scalar model") {
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps</sec> <par>tail</par>"),
+      (2L, "<par>solo beta</par> <sec>plain</sec>")
+    ).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par"), FieldSpec("b")))
+    val idx = IndexBuilder.build(rows, cfg2)
+    val eng = new Engine(spark, idx, cfg2.analyzer, ScoringRule(method = "jm"))
+    // rule strings exactly as addShrinkageRule consumes them: b is
+    // length-proportional into par, par is absolute 0.25 into sec
+    val got = eng.runShrinkageQuery("b", Seq("beta"), 10,
+      parentWeight = 0.2, docWeight = 0.2, lambda = 0.4,
+      rules = Seq("recursive:true",
+        "field:par,weight:0.25,length:false",
+        "field:b,weight:0.5,length:true"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+
+    // doc1 only (doc2 has no b): beta@1, doclen 6, T=9, cf=2/9
+    // tree: sec[0,5) ⊃ par[1,4) ⊃ b[2,3); par[5,6) root
+    val cf = 2.0 / 9.0
+    val pDoc1 = (1 - 0.4) * (1.0 / 6.0) + 0.4 * cf
+    // up (recursive, bottom-up; relative = (base·len + Σla·up)/divisor)
+    val upB = 1.0 * (((0.0 * 1) + 0.0) / 1.0) + 0.0
+    val upPar1 = { // b rule: length-proportional, la = 0.5·1
+      var rel = (1.0 / 3.0) * 3; rel += (0.5 * 1) * upB
+      1.0 * (rel / (3.0 + 0.5 * 1)) + 0.0
+    }
+    val upSec = { // par rule: absolute 0.25 of par's RECURSIVE up
+      val rel = ((1.0 / 5.0) * 5) / 5.0
+      (1.0 - 0.25) * rel + 0.25 * upPar1
+    }
+    // down (recursive: mix the parent's DOWN)
+    val downSec = (1 - 0.2) * upSec + 0.2 * pDoc1
+    val downPar1 = (1 - 0.2 - 0.2) * upPar1 + 0.2 * downSec + 0.2 * pDoc1
+    val downB = (1 - 0.2 - 0.2) * upB + 0.2 * downPar1 + 0.2 * pDoc1
+    val want = 1.0 * math.log((1 - 0.4) * downB + 0.4 * cf)
+    assert(got.keySet == Set((1L, 2, 3)))
+    assert(math.abs(got((1L, 2, 3)) - want) < 1e-12)
+  }
+
   test("appendText annotator: anchor tokens extend positions and doclen") {
     val docs = Seq(
       (1L, "alpha beta", "click here"),

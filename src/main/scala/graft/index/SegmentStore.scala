@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object SegmentStore {
 
-  val Tables = Seq("segments", "dictionary", "doclens", "stats", "manifest")
+  val Tables = Seq("segments", "dictionary", "doclens", "stats", "manifest", "fields")
 
   private def marker(dir: String, table: String): Path =
     Paths.get(dir, table, "_GRAFT_SUCCESS")
@@ -114,7 +114,11 @@ object SegmentStore {
           import spark.implicits._
           Seq(index.stats).toDF()
         } })
-      )
+      ) ++ (if (index.fieldExtents != null)
+        Seq(pool.submit(new Runnable {
+          def run(): Unit = writeTable("fields")(index.fieldExtents)
+        }))
+      else Nil)
       fs.foreach(_.get())
     } finally pool.shutdown()
     // Per-partition lineage rows: one per (bucket) shuffle output, with
@@ -158,8 +162,66 @@ object SegmentStore {
         stats.getAs[Long]("totalDocs"),
         stats.getAs[Long]("totalTerms"),
         stats.getAs[Long]("uniqueTerms")),
-      numBuckets = numBuckets
+      numBuckets = numBuckets,
+      fieldExtents =
+        if (Files.exists(Paths.get(dir, "fields"))) spark.read.parquet(s"$dir/fields")
+        else null
     )
+  }
+
+  /** Offline field surgery — the modifyfields analogue (reference:
+    * modifyfields/ModifyFields.cpp): rewrite the stored field-extent
+    * table WITHOUT re-tokenizing or touching postings. `remove` drops
+    * whole field classes; `add` is an offset-annotation table
+    * (docId, field, begin, end [, number, ordinal, parentField,
+    * parentOrdinal]) — new extents come from annotations exactly as the
+    * reference sources added fields from the OffsetAnnotationAnnotator
+    * file (markup-derived fields would need the token stream, which
+    * neither engine re-parses here). Token positions and postings are
+    * untouched, so a rewrite equals a full rebuild with the new
+    * FieldSpec set over the same annotator inputs (StoreRewriteSpec).
+    */
+  def rewriteFields(spark: SparkSession, dir: String,
+                    remove: Seq[String] = Nil,
+                    add: DataFrame = null): Unit = {
+    val fieldsPath = Paths.get(dir, "fields")
+    val schema = "docId BIGINT, field STRING, begin INT, end INT, " +
+      "number BIGINT, ordinal INT, parentField STRING, parentOrdinal INT"
+    val existing =
+      if (Files.exists(fieldsPath)) spark.read.parquet(s"$dir/fields")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val kept =
+      if (remove.isEmpty) existing
+      else existing.where(!col("field").isin(remove: _*))
+    val added = Option(add).map { a =>
+      // normalize optional columns to the stored schema
+      val withDefaults = Seq(
+        "number" -> lit(0L), "ordinal" -> lit(1),
+        "parentField" -> lit(null).cast("string"), "parentOrdinal" -> lit(0)
+      ).foldLeft(a) { case (df, (c, d)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, d)
+      }
+      withDefaults.select(col("docId").cast("bigint"), col("field"),
+        col("begin").cast("int"), col("end").cast("int"),
+        col("number").cast("bigint"), col("ordinal").cast("int"),
+        col("parentField").cast("string"), col("parentOrdinal").cast("int"))
+    }
+    val merged = added.fold(kept)(kept.unionByName(_))
+    // the new table is derived FROM the old files — stage to a side
+    // directory, then swap, so the read never races its own overwrite
+    val tmp = s"$dir/fields.rewrite"
+    val oldFp =
+      if (Files.exists(marker(dir, "fields"))) Files.readString(marker(dir, "fields")).trim
+      else ""
+    merged.write.mode("overwrite").parquet(tmp)
+    if (Files.exists(fieldsPath)) {
+      Files.walk(fieldsPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    Files.move(Paths.get(tmp), fieldsPath)
+    commit(dir, "fields", s"$oldFp+rewrite")
   }
 }
 
@@ -168,5 +230,6 @@ final case class StoredIndex(
     dictionary: DataFrame,
     doclens: DataFrame,
     stats: CorpusStats,
-    numBuckets: Int = 0
+    numBuckets: Int = 0,
+    fieldExtents: DataFrame = null
 )

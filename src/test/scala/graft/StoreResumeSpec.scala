@@ -26,7 +26,7 @@ class StoreResumeSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("segstore").toString
     val idx = buildIdx()
     val written1 = SegmentStore.writeAll(idx, dir, cfg)
-    assert(written1 == Set("segments", "dictionary", "doclens", "stats", "manifest"))
+    assert(written1 == Set("segments", "dictionary", "doclens", "stats", "manifest", "fields"))
 
     // identical rerun writes nothing (full resume)
     assert(SegmentStore.writeAll(idx, dir, cfg).isEmpty)
@@ -41,7 +41,7 @@ class StoreResumeSpec extends AnyFunSuite {
     val cfg2 = cfg.copy(blockSize = 16)
     val idx2 = buildIdx().copy(segments =
       IndexBuilder.buildSegments(idx.postings, idx.stats.totalDocs, cfg2).toDF())
-    assert(SegmentStore.writeAll(idx2, dir, cfg2).size == 5)
+    assert(SegmentStore.writeAll(idx2, dir, cfg2).size == 6)
 
     // open() view answers queries identically to the in-memory build
     val stored = SegmentStore.open(spark, dir)

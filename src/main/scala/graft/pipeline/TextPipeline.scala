@@ -193,15 +193,84 @@ object TextPipeline {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star edge
+    * reshaping (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — O(log n) rounds on ANY component diameter, the
+    * web-scale path (min-label propagation needs diameter rounds):
+    *
+    *  - large-star: every node u links its strictly-LARGER neighbors to
+    *    the minimum of its closed neighborhood m(u);
+    *  - small-star: every node links its smaller neighbors (and itself)
+    *    to m(u).
+    *
+    * Each half-round is one groupBy(u).min + one join back on u — the
+    * same shuffle shape per round as the propagation loop, but the
+    * round COUNT is logarithmic. At fixpoint the edge list is a star
+    * forest (componentMin, node); convergence is detected by an
+    * order-insensitive (count, xor-of-hashes) edge-set signature.
+    * Returns (id, comp) with comp = component minimum; isolated nodes
+    * map to themselves.
+    */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                              maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col("a").cast(LongType).as("x"), col("b").cast(LongType).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
+      .distinct().localCheckpoint()
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: adjacency in BOTH directions; m(u) = min(Γ(u) ∪ {u});
+      // emit (m(u), v) for neighbors v > u — m ≤ u < v keeps it canonical
+      val both = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = both.join(mins, "u")
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct().localCheckpoint()
+      // small-star: orient to the larger endpoint; m(u) = min neighbor;
+      // emit (m, v) for the smaller neighbors and (m, u)
+      val sBoth = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val sMins = sBoth.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = sBoth.join(sMins, "u")
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .union(sBoth.join(sMins, "u").select(col("m").as("lo"), col("u").as("hi")))
+        .where(col("lo") =!= col("hi"))
+        .distinct().localCheckpoint()
+      val newSig = signature(ss)
+      converged = newSig == sig
+      sig = newSig
+      edges = ss
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    nodes.select(col(idCol).cast(LongType).as("id"))
+      .join(edges.select(col("hi").as("id"), col("lo").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Near-dup clusters: LSH candidate pairs → transitive closure →
     * canonical keeper (minimum id per component) — the pretraining-
     * pipeline step after pair generation: keep one representative per
-    * cluster, drop the rest.
+    * cluster, drop the rest. Closure runs on the large-star/small-star
+    * path (logarithmic rounds); the propagation variant stays available
+    * for diameter-bounded graphs.
     */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleK)
-    connectedComponents(df, idCol, pairs)
+    connectedComponentsStar(df, idCol, pairs)
       .withColumn("is_dup", (col("id") =!= col("comp")).cast(IntegerType))
       .select(col("id").as(idCol), col("comp").as("keeper"), col("is_dup"))
   }

@@ -86,6 +86,34 @@ class DedupClusterSpec extends AnyFunSuite {
         nodes.toDF("id"), "id", pairs.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
       assert(got == expected)
+      // the large-star/small-star path must produce the identical partition
+      val gotStar = TextPipeline.connectedComponentsStar(
+        nodes.toDF("id"), "id", pairs.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar == expected)
     }
+  }
+
+  test("large-star/small-star handles a 64-node chain (past the propagation cap)") {
+    // min-label propagation needs diameter rounds (63 > its maxIter=25
+    // default and would throw); star reshaping converges logarithmically
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
+    val got = TextPipeline.connectedComponentsStar(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.size == n)
+    intercept[IllegalStateException] {
+      TextPipeline.connectedComponents(nodes, "id", pairs, maxIter = 25)
+    }
+  }
+
+  test("star components: chain + pair + singleton resolve to min-id labels") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = TextPipeline.connectedComponentsStar(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 }

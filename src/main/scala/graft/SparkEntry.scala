@@ -1018,6 +1018,17 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_fdm" -> ((s, dir) => {
+      // reformulateQuery genFDM: every contiguous span contributes #1 and
+      // #uw{4·len} — for 3 terms: od pairs + od triple, uw8 pairs + uw12
+      // triple (reference: src/ReformulateQuery.cpp:276-310)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runQuery(graft.search.Reformulate.fdm(BmTerms), 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_clarity" -> ((s, dir) => {
       // query clarity = KL(RM1 ‖ collection LM) in bits over the top-10
       // feedback terms (reference: clarity/clarity.cpp:64-85)
@@ -2104,6 +2115,112 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 6) AS score FROM sc
          |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // FDM: q_sdm's pieces + the 3-term spans — od triple (adjacent
+    // positions) and uw12 triple (every anchor whose FIRST occurrence of
+    // each other term after it is ≤11 positions away — the pooled-scan
+    // walk for k=3); children fold in span order (t1t2, t1t2t3, t2t3)
+    "q_fdm" -> {
+      def uwAnchor(anchor: String, o1: String, o2: String, d: Int) =
+        s"""SELECT m1.doc_id, count(*) AS c
+           |    FROM (SELECT a.doc_id, a.pos, min(b.pos) AS np1 FROM tok a
+           |          JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$o1'
+           |          WHERE a.term='$anchor' GROUP BY a.doc_id, a.pos) m1
+           |    JOIN (SELECT a.doc_id, a.pos, min(b.pos) AS np2 FROM tok a
+           |          JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$o2'
+           |          WHERE a.term='$anchor' GROUP BY a.doc_id, a.pos) m2
+           |      ON m1.doc_id=m2.doc_id AND m1.pos=m2.pos
+           |    WHERE m1.np1 - m1.pos <= $d AND m2.np2 - m2.pos <= $d
+           |    GROUP BY m1.doc_id""".stripMargin
+      def uwPair(x: String, y: String, d: Int) =
+        s"""SELECT doc_id, sum(c)::BIGINT AS u FROM (
+           |    SELECT m.doc_id, count(*) AS c FROM (
+           |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+           |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$y'
+           |      WHERE a.term='$x' GROUP BY a.doc_id, a.pos) m
+           |    WHERE m.np - m.pos <= $d GROUP BY m.doc_id
+           |    UNION ALL
+           |    SELECT m.doc_id, count(*) AS c FROM (
+           |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+           |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$x'
+           |      WHERE a.term='$y' GROUP BY a.doc_id, a.pos) m
+           |    WHERE m.np - m.pos <= $d GROUP BY m.doc_id
+           |  ) GROUP BY doc_id""".stripMargin
+      // OOV guard exactly as TermScoreFunctionFactory: zero collection
+      // occurrences → cf = 1/(2·|C|) (the od/uw TRIPLES can be absent
+      // from a small corpus)
+      val lnT = (tf: String, cf: String) =>
+        s"ln(($tf + 2500.0 * (CASE WHEN $cf <> 0 THEN $cf/st.tt ELSE 1.0/(st.tt*2.0) END))/(dl.doclen+2500.0))"
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term='data')  AS c1,
+         |         (SELECT count(*) FROM tok WHERE term='merge') AS c2,
+         |         (SELECT count(*) FROM tok WHERE term='query') AS c3
+         |), tf AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term='data')  AS t1,
+         |    count(*) FILTER (WHERE term='merge') AS t2,
+         |    count(*) FILTER (WHERE term='query') AS t3
+         |  FROM tok WHERE term IN ('data','merge','query') GROUP BY doc_id
+         |), od AS (
+         |  SELECT a.doc_id,
+         |    count(*) FILTER (WHERE a.term='data')  AS o1,
+         |    count(*) FILTER (WHERE a.term='merge') AS o2
+         |  FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+         |  WHERE (a.term='data' AND b.term='merge') OR (a.term='merge' AND b.term='query')
+         |  GROUP BY a.doc_id
+         |), od3 AS (
+         |  SELECT a.doc_id, count(*) AS o
+         |  FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+         |       JOIN tok c ON a.doc_id=c.doc_id AND c.pos=a.pos+2
+         |  WHERE a.term='data' AND b.term='merge' AND c.term='query'
+         |  GROUP BY a.doc_id
+         |), uw1 AS (
+         |  ${uwPair("data", "merge", 7)}
+         |), uw2 AS (
+         |  ${uwPair("merge", "query", 7)}
+         |), uw3 AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS u FROM (
+         |    ${uwAnchor("data", "merge", "query", 11)}
+         |    UNION ALL
+         |    ${uwAnchor("merge", "data", "query", 11)}
+         |    UNION ALL
+         |    ${uwAnchor("query", "data", "merge", 11)}
+         |  ) GROUP BY doc_id
+         |), ws AS (
+         |  SELECT (SELECT coalesce(sum(o1),0) FROM od)::DOUBLE AS oc1,
+         |         (SELECT coalesce(sum(o2),0) FROM od)::DOUBLE AS oc2,
+         |         (SELECT coalesce(sum(o),0) FROM od3)::DOUBLE AS oc3,
+         |         (SELECT coalesce(sum(u),0) FROM uw1)::DOUBLE AS uc1,
+         |         (SELECT coalesce(sum(u),0) FROM uw2)::DOUBLE AS uc2,
+         |         (SELECT coalesce(sum(u),0) FROM uw3)::DOUBLE AS uc3
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge','query')
+         |), sc AS (
+         |  SELECT c.doc_id,
+         |    (0.85/(0.85+0.1+0.05)) * ((1.0/3 * ${lnT("coalesce(tf.t1,0)", "cf.c1")}
+         |       + 1.0/3 * ${lnT("coalesce(tf.t2,0)", "cf.c2")})
+         |       + 1.0/3 * ${lnT("coalesce(tf.t3,0)", "cf.c3")})
+         |  + (0.1/(0.85+0.1+0.05)) * ((1.0/3 * ${lnT("coalesce(od.o1,0)", "ws.oc1")}
+         |       + 1.0/3 * ${lnT("coalesce(od3.o,0)", "ws.oc3")})
+         |       + 1.0/3 * ${lnT("coalesce(od.o2,0)", "ws.oc2")})
+         |  + (0.05/(0.85+0.1+0.05)) * ((1.0/3 * ${lnT("coalesce(uw1.u,0)", "ws.uc1")}
+         |       + 1.0/3 * ${lnT("coalesce(uw3.u,0)", "ws.uc3")})
+         |       + 1.0/3 * ${lnT("coalesce(uw2.u,0)", "ws.uc2")}) AS s
+         |  FROM cand c
+         |  JOIN dl ON dl.doc_id = c.doc_id
+         |  LEFT JOIN tf ON tf.doc_id = c.doc_id
+         |  LEFT JOIN od ON od.doc_id = c.doc_id
+         |  LEFT JOIN od3 ON od3.doc_id = c.doc_id
+         |  LEFT JOIN uw1 ON uw1.doc_id = c.doc_id
+         |  LEFT JOIN uw2 ON uw2.doc_id = c.doc_id
+         |  LEFT JOIN uw3 ON uw3.doc_id = c.doc_id
+         |  CROSS JOIN st CROSS JOIN cf CROSS JOIN ws
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // clarity = KL(RM1 ‖ collection LM)/retained mass, in bits — the
     // rm1 chain is q_rm3_terms' verbatim, then one KL aggregate

@@ -99,4 +99,42 @@ class RobustnessSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("reformulate transform is total over adversarial input; output reparses") {
+    val rnd = new scala.util.Random(17)
+    val frags = Array("what", "is", "the", "apple", "why do we", "-bad", "+good",
+      "\"a phrase\"", "U.S.A.", "42", "", " ", "\t", "ÄÖÜ", "a" * 80,
+      "can anyone tell me what", "find", "#combine", "(", ")")
+    import graft.search.{Reformulate, QueryParser}
+    (0 until 60).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(8) + 1)(frags(rnd.nextInt(frags.length)))
+        .mkString(" ")
+      Seq(Reformulate.GenCombine, Reformulate.GenSDM, Reformulate.GenFDM,
+          Reformulate.GenCMUFDM).foreach { mode =>
+        // never throws; non-empty output; SDM/FDM/combine outputs reparse
+        val out = Reformulate.transform(Reformulate.makeIndriFriendly(text), mode)
+        assert(out.nonEmpty)
+        if (out != "EMPTYQUERY" && mode != Reformulate.GenCMUFDM)
+          QueryParser.parse(out) // must be a valid engine query
+      }
+    }
+  }
+
+  test("NEXI parser: boolean surface fuzz — parses or throws IllegalArgument, never crashes") {
+    val rnd = new scala.util.Random(19)
+    val frags = Array("//sec", "//a//b", "[", "]", "about(., x y)", "about(., +x -y)",
+      "and", "or", "AND", "about(.,)", "x", "(", ")", "//", "about(.//s, x)",
+      ".//n > 5", "about(., \"p q\")")
+    import graft.search.NexiParser
+    (0 until 80).foreach { _ =>
+      val q = Seq.fill(rnd.nextInt(6) + 1)(frags(rnd.nextInt(frags.length)))
+        .mkString(" ")
+      try {
+        val parsed = NexiParser.parse(q)
+        assert(parsed.clauses.nonEmpty)
+      } catch {
+        case _: IllegalArgumentException => // documented rejection path
+      }
+    }
+  }
 }

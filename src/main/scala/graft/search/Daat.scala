@@ -22,8 +22,15 @@ import graft.index.{BlockCodec, InvertedIndex}
   * (reference: src/QueryEnvironment.cpp:242-316) with buckets as servers.
   *
   * Scope: baseline okapi/tfidf bags with non-negative weights (the
-  * flagship path). LM smoothing needs background scores for missing
-  * terms and runs on the DataFrame path instead.
+  * flagship path), AND — round 3 — flat LM bags (dirichlet / jm /
+  * two-stage) via `planLm`: a missing term contributes its background
+  * score bg_t(dl) = s_t(0, dl) instead of 0, so the WAND algebra runs
+  * on score = B(dl) + Σ effW·δ_t(tf, dl) with δ = s − bg ≥ 0 monotone
+  * in tf and non-increasing in dl for all three LM methods; the pivot
+  * bound is baseMax + Σ δ-upper-bounds where baseMax = B(minDl over
+  * the query terms' posting lists) bounds every candidate's background
+  * sum. Exact scores still fold children in query order with the real
+  * bg(dl) — bit-identical to the DataFrame path (WandPropertySpec).
   */
 object Daat {
 
@@ -32,13 +39,16 @@ object Daat {
       term: String,
       scoreFn: TermScoreFunction,
       effWeight: Double,   // Σ of child weights referencing this term
-      upperBound: Double   // sup over (tf, dl) of effWeight·score — WAND UB
+      upperBound: Double,  // baseline: sup effW·score; LM: sup effW·δ
+      lm: Boolean = false
   )
 
   /** children in original query order: (cursorIdx, weight) — folding in
     * this order keeps doubles bit-identical to the DataFrame path.
+    * `baseMax` = 0 for baseline; for LM the max background sum.
     */
-  final case class DaatPlan(terms: Array[TermPlan], children: Array[(Int, Double)])
+  final case class DaatPlan(terms: Array[TermPlan], children: Array[(Int, Double)],
+                            lm: Boolean = false, baseMax: Double = 0.0)
 
   /** Build the plan from global stats (the stats round — one dictionary
     * lookup, no posting scan).
@@ -60,6 +70,41 @@ object Daat {
     }.toArray
     val children = engineTerms.map { case (t, w, _) => (idxOf(t), w) }.toArray
     DaatPlan(plans, children)
+  }
+
+  /** LM plan: per term also takes (ctf, minDl) — the global δ upper
+    * bound is δ(tfCap=ctf, minDl_t): δ is monotone in tf and
+    * non-increasing in dl for dirichlet (δ = ln(1 + tf/(μ·cf)),
+    * dl-free), JM (δ = ln(1 + (1−λ)tf/(dl·λ·cf))) and two-stage.
+    * `minDlQuery` = min over the PRESENT query terms' minDocLen — every
+    * candidate document contains one of them, so its dl is ≥ that and
+    * its background sum ≤ baseMax = Σ_children w·s_t(0, minDlQuery).
+    */
+  def planLm(engineTerms: Seq[(String, Double, TermScoreFunction, Long, Int)],
+             minDlQuery: Int): DaatPlan = {
+    val distinct = engineTerms.map(_._1).distinct.toArray
+    val idxOf = distinct.zipWithIndex.toMap
+    val effW = new Array[Double](distinct.length)
+    val fns = new Array[TermScoreFunction](distinct.length)
+    val ctfs = new Array[Long](distinct.length)
+    val minDls = new Array[Int](distinct.length)
+    engineTerms.foreach { case (t, w, fn, ctf, minDl) =>
+      effW(idxOf(t)) += w
+      fns(idxOf(t)) = fn
+      ctfs(idxOf(t)) = ctf
+      minDls(idxOf(t)) = math.max(minDl, 1)
+    }
+    val plans = distinct.indices.map { i =>
+      val ub = effW(i) * math.max(
+        fns(i).scoreOccurrence(ctfs(i).toDouble, minDls(i))
+          - fns(i).scoreOccurrence(0.0, minDls(i)), 0.0)
+      TermPlan(distinct(i), fns(i), effW(i), ub, lm = true)
+    }.toArray
+    val children = engineTerms.map { case (t, w, _, _, _) => (idxOf(t), w) }.toArray
+    val baseMax = children.foldLeft(0.0) { case (acc, (ci, w)) =>
+      acc + w * fns(ci).scoreOccurrence(0.0, math.max(minDlQuery, 1))
+    }
+    DaatPlan(plans, children, lm = true, baseMax = baseMax)
   }
 
   /** Run distributed block-max WAND. Returns (docId, score) top-k.
@@ -151,12 +196,20 @@ object Daat {
       else docs(pos)
     def tf: Int = { ensureDecoded(); tfs(pos) }
     def dl: Int = { ensureDecoded(); dls(pos) }
-    /** max contribution of the CURRENT block (block-max bound) */
+    /** max contribution of the CURRENT block (block-max bound). LM mode
+      * bounds the δ above background — the background sum is already
+      * covered by the plan-level baseMax; δ peaks at (maxTf, minDl).
+      */
     def blockBound: Double =
       if (exhausted) 0.0
       else {
         val b = blocks(bi)
-        math.max(plan.effWeight * plan.scoreFn.scoreOccurrence(b.maxTf.toDouble, b.minDl), 0.0)
+        if (plan.lm)
+          math.max(plan.effWeight *
+            (plan.scoreFn.scoreOccurrence(b.maxTf.toDouble, b.minDl)
+              - plan.scoreFn.scoreOccurrence(0.0, b.minDl)), 0.0)
+        else
+          math.max(plan.effWeight * plan.scoreFn.scoreOccurrence(b.maxTf.toDouble, b.minDl), 0.0)
       }
     /** last doc of the current block (next-shallow boundary for BMW skips) */
     def blockLast: Long = if (exhausted) Long.MaxValue else blocks(bi).lastDoc
@@ -212,15 +265,21 @@ object Daat {
     }
 
     // exact score of the doc all cursors in `matching` sit on; folds
-    // children in ORIGINAL query order (bit-parity with DataFrame path)
+    // children in ORIGINAL query order (bit-parity with DataFrame path).
+    // LM mode: a missing child contributes its background score bg(dl)
+    // with the DOC's length (read off any cursor sitting on the doc) —
+    // exactly the combineBeliefs bg fill-in.
     val contrib = new Array[Double](nTerms)
     def scoreCurrent(docId: Long): Double = {
       java.util.Arrays.fill(contrib, 0.0)
+      var docDl = -1
       var i = 0
       while (i < nTerms) {
         val c = cursors(i)
-        if (!c.exhausted && c.doc == docId)
+        if (!c.exhausted && c.doc == docId) {
           contrib(i) = c.plan.scoreFn.scoreOccurrence(c.tf.toDouble, c.dl)
+          docDl = c.dl
+        }
         i += 1
       }
       var acc = 0.0
@@ -229,6 +288,7 @@ object Daat {
         val (ci, w) = plan.children(j)
         val c = cursors(ci)
         if (!c.exhausted && c.doc == docId) acc += w * contrib(ci)
+        else if (plan.lm) acc += w * c.plan.scoreFn.scoreOccurrence(0.0, docDl)
         j += 1
       }
       acc
@@ -245,8 +305,9 @@ object Daat {
         while (i < nTerms) { if (cursors(i).doc == d) cursors(i).next(); i += 1 }
       } else {
         val theta = math.max(heap.threshold, seedTheta)
-        // find pivot: first prefix whose Σ UB exceeds θ
-        var acc = 0.0
+        // find pivot: first prefix whose Σ UB exceeds θ (LM: the
+        // background-sum bound joins the running total from the start)
+        var acc = plan.baseMax
         var p = -1
         var i = 0
         while (i < nTerms && p < 0) {
@@ -273,7 +334,7 @@ object Daat {
           else if (cursors(order(0)).doc == pivotDoc) {
             // all cursors ≤ pivot sit on pivotDoc candidates — refine with
             // block-max bounds before full scoring
-            var bacc = 0.0
+            var bacc = plan.baseMax
             var j = 0
             while (j <= p) {
               val c = cursors(order(j))

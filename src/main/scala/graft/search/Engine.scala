@@ -34,7 +34,7 @@ final case class QueryAnnotation(results: DataFrame, annotations: DataFrame)
   * are summed across servers BEFORE scoring; here: one broadcast-sized
   * collect from the dictionary, never a per-doc collect).
   */
-final case class TermStats(ctf: Long, df: Long)
+final case class TermStats(ctf: Long, df: Long, minDl: Int = 1)
 
 /** The QueryEnvironment facade (reference:
   * include/indri/QueryEnvironment.hpp:176-346) over Spark DataFrames.
@@ -109,9 +109,9 @@ final class Engine(
     if (terms.isEmpty) return Map.empty
     index.dictionary
       .where(col("term").isin(terms.distinct: _*))
-      .select("term", "ctf", "df")
+      .select("term", "ctf", "df", "minDocLen")
       .collect()
-      .map(r => r.getString(0) -> TermStats(r.getLong(1), r.getLong(2)))
+      .map(r => r.getString(0) -> TermStats(r.getLong(1), r.getLong(2), r.getInt(3)))
       .toMap
   }
 
@@ -685,9 +685,30 @@ final class Engine(
     daatBag(ast) match {
       case Some(termWeights) if useDaat && baseline && deletedDocs.isEmpty =>
         runDaat(termWeights, k, exhaustive = false)
+      case Some(_) if useDaat && lmMethod && deletedDocs.isEmpty =>
+        // flat LM bags run the kernel too — weights become the belief
+        // weights evaluate() would use (combine: 1/k; weight: w/Σ|w|)
+        runDaatLm(lmBagWeights(ast).get, k, exhaustive = false)
       case _ =>
         scoredTail(evaluate(ast), k)
     }
+  }
+
+  private def lmMethod: Boolean =
+    rule.method == "dirichlet" || rule.method == "jm" || rule.method == "two"
+
+  /** flat-bag CHILD weights exactly as evaluateWith folds them for a
+    * non-baseline root: #combine → 1/k each; #weight → w/Σ|w| (positive
+    * weights only — the daatBag guard); bare term → weight 1
+    */
+  private def lmBagWeights(ast: QueryNode): Option[Seq[(String, Double)]] = ast match {
+    case TermNode(t) => Some(Seq(t -> 1.0))
+    case CombineNode(cs) if cs.forall(_.isInstanceOf[TermNode]) =>
+      Some(cs.map { case TermNode(t) => t -> 1.0 / cs.size })
+    case WeightNode(cs) if cs.forall(_._2.isInstanceOf[TermNode]) && cs.forall(_._1 >= 0) =>
+      val total = cs.map(c => math.abs(c._1)).sum
+      Some(cs.map { case (w, TermNode(t)) => t -> w / total })
+    case _ => None
   }
 
   /** deleted-doc filter + final (score desc, docId asc) top-k on a
@@ -772,6 +793,43 @@ final class Engine(
     Daat.topK(index, p, k, exhaustive, seed)
   }
 
+  /** LM bag through the kernel. Unlike the baseline path, stopped/OOV
+    * children are KEPT: the DataFrame path scores them as background
+    * everywhere (cf-guarded), so dropping them would change every score.
+    * Their cursors get sentinel terms that match no postings.
+    */
+  def runDaatLm(bag: Seq[(String, Double)], k: Int, exhaustive: Boolean,
+                tstatsOpt: Option[Map[String, TermStats]] = None): DataFrame = {
+    require(lmMethod, s"runDaatLm requires an LM rule, got ${rule.method}")
+    val processedNames = bag.zipWithIndex.map { case ((t, _), i) =>
+      Option(analyzer.processTerm(t)).getOrElse(s" stopped$i")
+    }
+    val live = processedNames.filterNot(_.startsWith(" "))
+    if (live.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
+    }
+    val tstats = tstatsOpt.getOrElse(termStatsFor(live))
+    val engineTerms = bag.zip(processedNames).map { case ((_, w), name) =>
+      val ts = tstats.getOrElse(name, TermStats(0, 0))
+      val fn = Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+        ts.df.toDouble, stats.totalDocs)
+      (name, w, fn, ts.ctf, ts.minDl)
+    }
+    // every candidate contains ≥1 present term, so dl ≥ the min of their
+    // per-term minimum doc lengths — the background-sum bound's argument
+    val minDlQuery = engineTerms.collect { case (_, _, _, ctf, m) if ctf > 0 => m }
+      .reduceOption(math.min).getOrElse(1)
+    if (engineTerms.forall(_._4 == 0L)) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
+    }
+    val p = Daat.planLm(engineTerms, minDlQuery)
+    val seed = if (exhaustive || index.topdocs == null) Double.NegativeInfinity
+               else topdocsSeed(p, k)
+    Daat.topK(index, p, k, exhaustive, seed)
+  }
+
   /** WAND threshold seeding from the topdocs lists (reference:
     * src/WeightedAndNode.cpp:119-186 seeds max-score candidates from the
     * topdocs unions). A doc's single-term contributions summed over its
@@ -791,7 +849,25 @@ final class Engine(
     if (rows.isEmpty) return Double.NegativeInfinity
     val byTerm = p.terms.map(tp => tp.term -> tp).toMap
     val perDoc = scala.collection.mutable.HashMap.empty[Long, Double]
-    rows.foreach { r =>
+    if (p.lm) {
+      // LM lower bound: the topdocs rows give the doc's LENGTH, so score
+      // every child with its recorded tf (or 0 — s is monotone in tf):
+      // Σ w·s(tf_known_or_0, dl) ≤ the true score
+      val known = scala.collection.mutable.HashMap.empty[Long, (Int, scala.collection.mutable.HashMap[String, Int])]
+      rows.foreach { r =>
+        val e = known.getOrElseUpdate(r.getLong(1),
+          (r.getInt(3), scala.collection.mutable.HashMap.empty[String, Int]))
+        e._2.update(r.getString(0), r.getInt(2))
+      }
+      known.foreach { case (doc, (dl, tfs)) =>
+        var acc = 0.0
+        p.children.foreach { case (ci, w) =>
+          val tp = p.terms(ci)
+          acc += w * tp.scoreFn.scoreOccurrence(tfs.getOrElse(tp.term, 0).toDouble, dl)
+        }
+        perDoc.update(doc, acc)
+      }
+    } else rows.foreach { r =>
       val tp = byTerm(r.getString(0))
       val c = math.max(
         tp.effWeight * tp.scoreFn.scoreOccurrence(r.getInt(2).toDouble, r.getInt(3)), 0.0)

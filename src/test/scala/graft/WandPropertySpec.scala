@@ -73,6 +73,45 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LM rules (dirichlet/jm/two-stage): WAND == exhaustive == DataFrame, exact doubles") {
+    // round 3: flat LM bags run the kernel with background-aware bounds
+    // (baseMax + δ algebra). Exactness must hold bit-for-bit against the
+    // belief path — including OOV children (background everywhere) and
+    // duplicate terms.
+    for (method <- Seq("method:dirichlet", "method:jm,collectionLambda:0.4",
+                       "method:two,mu:2500,lambda:0.4")) {
+      val engine = new Engine(spark, index, Analyzer(), ScoringRule.parse(method))
+      for (q <- queries; k <- Seq(10, 1000)) {
+        val wand = run(engine, q, k, "wand")
+        val exhDf = engine.runDaatLm(QueryParser.parse(q) match {
+          case TermNode(t) => Seq(t -> 1.0)
+          case CombineNode(cs) => cs.map { case TermNode(t) => t -> 1.0 / cs.size }
+          case WeightNode(cs) =>
+            val tot = cs.map(c => math.abs(c._1)).sum
+            cs.map { case (w, TermNode(t)) => t -> w / tot }
+          case other => fail(s"unexpected $other")
+        }, k, exhaustive = true)
+        val exh = exhDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val dfp = run(engine, q, k, "dataframe")
+        assert(wand == exh, s"WAND != exhaustive for '$q' k=$k ($method)\n wand=${wand.take(5)}\n exh=${exh.take(5)}")
+        assert(wand == dfp, s"WAND != DataFrame for '$q' k=$k ($method)\n wand=${wand.take(5)}\n df=${dfp.take(5)}")
+      }
+    }
+  }
+
+  test("LM topdocs seeding stays exact") {
+    val td = IndexBuilder.buildTopdocs(index.postings,
+      IndexConfig(topdocsMinDf = 20L, topdocsFraction = 0.05))
+    val seededIdx = index.copy(topdocs = td.cache())
+    val engSeeded = new Engine(spark, seededIdx, Analyzer(), ScoringRule(method = "dirichlet"))
+    val engPlain = new Engine(spark, index, Analyzer(), ScoringRule(method = "dirichlet"))
+    for (q <- queries; k <- Seq(10, 100)) {
+      val s = run(engSeeded, q, k, "wand")
+      val u = run(engPlain, q, k, "wand")
+      assert(s == u, s"LM seeded != unseeded for '$q' k=$k")
+    }
+  }
+
   test("topdocs threshold seeding: results stay exact, block decodes drop") {
     // engine level: index with topdocs attached must return identical
     // results to the unseeded and exhaustive paths across the query set

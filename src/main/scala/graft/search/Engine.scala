@@ -737,7 +737,7 @@ final class Engine(
   def runQueries(queries: Seq[String], k: Int, useDaat: Boolean = true): Seq[(String, DataFrame)] = {
     val asts = queries.map(q => q -> QueryParser.parse(q))
     def daatPath(ast: QueryNode): Boolean =
-      daatBag(ast).isDefined && useDaat && baseline && deletedDocs.isEmpty
+      daatBag(ast).isDefined && useDaat && (baseline || lmMethod) && deletedDocs.isEmpty
     val allTerms = asts.flatMap { case (_, a) => QueryParser.termLeaves(a) }
       .flatMap(t => Option(analyzer.processTerm(t)))
     val tstats = termStatsFor(allTerms.distinct)
@@ -745,8 +745,11 @@ final class Engine(
       asts.collect { case (_, a) if !daatPath(a) => complexRawLeaves(a) }.flatten)
     asts.map { case (q, ast) =>
       q -> (daatBag(ast) match {
-        case Some(termWeights) if daatPath(ast) =>
+        case Some(termWeights) if daatPath(ast) && baseline =>
           runDaat(termWeights, k, exhaustive = false, tstatsOpt = Some(tstats))
+        case Some(_) if daatPath(ast) =>
+          runDaatLm(lmBagWeights(ast).get, k, exhaustive = false,
+            tstatsOpt = Some(tstats))
         case _ =>
           scoredTail(evaluateWith(ast, tstats, cstats, root = true), k)
       })
@@ -802,9 +805,9 @@ final class Engine(
                 tstatsOpt: Option[Map[String, TermStats]] = None): DataFrame = {
     require(lmMethod, s"runDaatLm requires an LM rule, got ${rule.method}")
     val processedNames = bag.zipWithIndex.map { case ((t, _), i) =>
-      Option(analyzer.processTerm(t)).getOrElse(s" stopped$i")
+      Option(analyzer.processTerm(t)).getOrElse(s"\u0000stopped$i")
     }
-    val live = processedNames.filterNot(_.startsWith(" "))
+    val live = processedNames.filterNot(_.startsWith("\u0000"))
     if (live.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))

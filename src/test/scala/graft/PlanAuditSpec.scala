@@ -50,6 +50,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val want = engMem.runDaat(Seq("return" -> 1.0, "license" -> 1.0), 10, exhaustive = false)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == want)
+
+    // the LM DAAT path (round 3) keeps the same zero-exchange property
+    val engLm = new Engine(spark, qIdx, cfg.analyzer, ScoringRule(method = "dirichlet"))
+    val lmDf = engLm.runDaatLm(Seq("return" -> 0.5, "license" -> 0.5), 10,
+      exhaustive = false)
+    val lmPlan = lmDf.queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("Exchange"),
+      s"bucketed LM DAAT plan still shuffles per query:\n$lmPlan")
+    assert(lmDf.count() > 0)
   }
 
   test("posting build: per-doc aggregation moves no data; segment encode is the only exchange") {

@@ -624,6 +624,21 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_nexi_nested" -> ((s, dir) => {
+      // two-level CAS //head[about(., data merge)]//lead[about(., query)]:
+      // each lead extent nested in a head extent scores
+      // clause1-over-head + clause2-over-lead (ContextInclusion +
+      // ExtentEnforcement, nexilang.g:180-206)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head[about(., ${BmTerms.take(2).mkString(" ")})]//lead[about(., ${BmTerms(2)})]",
+          1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_bool" -> ((s, dir) => {
       // NEXI boolean clause: //head[about(., data merge) and about(., query)]
       // — the grammar's single logical combination; `and` folds the two
@@ -1520,6 +1535,31 @@ object SparkEntry {
          |  round(0.5 * ln((1 - 0.4) * dd + 0.4 * cfd)
          |      + 0.5 * ln((1 - 0.4) * dm + 0.4 * cfm), 6) AS score
          |FROM dn ORDER BY doc_id, "begin"""".stripMargin,
+
+    // two-level CAS: s = [½ln(d(data|head)) + ½ln(d(merge|head))]
+    //                  + ln(d(query|lead)), rows = lead extents
+    "q_nexi_nested" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm,
+         |         (SELECT count(*) FROM tok WHERE term = 'query') AS cq
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge','query')
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS hd,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS hm,
+         |    count(*) FILTER (WHERE term = 'query' AND pos <= 4) AS lq
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(4, dl.doclen)::BIGINT AS "end",
+         |  round((0.5 * ln((t.hd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0))
+         |       + 0.5 * ln((t.hm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)))
+         |       + 1.0 * ln((t.lq + 2500.0 * cf.cq / st.tt) / (least(4, dl.doclen) + 2500.0)), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
 
     // boolean NEXI: g1 = ½ln(d_data)+½ln(d_merge), g2 = ln(d_query)
     // inside the head extent; and → (g1/2 + g2/2), or → ln(1−(1−e^g1)(1−e^g2))

@@ -1133,21 +1133,139 @@ final class Engine(
       return runQuery(s"#combine(${nq.terms.mkString(" ")})", k)
     require(!baseline, "NEXI CAS scoring uses extent contexts — rejected in " +
       "okapi/tfidf baseline mode like extent restriction; use an LM rule")
-    val extentsByDoc = nq.path match {
-      case Seq(f) =>
-        fieldExtents.where(col("field") === f)
-          .groupBy("docId").agg(
-            sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
-      case Seq(outer, inner) =>
-        // b-extents with an a ancestor (NestedExtentInside)
-        val raw = evaluateRaw(FieldPathNode("descendant", inner, outer)).df
-        raw.select(col("docId"),
-          sort_array(transform(arrays_zip(col("begins"), col("ends")),
-            s => struct(s("begins").as("begin"), s("ends").as("end")))).as("ex"))
-      case p => throw new IllegalArgumentException(
-        s"NEXI paths deeper than 2 fields are outside the supported subset: //${p.mkString("//")}")
+    nq.inner match {
+      case Some(in) =>
+        scoreNestedContexts(nq.clauses, nq.op, in.clauses, in.op,
+          nexiExtents(nq.path), nexiExtents(in.path), k)
+      case None =>
+        scoreExtentContexts(nq.clauses, nq.op, nexiExtents(nq.path),
+          passage = None, k)
     }
-    scoreExtentContexts(nq.clauses, nq.op, extentsByDoc, passage = None, k)
+  }
+
+  /** (docId, ex: sorted array<struct<begin,end>>) for a NEXI path */
+  private def nexiExtents(path: Seq[String]): DataFrame = path match {
+    case Seq(f) =>
+      fieldExtents.where(col("field") === f)
+        .groupBy("docId").agg(
+          sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
+    case Seq(outer, inner) =>
+      // b-extents with an a ancestor (NestedExtentInside)
+      val raw = evaluateRaw(FieldPathNode("descendant", inner, outer)).df
+      raw.select(col("docId"),
+        sort_array(transform(arrays_zip(col("begins"), col("ends")),
+          s => struct(s("begins").as("begin"), s("ends").as("end")))).as("ex"))
+    case p => throw new IllegalArgumentException(
+      s"NEXI paths deeper than 2 fields are outside the supported subset: //${p.mkString("//")}")
+  }
+
+  /** Two-level CAS `//a[clause1]//b[clause2]`: every b extent nested in
+    * an a extent scores clause1-over-the-a-extent PLUS clause2-over-the-
+    * b-extent — ContextInclusionAndNode adds the non-preserved children's
+    * scores onto each preserved (clause2-restricted) extent, and
+    * ExtentEnforcement walks the a-field extents (reference:
+    * src/ContextInclusionAndNode.cpp:223-261,
+    * src/ExtentEnforcementNode.cpp:48-80, nexilang.g:180-206).
+    */
+  private def scoreNestedContexts(outerGroups: Seq[Seq[String]], outerOp: Option[String],
+                                  innerGroups: Seq[Seq[String]], innerOp: Option[String],
+                                  aExt: DataFrame, bExt: DataFrame, k: Int): DataFrame = {
+    val groups = outerGroups ++ innerGroups
+    val processed = groups.flatten.map(analyzer.processTerm)
+    val live = processed.filter(_ != null).distinct
+    val tstats = termStatsFor(live)
+    val fns: Array[TermScoreFunction] = processed.map { pt =>
+      val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
+      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+        ts.df.toDouble, stats.totalDocs)
+    }.toArray
+    val nOuterChildren = outerGroups.map(_.length).sum
+    val groupOf: Array[Int] = groups.zipWithIndex
+      .flatMap { case (g, gi) => g.map(_ => gi) }.toArray
+    val wChild: Array[Double] = groups.flatMap(g => g.map(_ => 1.0 / g.length)).toArray
+    val nOuterGroups = outerGroups.length
+    val nGroups = groups.length
+    val outerOr = outerOp.contains("or")
+    val innerOr = innerOp.contains("or")
+    val termIdx: Map[String, Seq[Int]] =
+      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
+
+    val perDoc = index.postings
+      .where(col("term").isin(live: _*))
+      .groupBy("docId")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
+    val joined = perDoc
+      .join(aExt.select(col("docId"), col("ex").as("aex")), Seq("docId"), "inner")
+      .join(bExt.select(col("docId"), col("ex").as("bex")), Seq("docId"), "inner")
+
+    val bcFns = spark.sparkContext.broadcast(fns)
+    val bcIdx = spark.sparkContext.broadcast(termIdx)
+    val bcGroupOf = spark.sparkContext.broadcast(groupOf)
+    val bcWChild = spark.sparkContext.broadcast(wChild)
+    val scoreUdf = udf { (tp: Map[String, Seq[Int]],
+                          aBs: Seq[Int], aEs: Seq[Int],
+                          bBs: Seq[Int], bEs: Seq[Int]) =>
+      val fs = bcFns.value
+      val tIdx = bcIdx.value
+      val gOf = bcGroupOf.value
+      val wc = bcWChild.value
+      // clause belief over one context [b, e): children fold in query
+      // order (deterministic FP), missing terms contribute tf=0
+      def clauseScore(firstChild: Int, lastChild: Int,
+                      firstGroup: Int, lastGroup: Int, isOr: Boolean,
+                      b: Int, e: Int): Double = {
+        val ctx = e - b
+        val tfByChild = new Array[Int](fs.length)
+        tp.foreach { case (t, ps) =>
+          tIdx.getOrElse(t, Nil).foreach { ci =>
+            if (ci >= firstChild && ci < lastChild) {
+              var c0 = 0
+              ps.foreach { p => if (p >= b && p < e) c0 += 1 }
+              tfByChild(ci) = c0
+            }
+          }
+        }
+        val groupScore = new Array[Double](nGroups)
+        var ci = firstChild
+        while (ci < lastChild) {
+          groupScore(gOf(ci)) +=
+            wc(ci) * fs(ci).scoreOccurrence(tfByChild(ci).toDouble, ctx)
+          ci += 1
+        }
+        val gN = lastGroup - firstGroup
+        if (gN == 1) groupScore(firstGroup)
+        else if (isOr) {
+          var notAny = 1.0; var g = firstGroup
+          while (g < lastGroup) { notAny *= (1.0 - math.exp(groupScore(g))); g += 1 }
+          math.log(1.0 - notAny)
+        } else {
+          var s = 0.0; var g = firstGroup
+          while (g < lastGroup) { s += groupScore(g) / gN; g += 1 }
+          s
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      aBs.indices.foreach { ai =>
+        val ab = aBs(ai); val ae = aEs(ai)
+        val s1 = clauseScore(0, nOuterChildren, 0, nOuterGroups, outerOr, ab, ae)
+        bBs.indices.foreach { bi =>
+          val bb = bBs(bi); val be = bEs(bi)
+          if (bb >= ab && be <= ae)
+            out += ((bb, be,
+              s1 + clauseScore(nOuterChildren, fs.length, nOuterGroups, nGroups,
+                innerOr, bb, be)))
+        }
+      }
+      out.toSeq
+    }
+    notDeleted(joined)
+      .withColumn("scored", explode(scoreUdf(col("tp"),
+        col("aex.begin"), col("aex.end"), col("bex.begin"), col("bex.end"))))
+      .select(col("docId"), col("scored._1").as("begin"),
+        col("scored._2").as("end"), col("scored._3").as("score"))
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .limit(k)
   }
 
   /** Shrinkage-smoothed extent retrieval — ShrinkageBeliefNode's default

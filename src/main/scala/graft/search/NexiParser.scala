@@ -15,7 +15,13 @@ package graft.search
   *    grammar's single optional logical combination (nexilang.g:312-334
   *    `clause := filter (logical filter)?`): `and` → CombineNode over
   *    the two about-scored beliefs inside the extent context, `or` →
-  *    OrNode.
+  *    OrNode;
+  *  - two-level CAS: `//a[clause1]//b[clause2]` → ExtentEnforcement(
+  *    ContextInclusion(clause1, preserve=ExtentRestriction(clause2, b)),
+  *    a): every b extent nested in an a extent scores
+  *    clause1-over-the-a-extent + clause2-over-the-b-extent
+  *    (nexilang.g:180-206, src/ContextInclusionAndNode.cpp:223-261,
+  *    src/ExtentEnforcementNode.cpp:48-80).
   *
   * Term prefixes: `+t` = t (mandatory markers are scoring hints the
   * reference also ignores); `-t` dropped (nexilang.g UNDASH terms carry
@@ -23,19 +29,23 @@ package graft.search
   * documents it). Quoted phrases are split into their terms.
   *
   * Out of subset (throws): relative about paths (`about(.//s, …)`),
-  * numeric predicates, the two-level `//a[about]//b[about]` CAS form,
-  * parenthesized clause nesting.
+  * numeric predicates, parenthesized clause nesting.
   */
 object NexiParser {
 
   /** path = field chain (outermost first; empty = CO query);
     * clauses = one term list per about(); op = the logical connector
-    * when two clauses are present ("and" | "or")
+    * when two clauses are present ("and" | "or"); inner = the second
+    * `//path[clause]` level of the two-level CAS form
     */
   final case class NexiQuery(path: Seq[String], clauses: Seq[Seq[String]],
-                             op: Option[String]) {
-    def terms: Seq[String] = clauses.flatten
+                             op: Option[String],
+                             inner: Option[NexiQuery] = None) {
+    def terms: Seq[String] = clauses.flatten ++ inner.toSeq.flatMap(_.terms)
   }
+
+  private val TwoLevel =
+    """^(//[^\[\]]+)\[([^\]]*)\]\s*(//[^\[\]]+)\[([^\]]*)\]$""".r
 
   def parse(query: String): NexiQuery = {
     val q = query.trim
@@ -43,10 +53,20 @@ object NexiParser {
       // CO query: plain term list
       return NexiQuery(Nil, Seq(termList(q)), None)
     }
+    q match {
+      case TwoLevel(p1, c1, p2, c2) =>
+        return parseOne(p1, c1, query).copy(inner = Some(parseOne(p2, c2, query)))
+      case _ =>
+    }
     val open = q.indexOf('[')
     require(open > 0 && q.endsWith("]"), s"NEXI CAS query needs //path[about(…)]: $query")
     val pathStr = q.substring(0, open)
     val clause = q.substring(open + 1, q.length - 1).trim
+    parseOne(pathStr, clause, query)
+  }
+
+  private def parseOne(pathStr: String, clause0: String, query: String): NexiQuery = {
+    val clause = clause0.trim
     val path = pathStr.split("//").toSeq.map(_.trim).filter(_.nonEmpty)
     require(path.nonEmpty && path.forall(_.matches("[A-Za-z0-9_]+")),
       s"unsupported NEXI path: $pathStr")

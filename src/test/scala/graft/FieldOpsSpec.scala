@@ -231,6 +231,22 @@ class FieldOpsSpec extends AnyFunSuite {
       assert(so > s && math.abs(so - math.log(1 - math.pow(1 - math.exp(s), 2))) < 1e-9)
     }
 
+    // two-level CAS: //sec[about(., alpha)]//par[about(., beta)] scores
+    // the par-inside-sec extents only; doc1's trailing par [5,6) and
+    // doc2's root-level par never pair with a sec extent
+    val nested2 = eng2.runNexi("//sec[about(., alpha)]//par[about(., beta)]", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(nested2.map(t => (t._1, t._2, t._3)) == Seq((1L, 1, 4)))
+    // score = dirichlet(alpha | sec [0,5)) + dirichlet(beta | par [1,4))
+    // corpus totals: T = 9 (doc1: 6 content slots... recompute from the
+    // engine's own stats to stay robust to tokenizer details
+    val tt = eng2.termCount().toDouble
+    val cfA = eng2.termCount("alpha") / tt
+    val cfB = eng2.termCount("beta") / tt
+    val want2 = math.log((1 + 2500.0 * cfA) / (5 + 2500.0)) +
+      math.log((1 + 2500.0 * cfB) / (3 + 2500.0))
+    assert(math.abs(nested2.head._4 - want2) < 1e-9)
+
     // parser guards: three clauses, deep paths, non-about clauses
     intercept[IllegalArgumentException] {
       NexiParser.parse("//a[about(., x) and about(., y) and about(., z)]")

@@ -624,6 +624,19 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_nexi_rel" -> ((s, dir) => {
+      // relative about //head[about(.//lead, query)]: each head extent
+      // takes the MAX over its nested lead extents of the lead-context
+      // belief (MaxNode over ExtentRestriction, nexilang.g:370-390)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head[about(.//lead, ${BmTerms(2)})]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_nested" -> ((s, dir) => {
       // two-level CAS //head[about(., data merge)]//lead[about(., query)]:
       // each lead extent nested in a head extent scores
@@ -1535,6 +1548,24 @@ object SparkEntry {
          |  round(0.5 * ln((1 - 0.4) * dd + 0.4 * cfd)
          |      + 0.5 * ln((1 - 0.4) * dm + 0.4 * cfm), 6) AS score
          |FROM dn ORDER BY doc_id, "begin"""".stripMargin,
+
+    // relative about: head extents score max over nested lead extents
+    // (exactly one per doc) of ln(d(query|lead)); candidates = docs
+    // containing 'query' (the clause's only live term)
+    "q_nexi_rel" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'query') AS cq
+         |), tfe AS (
+         |  SELECT doc_id, count(*) FILTER (WHERE term = 'query' AND pos <= 4) AS lq
+         |  FROM tok WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'query')
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round(1.0 * ln((t.lq + 2500.0 * cf.cq / st.tt) / (least(4, dl.doclen) + 2500.0)), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
 
     // two-level CAS: s = [½ln(d(data|head)) + ½ln(d(merge|head))]
     //                  + ln(d(query|lead)), rows = lead extents

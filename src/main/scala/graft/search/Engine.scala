@@ -1135,12 +1135,96 @@ final class Engine(
       "okapi/tfidf baseline mode like extent restriction; use an LM rule")
     nq.inner match {
       case Some(in) =>
+        require(nq.relOf(0).isEmpty && in.relOf(0).isEmpty,
+          "relative about inside the two-level CAS form is outside the subset")
         scoreNestedContexts(nq.clauses, nq.op, in.clauses, in.op,
           nexiExtents(nq.path), nexiExtents(in.path), k)
       case None =>
-        scoreExtentContexts(nq.clauses, nq.op, nexiExtents(nq.path),
-          passage = None, k)
+        nq.relOf(0) match {
+          case Some(relField) if nq.clauses.size == 1 =>
+            scoreRelativeAbout(nq.clauses.head, nexiExtents(nq.path),
+              nexiExtents(Seq(relField)), k)
+          case _ =>
+            scoreExtentContexts(nq.clauses, nq.op, nexiExtents(nq.path),
+              passage = None, k)
+        }
     }
+  }
+
+  /** `//a[about(.//s, terms)]` — the relative-about clause: each a
+    * extent scores the MAXIMUM over its nested s extents of the
+    * term-bag belief scored in the s-extent context; a extents with no
+    * nested s extent yield no result (MaxNode over the
+    * ExtentRestriction(terms, s) results; reference: nexilang.g:370-390
+    * aboutClause path branch, include/indri/MaxNode.hpp).
+    */
+  private def scoreRelativeAbout(terms: Seq[String], aExt: DataFrame,
+                                 sExt: DataFrame, k: Int): DataFrame = {
+    val processed = terms.map(analyzer.processTerm)
+    val live = processed.filter(_ != null).distinct
+    val tstats = termStatsFor(live)
+    val fns: Array[TermScoreFunction] = processed.map { pt =>
+      val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
+      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+        ts.df.toDouble, stats.totalDocs)
+    }.toArray
+    val w = 1.0 / processed.length
+    val termIdx: Map[String, Seq[Int]] =
+      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
+    val perDoc = index.postings
+      .where(col("term").isin(live: _*))
+      .groupBy("docId")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
+    val joined = perDoc
+      .join(aExt.select(col("docId"), col("ex").as("aex")), Seq("docId"), "inner")
+      .join(sExt.select(col("docId"), col("ex").as("sex")), Seq("docId"), "inner")
+    val bcFns = spark.sparkContext.broadcast(fns)
+    val bcIdx = spark.sparkContext.broadcast(termIdx)
+    val scoreUdf = udf { (tp: Map[String, Seq[Int]],
+                          aBs: Seq[Int], aEs: Seq[Int],
+                          sBs: Seq[Int], sEs: Seq[Int]) =>
+      val fs = bcFns.value
+      val tIdx = bcIdx.value
+      def bagScore(b: Int, e: Int): Double = {
+        val ctx = e - b
+        val tfByChild = new Array[Int](fs.length)
+        tp.foreach { case (t, ps) =>
+          tIdx.getOrElse(t, Nil).foreach { ci =>
+            var c0 = 0
+            ps.foreach { p => if (p >= b && p < e) c0 += 1 }
+            tfByChild(ci) = c0
+          }
+        }
+        var acc = 0.0
+        var ci = 0
+        while (ci < fs.length) {
+          acc += w * fs(ci).scoreOccurrence(tfByChild(ci).toDouble, ctx)
+          ci += 1
+        }
+        acc
+      }
+      aBs.indices.flatMap { ai =>
+        val ab = aBs(ai); val ae = aEs(ai)
+        var best = Double.NegativeInfinity
+        var any = false
+        sBs.indices.foreach { si =>
+          if (sBs(si) >= ab && sEs(si) <= ae) {
+            any = true
+            val s = bagScore(sBs(si), sEs(si))
+            if (s > best) best = s
+          }
+        }
+        if (any) Some((ab, ae, best)) else None
+      }
+    }
+    notDeleted(joined)
+      .withColumn("scored", explode(scoreUdf(col("tp"),
+        col("aex.begin"), col("aex.end"), col("sex.begin"), col("sex.end"))))
+      .select(col("docId"), col("scored._1").as("begin"),
+        col("scored._2").as("end"), col("scored._3").as("score"))
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .limit(k)
   }
 
   /** (docId, ex: sorted array<struct<begin,end>>) for a NEXI path */

@@ -16,6 +16,10 @@ package graft.search
   *    `clause := filter (logical filter)?`): `and` → CombineNode over
   *    the two about-scored beliefs inside the extent context, `or` →
   *    OrNode;
+  *  - relative about: `//a[about(.//s, …)]` → MaxNode over the
+  *    ExtentRestriction-scored s extents inside each a extent
+  *    (nexilang.g:370-390 aboutClause path branch — the about's
+  *    path+field become the restriction, wrapped in MaxNode);
   *  - two-level CAS: `//a[clause1]//b[clause2]` → ExtentEnforcement(
   *    ContextInclusion(clause1, preserve=ExtentRestriction(clause2, b)),
   *    a): every b extent nested in an a extent scores
@@ -28,8 +32,8 @@ package graft.search
   * negative weight in the reference; the subset drops them and
   * documents it). Quoted phrases are split into their terms.
   *
-  * Out of subset (throws): relative about paths (`about(.//s, …)`),
-  * numeric predicates, parenthesized clause nesting.
+  * Out of subset (throws): numeric predicates, parenthesized clause
+  * nesting, relative about combined with boolean clauses.
   */
 object NexiParser {
 
@@ -40,8 +44,11 @@ object NexiParser {
     */
   final case class NexiQuery(path: Seq[String], clauses: Seq[Seq[String]],
                              op: Option[String],
-                             inner: Option[NexiQuery] = None) {
+                             inner: Option[NexiQuery] = None,
+                             clauseRel: Seq[Option[String]] = Nil) {
     def terms: Seq[String] = clauses.flatten ++ inner.toSeq.flatMap(_.terms)
+    /** relative-path field of clause i (None = plain `about(., …)`) */
+    def relOf(i: Int): Option[String] = clauseRel.lift(i).flatten
   }
 
   private val TwoLevel =
@@ -70,7 +77,7 @@ object NexiParser {
     val path = pathStr.split("//").toSeq.map(_.trim).filter(_.nonEmpty)
     require(path.nonEmpty && path.forall(_.matches("[A-Za-z0-9_]+")),
       s"unsupported NEXI path: $pathStr")
-    val about = "(?i)about\\s*\\(\\s*\\.\\s*,([^()]*)\\)".r
+    val about = "(?i)about\\s*\\(\\s*\\.(//[A-Za-z0-9_]+)?\\s*,([^()]*)\\)".r
     val abouts = about.findAllMatchIn(clause).toSeq
     require(abouts.nonEmpty, s"unsupported NEXI clause (subset: about(., terms)): $clause")
     // everything outside the about() spans must be empty (one clause) or
@@ -82,11 +89,16 @@ object NexiParser {
       sb.append(clause.substring(last))
       sb.toString.trim.toLowerCase
     }
+    def relOf(m: scala.util.matching.Regex.Match): Option[String] =
+      Option(m.group(1)).map(_.stripPrefix("//"))
     (abouts.size, outside) match {
       case (1, "") =>
-        NexiQuery(path, Seq(termList(abouts.head.group(1))), None)
+        NexiQuery(path, Seq(termList(abouts.head.group(2))), None,
+          clauseRel = Seq(relOf(abouts.head)))
       case (2, "and") | (2, "or") =>
-        NexiQuery(path, abouts.map(m => termList(m.group(1))), Some(outside))
+        require(abouts.forall(m => relOf(m).isEmpty),
+          s"relative about paths combine only as a sole clause in this subset: $clause")
+        NexiQuery(path, abouts.map(m => termList(m.group(2))), Some(outside))
       case _ => throw new IllegalArgumentException(
         s"unsupported NEXI clause (subset: about(., terms) with one optional and/or): $clause")
     }

@@ -624,6 +624,20 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_nexi_num" -> ((s, dir) => {
+      // numeric predicate clause //head[about(., data) and .//nchars < 300]:
+      // the nchars whole-doc extent counts as an occurrence inside a head
+      // extent only when contained (doclen ≤ 10) AND matching (< 300);
+      // its belief folds with the about via combine 1/k
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi("//head[about(., data) and .//nchars < 300]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_rel" -> ((s, dir) => {
       // relative about //head[about(.//lead, query)]: each head extent
       // takes the MAX over its nested lead extents of the lead-context
@@ -1548,6 +1562,37 @@ object SparkEntry {
          |  round(0.5 * ln((1 - 0.4) * dd + 0.4 * cfd)
          |      + 0.5 * ln((1 - 0.4) * dm + 0.4 * cfm), 6) AS score
          |FROM dn ORDER BY doc_id, "begin"""".stripMargin,
+
+    // numeric predicate: occ = 1 iff n_chars<300 AND the whole-doc nchars
+    // extent fits in head (doclen ≤ 10); collection stats = #matching
+    // extents corpus-wide; score = ½ln(d(data|head)) + ½ln(d_num)
+    "q_nexi_num" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM documents WHERE n_chars < 300) AS cn
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term = 'data'
+         |  UNION
+         |  SELECT doc_id FROM documents WHERE n_chars < 300
+         |), tfe AS (
+         |  SELECT doc_id, count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS hd
+         |  FROM tok GROUP BY doc_id
+         |), oc AS (
+         |  SELECT d2.doc_id,
+         |    CASE WHEN d2.n_chars < 300 AND dl.doclen <= 10 THEN 1 ELSE 0 END AS occ
+         |  FROM documents d2 JOIN dl ON dl.doc_id = d2.doc_id
+         |)
+         |SELECT c.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round((1.0 * ln((coalesce(t.hd, 0) + 2500.0 * (CASE WHEN cf.cd <> 0 THEN cf.cd/st.tt ELSE 1.0/(st.tt*2.0) END)) / (least(10, dl.doclen) + 2500.0))) / 2
+         |      + (1.0 * ln((oc.occ + 2500.0 * (CASE WHEN cf.cn <> 0 THEN cf.cn/st.tt ELSE 1.0/(st.tt*2.0) END)) / (least(10, dl.doclen) + 2500.0))) / 2, 6) AS score
+         |FROM cand c
+         |JOIN dl ON dl.doc_id = c.doc_id
+         |JOIN oc ON oc.doc_id = c.doc_id
+         |LEFT JOIN tfe t ON t.doc_id = c.doc_id
+         |CROSS JOIN st CROSS JOIN cf
+         |ORDER BY c.doc_id, "begin"""".stripMargin,
 
     // relative about: head extents score max over nested lead extents
     // (exactly one per doc) of ln(d(query|lead)); candidates = docs

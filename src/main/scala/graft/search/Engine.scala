@@ -1133,12 +1133,17 @@ final class Engine(
       return runQuery(s"#combine(${nq.terms.mkString(" ")})", k)
     require(!baseline, "NEXI CAS scoring uses extent contexts — rejected in " +
       "okapi/tfidf baseline mode like extent restriction; use an LM rule")
+    import NexiParser.{AboutClause, NumericClause}
+    def hasNumeric(q: NexiParser.NexiQuery): Boolean =
+      q.nexiClauses.exists(_.isInstanceOf[NumericClause])
     nq.inner match {
       case Some(in) =>
-        require(nq.relOf(0).isEmpty && in.relOf(0).isEmpty,
-          "relative about inside the two-level CAS form is outside the subset")
+        require(nq.relOf(0).isEmpty && in.relOf(0).isEmpty && !hasNumeric(nq) && !hasNumeric(in),
+          "relative about / numeric predicates inside the two-level CAS form are outside the subset")
         scoreNestedContexts(nq.clauses, nq.op, in.clauses, in.op,
           nexiExtents(nq.path), nexiExtents(in.path), k)
+      case None if hasNumeric(nq) =>
+        scoreMixedClauses(nq.nexiClauses, nq.op, nexiExtents(nq.path), k)
       case None =>
         nq.relOf(0) match {
           case Some(relField) if nq.clauses.size == 1 =>
@@ -1149,6 +1154,144 @@ final class Engine(
               passage = None, k)
         }
     }
+  }
+
+  /** Clause lists containing a numeric predicate (`.//g op n`): the
+    * predicate's matching field extents are scored as an occurrence
+    * belief inside each target extent — tf = #matching extents
+    * CONTAINED in the context, collection stats from the one-job
+    * ContextCount round — and folded with the about beliefs by the
+    * boolean op (reference: nexilang.g:395-440 arithmeticClause →
+    * NestedRawScorerNode; ListBeliefNode context-contained counting).
+    * Candidate docs = docs with ≥1 about term OR ≥1 matching extent.
+    */
+  private def scoreMixedClauses(cls: Seq[NexiParser.NexiClause],
+                                groupOp: Option[String],
+                                extentsByDoc: DataFrame, k: Int): DataFrame = {
+    import NexiParser.{AboutClause, NumericClause}
+    val nGroups = cls.length
+    val isOr = groupOp.contains("or")
+    // term children (about clauses only), with their group index
+    val termChildren: Seq[(String, Int)] = cls.zipWithIndex.flatMap {
+      case (AboutClause(_, ts), gi) => ts.map(_ -> gi)
+      case _ => Nil
+    }
+    val processed = termChildren.map { case (t, _) => analyzer.processTerm(t) }
+    val live = processed.filter(_ != null).distinct
+    val tstats = termStatsFor(live)
+    val fns: Array[TermScoreFunction] = processed.map { pt =>
+      val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
+      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+        ts.df.toDouble, stats.totalDocs)
+    }.toArray
+    val groupOfChild: Array[Int] = termChildren.map(_._2).toArray
+    val wChild: Array[Double] = cls.zipWithIndex.flatMap {
+      case (AboutClause(_, ts), _) => ts.map(_ => 1.0 / ts.length)
+      case _ => Nil
+    }.toArray
+    val termIdx: Map[String, Seq[Int]] =
+      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
+
+    // numeric clauses → raw nodes, one-job stats, per-group scorers
+    val numNodes: Seq[(Int, QueryNode)] = cls.zipWithIndex.collect {
+      case (NumericClause(f, "less", v), gi) =>
+        gi -> FieldNumNode("less", f, Long.MinValue, v)
+      case (NumericClause(f, "greater", v), gi) =>
+        gi -> FieldNumNode("greater", f, v, Long.MaxValue)
+      case (NumericClause(f, "equals", v), gi) =>
+        gi -> FieldNumNode("equals", f, v, v)
+    }
+    val numStats = complexStatsBatch(numNodes.map(_._2))
+    val numFnByGroup: Map[Int, TermScoreFunction] = numNodes.map { case (gi, n) =>
+      val (occ, df) = numStats(n)
+      gi -> Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+        df.toDouble, stats.totalDocs)
+    }.toMap
+    val numExt = numNodes.map { case (gi, n) =>
+      evaluateRaw(n).df.select(col("docId"), lit(gi).as("g"),
+        col("begins"), col("ends"))
+    }.reduce(_ unionByName _)
+      .groupBy("docId")
+      .agg(collect_list(struct(col("g"), col("begins"), col("ends"))).as("numx"))
+
+    val perDoc =
+      if (live.isEmpty) null
+      else index.postings.where(col("term").isin(live: _*))
+        .groupBy("docId")
+        .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
+    val cand =
+      if (perDoc == null)
+        numExt.select(col("docId"),
+          lit(null).cast("map<string,array<int>>").as("tp"), col("numx"))
+      else perDoc.join(numExt, Seq("docId"), "full_outer")
+        .select(col("docId"), col("tp"), col("numx"))
+    val joined = cand.join(extentsByDoc, Seq("docId"), "inner")
+
+    val bcFns = spark.sparkContext.broadcast(fns)
+    val bcIdx = spark.sparkContext.broadcast(termIdx)
+    val bcGof = spark.sparkContext.broadcast(groupOfChild)
+    val bcW = spark.sparkContext.broadcast(wChild)
+    val bcNumFns = spark.sparkContext.broadcast(numFnByGroup)
+    val scoreUdf = udf { (tp: Map[String, Seq[Int]], numx: Seq[Row],
+                          bs: Seq[Int], es: Seq[Int]) =>
+      val fs = bcFns.value
+      val tIdx = bcIdx.value
+      val gOf = bcGof.value
+      val wc = bcW.value
+      val nFns = bcNumFns.value
+      bs.indices.map { i =>
+        val b = bs(i); val e = es(i)
+        val ctx = e - b
+        val groupScore = new Array[Double](nGroups)
+        // about children: tf within the context, fold in child order
+        val tfByChild = new Array[Int](fs.length)
+        if (tp != null) tp.foreach { case (t, ps) =>
+          tIdx.getOrElse(t, Nil).foreach { ci =>
+            var c0 = 0
+            ps.foreach { p => if (p >= b && p < e) c0 += 1 }
+            tfByChild(ci) = c0
+          }
+        }
+        var ci = 0
+        while (ci < fs.length) {
+          groupScore(gOf(ci)) += wc(ci) * fs(ci).scoreOccurrence(tfByChild(ci).toDouble, ctx)
+          ci += 1
+        }
+        // numeric groups: contained matching extents count as occurrences
+        nFns.foreach { case (gi, fn) =>
+          var occ = 0
+          if (numx != null) numx.foreach { r =>
+            if (r.getInt(0) == gi) {
+              val nb = r.getSeq[Int](1); val ne = r.getSeq[Int](2)
+              nb.indices.foreach { j =>
+                if (nb(j) >= b && ne(j) <= e) occ += 1
+              }
+            }
+          }
+          groupScore(gi) += 1.0 * fn.scoreOccurrence(occ.toDouble, ctx)
+        }
+        val acc =
+          if (nGroups == 1) groupScore(0)
+          else if (isOr) {
+            var notAny = 1.0; var g = 0
+            while (g < nGroups) { notAny *= (1.0 - math.exp(groupScore(g))); g += 1 }
+            math.log(1.0 - notAny)
+          } else {
+            var s = 0.0; var g = 0
+            while (g < nGroups) { s += groupScore(g) / nGroups; g += 1 }
+            s
+          }
+        (b, e, acc)
+      }
+    }
+    notDeleted(joined)
+      .withColumn("scored", explode(scoreUdf(col("tp"), col("numx"),
+        col("ex.begin"), col("ex.end"))))
+      .select(col("docId"), col("scored._1").as("begin"),
+        col("scored._2").as("end"), col("scored._3").as("score"))
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .limit(k)
   }
 
   /** `//a[about(.//s, terms)]` — the relative-about clause: each a

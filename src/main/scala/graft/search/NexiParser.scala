@@ -1,7 +1,7 @@
 package graft.search
 
 /** NEXI (Narrowed Extended XPath I) query parser — the CAS/CO subset of
-  * the reference's NEXI grammar (reference: src/nexilang.g:151-270,
+  * the reference's NEXI grammar (reference: src/nexilang.g:151-440,
   * src/NexiParser.cpp; the INEX query language):
   *
   *  - CO (content-only): `t1 t2 …` → document ranking over the terms
@@ -11,15 +11,17 @@ package graft.search
   *    nexilang.g:159-177);
   *  - nested path: `//a//b[about(., …)]` → extents of b nested inside an
   *    a extent (NestedExtentInside, nexilang.g:251-270);
-  *  - boolean clause: `//f[about(., …) and|or about(., …)]` — the
-  *    grammar's single optional logical combination (nexilang.g:312-334
-  *    `clause := filter (logical filter)?`): `and` → CombineNode over
-  *    the two about-scored beliefs inside the extent context, `or` →
-  *    OrNode;
+  *  - boolean clause: `//f[filter and|or filter]` — the grammar's single
+  *    optional logical combination (nexilang.g:312-334 `clause := filter
+  *    (logical filter)?`): `and` → CombineNode over the per-filter
+  *    beliefs inside the extent context, `or` → OrNode;
+  *  - numeric predicate filter: `.//g < n` (also <=, =, >, >=) →
+  *    FieldLess/Greater/Equals raw extents scored as an occurrence
+  *    belief within the extent context (nexilang.g:395-440
+  *    arithmeticClause → NestedRawScorerNode + MaxNode, shrinkage off);
   *  - relative about: `//a[about(.//s, …)]` → MaxNode over the
   *    ExtentRestriction-scored s extents inside each a extent
-  *    (nexilang.g:370-390 aboutClause path branch — the about's
-  *    path+field become the restriction, wrapped in MaxNode);
+  *    (nexilang.g:370-390 aboutClause path branch);
   *  - two-level CAS: `//a[clause1]//b[clause2]` → ExtentEnforcement(
   *    ContextInclusion(clause1, preserve=ExtentRestriction(clause2, b)),
   *    a): every b extent nested in an a extent scores
@@ -32,75 +34,99 @@ package graft.search
   * negative weight in the reference; the subset drops them and
   * documents it). Quoted phrases are split into their terms.
   *
-  * Out of subset (throws): numeric predicates, parenthesized clause
-  * nesting, relative about combined with boolean clauses.
+  * Out of subset (throws): parenthesized clause nesting, relative about
+  * combined with boolean clauses, quantities/dates beyond integers.
   */
 object NexiParser {
 
-  /** path = field chain (outermost first; empty = CO query);
-    * clauses = one term list per about(); op = the logical connector
-    * when two clauses are present ("and" | "or"); inner = the second
-    * `//path[clause]` level of the two-level CAS form
+  sealed trait NexiClause
+  /** `about(., terms)` or `about(.//rel, terms)` */
+  final case class AboutClause(rel: Option[String], terms: Seq[String]) extends NexiClause
+  /** `.//field op value` — op ∈ less|greater|equals with the reference's
+    * inclusive rewrites already applied (<= n → less n+1, >= n → greater n−1)
     */
-  final case class NexiQuery(path: Seq[String], clauses: Seq[Seq[String]],
+  final case class NumericClause(field: String, op: String, value: Long) extends NexiClause
+
+  /** path = field chain (outermost first; empty = CO query); clauses =
+    * the filters (1 or 2, per the grammar); op = the logical connector
+    * when two are present; inner = the second `//path[clause]` level
+    */
+  final case class NexiQuery(path: Seq[String], nexiClauses: Seq[NexiClause],
                              op: Option[String],
-                             inner: Option[NexiQuery] = None,
-                             clauseRel: Seq[Option[String]] = Nil) {
-    def terms: Seq[String] = clauses.flatten ++ inner.toSeq.flatMap(_.terms)
-    /** relative-path field of clause i (None = plain `about(., …)`) */
-    def relOf(i: Int): Option[String] = clauseRel.lift(i).flatten
+                             inner: Option[NexiQuery] = None) {
+    def terms: Seq[String] =
+      nexiClauses.collect { case AboutClause(_, ts) => ts }.flatten ++
+        inner.toSeq.flatMap(_.terms)
+    /** term lists of the about clauses (legacy surface for tests) */
+    def clauses: Seq[Seq[String]] =
+      nexiClauses.collect { case AboutClause(_, ts) => ts }
+    def relOf(i: Int): Option[String] = nexiClauses.lift(i) match {
+      case Some(AboutClause(rel, _)) => rel
+      case _ => None
+    }
   }
 
   private val TwoLevel =
     """^(//[^\[\]]+)\[([^\]]*)\]\s*(//[^\[\]]+)\[([^\]]*)\]$""".r
+  private val AboutRe =
+    """(?i)^about\s*\(\s*\.(//[A-Za-z0-9_]+)?\s*,([^()]*)\)$""".r
+  private val NumericRe =
+    """^\.//([A-Za-z0-9_]+)\s*(<=|>=|<|>|=)\s*(\d+)$""".r
 
   def parse(query: String): NexiQuery = {
     val q = query.trim
     if (!q.startsWith("//")) {
       // CO query: plain term list
-      return NexiQuery(Nil, Seq(termList(q)), None)
+      return NexiQuery(Nil, Seq(AboutClause(None, termList(q))), None)
     }
     q match {
       case TwoLevel(p1, c1, p2, c2) =>
-        return parseOne(p1, c1, query).copy(inner = Some(parseOne(p2, c2, query)))
+        return parseOne(p1, c1).copy(inner = Some(parseOne(p2, c2)))
       case _ =>
     }
     val open = q.indexOf('[')
     require(open > 0 && q.endsWith("]"), s"NEXI CAS query needs //path[about(…)]: $query")
-    val pathStr = q.substring(0, open)
-    val clause = q.substring(open + 1, q.length - 1).trim
-    parseOne(pathStr, clause, query)
+    parseOne(q.substring(0, open), q.substring(open + 1, q.length - 1))
   }
 
-  private def parseOne(pathStr: String, clause0: String, query: String): NexiQuery = {
+  private def numeric(field: String, op: String, v: Long): NumericClause = op match {
+    // the reference grammar's inclusive rewrites (nexilang.g:409-418):
+    // <= n → FieldLessNode(n+1); >= n → FieldGreaterNode(n−1)
+    case "<" => NumericClause(field, "less", v)
+    case "<=" => NumericClause(field, "less", v + 1)
+    case "=" => NumericClause(field, "equals", v)
+    case ">" => NumericClause(field, "greater", v)
+    case ">=" => NumericClause(field, "greater", v - 1)
+  }
+
+  private def parseFilter(s: String): NexiClause = s.trim match {
+    case AboutRe(rel, ts) =>
+      AboutClause(Option(rel).map(_.stripPrefix("//")), termList(ts))
+    case NumericRe(f, op, v) => numeric(f, op, v.toLong)
+    case other => throw new IllegalArgumentException(
+      s"unsupported NEXI filter (subset: about(., terms) | about(.//f, terms) | .//f op n): $other")
+  }
+
+  private def parseOne(pathStr: String, clause0: String): NexiQuery = {
     val clause = clause0.trim
     val path = pathStr.split("//").toSeq.map(_.trim).filter(_.nonEmpty)
     require(path.nonEmpty && path.forall(_.matches("[A-Za-z0-9_]+")),
       s"unsupported NEXI path: $pathStr")
-    val about = "(?i)about\\s*\\(\\s*\\.(//[A-Za-z0-9_]+)?\\s*,([^()]*)\\)".r
-    val abouts = about.findAllMatchIn(clause).toSeq
-    require(abouts.nonEmpty, s"unsupported NEXI clause (subset: about(., terms)): $clause")
-    // everything outside the about() spans must be empty (one clause) or
-    // exactly one and/or connector (two clauses — the grammar's maximum)
-    val outside = {
-      val sb = new StringBuilder
-      var last = 0
-      abouts.foreach { m => sb.append(clause.substring(last, m.start)); last = m.end }
-      sb.append(clause.substring(last))
-      sb.toString.trim.toLowerCase
-    }
-    def relOf(m: scala.util.matching.Regex.Match): Option[String] =
-      Option(m.group(1)).map(_.stripPrefix("//"))
-    (abouts.size, outside) match {
-      case (1, "") =>
-        NexiQuery(path, Seq(termList(abouts.head.group(2))), None,
-          clauseRel = Seq(relOf(abouts.head)))
-      case (2, "and") | (2, "or") =>
-        require(abouts.forall(m => relOf(m).isEmpty),
+    // split on ONE top-level and/or (the grammar's maximum); the filter
+    // syntaxes contain no and/or tokens, so a word-boundary split is safe
+    val parts = clause.split("(?i)\\b(and|or)\\b").map(_.trim).filter(_.nonEmpty)
+    val connectors = "(?i)\\b(and|or)\\b".r.findAllMatchIn(clause)
+      .map(_.group(1).toLowerCase).toSeq
+    (parts.length, connectors) match {
+      case (1, Seq()) =>
+        NexiQuery(path, Seq(parseFilter(parts(0))), None)
+      case (2, Seq(c)) =>
+        val fs = parts.toSeq.map(parseFilter)
+        require(!fs.exists { case AboutClause(Some(_), _) => true; case _ => false },
           s"relative about paths combine only as a sole clause in this subset: $clause")
-        NexiQuery(path, abouts.map(m => termList(m.group(2))), Some(outside))
+        NexiQuery(path, fs, Some(c))
       case _ => throw new IllegalArgumentException(
-        s"unsupported NEXI clause (subset: about(., terms) with one optional and/or): $clause")
+        s"unsupported NEXI clause (subset: filter [and|or filter]): $clause")
     }
   }
 

@@ -247,7 +247,16 @@ class FieldOpsSpec extends AnyFunSuite {
       math.log((1 + 2500.0 * cfB) / (3 + 2500.0))
     assert(math.abs(nested2.head._4 - want2) < 1e-9)
 
-    // parser guards: three clauses, deep paths, non-about clauses
+    // numeric predicates parse (round 3 — scored as occurrence beliefs)
+    val num = NexiParser.parse("//a[.//b > 5]")
+    assert(num.nexiClauses == Seq(NexiParser.NumericClause("b", "greater", 5L)))
+    assert(NexiParser.parse("//a[.//b <= 5]").nexiClauses ==
+      Seq(NexiParser.NumericClause("b", "less", 6L))) // grammar's inclusive rewrite
+    val mixed = NexiParser.parse("//a[about(., x) and .//b >= 3]")
+    assert(mixed.nexiClauses(1) == NexiParser.NumericClause("b", "greater", 2L)
+      && mixed.op.contains("and"))
+
+    // parser guards: three clauses, deep paths, unknown filter syntax
     intercept[IllegalArgumentException] {
       NexiParser.parse("//a[about(., x) and about(., y) and about(., z)]")
     }
@@ -255,7 +264,7 @@ class FieldOpsSpec extends AnyFunSuite {
       eng2.runNexi("//a//b//c[about(., x)]", 5)
     }
     intercept[IllegalArgumentException] {
-      NexiParser.parse("//a[.//b > 5]")
+      NexiParser.parse("//a[(about(., x))]")
     }
   }
 

@@ -48,6 +48,29 @@ class RankIdentitySpec extends AnyFunSuite {
     check(ScoringRule(method = "okapi"), bagQueries)
   }
 
+  test("krovetz-stemmed build + retrieval rank identity (full kstem dictionary in the chain)") {
+    // north-star chain: Indri-style tokenize + Krovetz-equivalent
+    // stemming as the indexing transformation, end-to-end — the engine
+    // (stemmed index + stemmed query processing + WAND) must equal the
+    // scalar oracle running the same analyzer bit-for-bit
+    val cfgK = IndexConfig(blockSize = 128, numBuckets = 4, stemmerName = "krovetz")
+    val idxK = IndexBuilder.build(docsDf, cfgK)
+    val az = cfgK.analyzer
+    val rule = ScoringRule(method = "okapi")
+    val engine = new Engine(spark, idxK, az, rule)
+    val oracle = new ScalarOracle(docsLocal, az, rule)
+    bagQueries.take(10).foreach { case (qid, q) =>
+      val got = engine.runQuery(q, K).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = oracle.topk(q, K)
+      assert(got == want, s"q$qid '$q' (krovetz chain): mismatch\n got=${got.take(5)}\nwant=${want.take(5)}")
+    }
+    // the chain really runs kstem (dictionary-gated conflations), even
+    // though the synthetic code vocabulary happens to be inflection-free
+    assert(az.processTerm("stopped") == "stop")
+    assert(az.processTerm("running") == "running") // head word stays
+    assert(az.processTerm("italians") == "italy")  // plural → conflation
+  }
+
   test("okapi BM25 rank identity on positional operators (#od1 #uw8 #band)") {
     check(ScoringRule(method = "okapi"), positionalQueries)
   }

@@ -108,7 +108,20 @@ object NexiParser {
   }
 
   private def parseOne(pathStr: String, clause0: String): NexiQuery = {
-    val clause = clause0.trim
+    // filterParens (nexilang.g:360-363): strip redundant outer parens
+    // around the WHOLE clause — nesting deeper than that stays out of
+    // subset (about()'s own parens make naive stripping unsafe, so only
+    // peel when the parens are balanced across the full span)
+    var clause = clause0.trim
+    while (clause.startsWith("(") && clause.endsWith(")") && {
+      var depth = 0; var minInner = Int.MaxValue
+      clause.substring(1, clause.length - 1).foreach {
+        case '(' => depth += 1
+        case ')' => depth -= 1; minInner = math.min(minInner, depth)
+        case _ =>
+      }
+      depth == 0 && (minInner == Int.MaxValue || minInner >= 0)
+    }) clause = clause.substring(1, clause.length - 1).trim
     val path = pathStr.split("//").toSeq.map(_.trim).filter(_.nonEmpty)
     require(path.nonEmpty && path.forall(_.matches("[A-Za-z0-9_]+")),
       s"unsupported NEXI path: $pathStr")

@@ -263,8 +263,10 @@ class FieldOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       eng2.runNexi("//a//b//c[about(., x)]", 5)
     }
-    intercept[IllegalArgumentException] {
-      NexiParser.parse("//a[(about(., x))]")
+    // filterParens: redundant outer parens peel off
+    assert(NexiParser.parse("//a[(about(., x))]") == NexiParser.parse("//a[about(., x)]"))
+    intercept[IllegalArgumentException] { // nested boolean grouping stays out
+      NexiParser.parse("//a[(about(., x) and about(., y)) or about(., z)]")
     }
   }
 

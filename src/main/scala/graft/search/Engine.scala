@@ -1525,8 +1525,8 @@ final class Engine(
     * weight keys update the node parameters.
     */
   private def parseShrinkageRules(rules: Seq[String], pw0: Double, dw0: Double)
-      : (Map[String, ShrinkRule], Double, Double, Boolean) = {
-    var pw = pw0; var dw = dw0; var recursive = false
+      : (Map[String, ShrinkRule], Double, Double, Boolean, Boolean) = {
+    var pw = pw0; var dw = dw0; var recursive = false; var qlc = false
     val map = scala.collection.mutable.LinkedHashMap.empty[String, ShrinkRule]
     rules.foreach { text =>
       var field = ""; var weight = 0.0; var lenProp = false
@@ -1539,8 +1539,7 @@ final class Engine(
             case "parentWeight" => pw = value.toDouble
             case "docWeight" => dw = value.toDouble
             case "recursive" => recursive = value == "true"
-            case "queryLevelCombine" => require(value != "true",
-              "queryLevelCombine:true is outside the supported subset")
+            case "queryLevelCombine" => qlc = value == "true" 
             case "field" => field = value
             case "weight" => weight = value.toDouble
             case "length" => lenProp = value == "true"
@@ -1550,14 +1549,14 @@ final class Engine(
       }
       if (field.nonEmpty) map(field) = ShrinkRule(field, weight, lenProp)
     }
-    (map.toMap, pw, dw, recursive)
+    (map.toMap, pw, dw, recursive, qlc)
   }
 
   def runShrinkageQuery(field: String, terms: Seq[String], k: Int,
                         parentWeight: Double = 0.2, docWeight: Double = 0.2,
                         lambda: Double = 0.4,
                         rules: Seq[String] = Nil): DataFrame = {
-    val (ruleMap, wp, wd, recursive) =
+    val (ruleMap, wp, wd, recursive, qlc) =
       parseShrinkageRules(rules, parentWeight, docWeight)
     val processed = terms.map(analyzer.processTerm)
     val live = processed.filter(_ != null).distinct
@@ -1587,7 +1586,7 @@ final class Engine(
     val bcCfs = spark.sparkContext.broadcast(cfs)
     val bcIdx = spark.sparkContext.broadcast(termIdx)
     val bcRules = spark.sparkContext.broadcast(ruleMap)
-    val f = field; val lam = lambda; val rec = recursive
+    val f = field; val lam = lambda; val rec = recursive; val qlcV = qlc
     val scoreUdf = udf { (tp: Map[String, Seq[Int]], doclen: Int, tree: Seq[Row]) =>
       val cfsV = bcCfs.value
       val tIdx = bcIdx.value
@@ -1636,10 +1635,17 @@ final class Engine(
         val cf = cfsV(ci)
         locally {
           // base[0] — the λ-mixed document model (reference keeps it
-          // mixed; node bases are the un-mixed MLEs, :282-306)
-          val pDoc = (1 - lam) * (if (doclen > 0) ps.length.toDouble / doclen else 0.0) + lam * cf
-          val base = Array.tabulate(nNodes)(i =>
-            mle(ps, tree(i).getInt(1), tree(i).getInt(2)))
+          // mixed; node bases are the un-mixed MLEs, :282-306). With
+          // queryLevelCombine:true everything stays in LOG space: node
+          // bases are the λ-mixed log scores, the up/down passes mix
+          // logs linearly, and the final re-mix + log is skipped
+          // (reference :281-306 qlc branches, :412-419 guard)
+          val pDocProb = (1 - lam) * (if (doclen > 0) ps.length.toDouble / doclen else 0.0) + lam * cf
+          val pDoc = if (qlcV) math.log(pDocProb) else pDocProb
+          val base = Array.tabulate(nNodes) { i =>
+            val m = mle(ps, tree(i).getInt(1), tree(i).getInt(2))
+            if (qlcV) math.log((1 - lam) * m + lam * cf) else m
+          }
           // up pass — child rules fold into the parent, bottom-up
           // (reference :318-379; recursive uses the child's smoothed up)
           val up = new Array[Double](nNodes)
@@ -1686,7 +1692,8 @@ final class Engine(
           }
           var t = 0
           while (t < targetIdx.length) {
-            accs(t) += w * math.log((1 - lam) * down(targetIdx(t)) + lam * cf)
+            accs(t) += w * (if (qlcV) down(targetIdx(t))
+                            else math.log((1 - lam) * down(targetIdx(t)) + lam * cf))
             t += 1
           }
         }

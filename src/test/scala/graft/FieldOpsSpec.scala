@@ -341,6 +341,36 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(math.abs(got((1L, 2, 3)) - want) < 1e-12)
   }
 
+  test("shrinkage queryLevelCombine:true mixes in log space (scalar model)") {
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps</sec> <par>tail</par>"),
+      (2L, "<par>solo beta</par> <sec>plain</sec>")
+    ).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par"), FieldSpec("b")))
+    val idx = IndexBuilder.build(rows, cfg2)
+    val eng = new Engine(spark, idx, cfg2.analyzer, ScoringRule(method = "jm"))
+    val got = eng.runShrinkageQuery("b", Seq("beta"), 10,
+      parentWeight = 0.2, docWeight = 0.2, lambda = 0.4,
+      rules = Seq("recursive:true,queryLevelCombine:true",
+        "field:par,weight:0.25,length:false",
+        "field:b,weight:0.5,length:true"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    // qlc: bases are λ-mixed LOG scores, passes mix logs, no final remix
+    val cf = 2.0 / 9.0
+    def lg(m: Double) = math.log((1 - 0.4) * m + 0.4 * cf)
+    val pDoc1 = math.log((1 - 0.4) * (1.0 / 6.0) + 0.4 * cf)
+    val upB = 1.0 * ((lg(0.0) * 1 + 0.0) / 1.0) + 0.0
+    val upPar1 = { var rel = lg(1.0 / 3.0) * 3; rel += (0.5 * 1) * upB
+      1.0 * (rel / (3.0 + 0.5 * 1)) + 0.0 }
+    val upSec = (1.0 - 0.25) * ((lg(1.0 / 5.0) * 5) / 5.0) + 0.25 * upPar1
+    val downSec = (1 - 0.2) * upSec + 0.2 * pDoc1
+    val downPar1 = (1 - 0.2 - 0.2) * upPar1 + 0.2 * downSec + 0.2 * pDoc1
+    val downB = (1 - 0.2 - 0.2) * upB + 0.2 * downPar1 + 0.2 * pDoc1
+    assert(got.keySet == Set((1L, 2, 3)))
+    assert(math.abs(got((1L, 2, 3)) - 1.0 * downB) < 1e-12)
+  }
+
   test("appendText annotator: anchor tokens extend positions and doclen") {
     val docs = Seq(
       (1L, "alpha beta", "click here"),

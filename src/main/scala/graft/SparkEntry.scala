@@ -2213,14 +2213,16 @@ object SparkEntry {
          |), cand AS (
          |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge','query')
          |), sc AS (
+         |  -- zero-ctf window guard mirrors TermScoreFunctionFactory:
+         |  -- cf = occ/tt, or 1/(2 tt) when the expression never occurs
          |  SELECT c.doc_id,
          |    (0.85/(0.85+0.1+0.05)) * ((1.0/3 * ln((coalesce(tf.t1,0) + 2500.0*cf.c1/st.tt)/(dl.doclen+2500.0))
          |       + 1.0/3 * ln((coalesce(tf.t2,0) + 2500.0*cf.c2/st.tt)/(dl.doclen+2500.0)))
          |       + 1.0/3 * ln((coalesce(tf.t3,0) + 2500.0*cf.c3/st.tt)/(dl.doclen+2500.0)))
-         |  + (0.1/(0.85+0.1+0.05)) * (1.0/2 * ln((coalesce(od.o1,0) + 2500.0*ws.oc1/st.tt)/(dl.doclen+2500.0))
-         |       + 1.0/2 * ln((coalesce(od.o2,0) + 2500.0*ws.oc2/st.tt)/(dl.doclen+2500.0)))
-         |  + (0.05/(0.85+0.1+0.05)) * (1.0/2 * ln((coalesce(uw1.u,0) + 2500.0*ws.uc1/st.tt)/(dl.doclen+2500.0))
-         |       + 1.0/2 * ln((coalesce(uw2.u,0) + 2500.0*ws.uc2/st.tt)/(dl.doclen+2500.0))) AS s
+         |  + (0.1/(0.85+0.1+0.05)) * (1.0/2 * ln((coalesce(od.o1,0) + 2500.0 * (CASE WHEN ws.oc1 <> 0 THEN ws.oc1/st.tt ELSE 1.0/(st.tt*2.0) END))/(dl.doclen+2500.0))
+         |       + 1.0/2 * ln((coalesce(od.o2,0) + 2500.0 * (CASE WHEN ws.oc2 <> 0 THEN ws.oc2/st.tt ELSE 1.0/(st.tt*2.0) END))/(dl.doclen+2500.0)))
+         |  + (0.05/(0.85+0.1+0.05)) * (1.0/2 * ln((coalesce(uw1.u,0) + 2500.0 * (CASE WHEN ws.uc1 <> 0 THEN ws.uc1/st.tt ELSE 1.0/(st.tt*2.0) END))/(dl.doclen+2500.0))
+         |       + 1.0/2 * ln((coalesce(uw2.u,0) + 2500.0 * (CASE WHEN ws.uc2 <> 0 THEN ws.uc2/st.tt ELSE 1.0/(st.tt*2.0) END))/(dl.doclen+2500.0))) AS s
          |  FROM cand c
          |  JOIN dl ON dl.doc_id = c.doc_id
          |  LEFT JOIN tf ON tf.doc_id = c.doc_id

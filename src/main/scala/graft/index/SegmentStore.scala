@@ -215,12 +215,22 @@ object SegmentStore {
       if (Files.exists(marker(dir, "fields"))) Files.readString(marker(dir, "fields")).trim
       else ""
     merged.write.mode("overwrite").parquet(tmp)
-    if (Files.exists(fieldsPath)) {
-      Files.walk(fieldsPath)
+    // rename-aside swap: the old table survives any crash until the new
+    // one is in place (a delete-then-move would lose the table if the
+    // JVM dies between the two steps)
+    val aside = Paths.get(s"$dir/fields.old")
+    if (Files.exists(aside)) {
+      Files.walk(aside)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.deleteIfExists(f))
     }
+    if (Files.exists(fieldsPath)) Files.move(fieldsPath, aside)
     Files.move(Paths.get(tmp), fieldsPath)
+    if (Files.exists(aside)) {
+      Files.walk(aside)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
     commit(dir, "fields", s"$oldFp+rewrite")
   }
 }

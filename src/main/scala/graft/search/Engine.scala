@@ -36,6 +36,14 @@ final case class QueryAnnotation(results: DataFrame, annotations: DataFrame)
   */
 final case class TermStats(ctf: Long, df: Long, minDl: Int = 1)
 
+/** one per-field shrinkage smoothing rule (reference: ShrinkageBeliefNode
+  * smoothing_rule, include/indri/ShrinkageBeliefNode.hpp:54-58). Top
+  * level so broadcasting a rule map never drags an Engine $outer
+  * reference (and its Datasets) into the closure.
+  */
+final case class ShrinkRule(field: String, weight: Double,
+                            lengthProportional: Boolean)
+
 /** The QueryEnvironment facade (reference:
   * include/indri/QueryEnvironment.hpp:176-346) over Spark DataFrames.
   *
@@ -1347,6 +1355,9 @@ final class Engine(
         }
         acc
       }
+      // each s extent's bag score depends only on the s extent — compute
+      // once, then take the max per containing a extent
+      val sScore = Array.tabulate(sBs.length)(si => bagScore(sBs(si), sEs(si)))
       aBs.indices.flatMap { ai =>
         val ab = aBs(ai); val ae = aEs(ai)
         var best = Double.NegativeInfinity
@@ -1354,8 +1365,7 @@ final class Engine(
         sBs.indices.foreach { si =>
           if (sBs(si) >= ab && sEs(si) <= ae) {
             any = true
-            val s = bagScore(sBs(si), sEs(si))
-            if (s > best) best = s
+            if (sScore(si) > best) best = sScore(si)
           }
         }
         if (any) Some((ab, ae, best)) else None
@@ -1512,12 +1522,6 @@ final class Engine(
     *
     * Returns ranked (docId, begin, end, score) extents of `field`.
     */
-  /** one per-field smoothing rule (reference: ShrinkageBeliefNode
-    * smoothing_rule, include/indri/ShrinkageBeliefNode.hpp:54-58)
-    */
-  final case class ShrinkRule(field: String, weight: Double,
-                              lengthProportional: Boolean)
-
   /** parse `addShrinkageRule` strings — `key:value,key:value,…` where
     * keys are parentWeight / docWeight / recursive / queryLevelCombine /
     * field / weight / length (reference: src/ShrinkageBeliefNode.cpp:

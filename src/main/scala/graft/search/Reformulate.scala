@@ -55,8 +55,10 @@ object Reformulate {
     "with")
 
   /** verbose question prefixes, checked IN ORDER, first match stripped
-    * once (reference: src/StopStructureRemover.cpp:14-268 — the list
-    * order is load-bearing: longer forms precede their prefixes)
+    * once — the list mirrors src/StopStructureRemover.cpp:14-268
+    * VERBATIM, including its quirks: a few longer variants (e.g.
+    * "…opinions about ") are listed AFTER their own prefix and are
+    * therefore unreachable, exactly as in the reference
     */
   private val StopStructures: Seq[String] = Seq(
     "you ever had ", "why do i ", "why do we ", "why is there ",

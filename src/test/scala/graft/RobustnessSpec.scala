@@ -131,7 +131,7 @@ class RobustnessSpec extends AnyFunSuite {
         .mkString(" ")
       try {
         val parsed = NexiParser.parse(q)
-        assert(parsed.clauses.nonEmpty)
+        assert(parsed.nexiClauses.nonEmpty)
       } catch {
         case _: IllegalArgumentException => // documented rejection path
       }

@@ -942,34 +942,57 @@ final class Engine(
     * @param extentsByDoc (docId, ex: array<struct<begin,end>>); null when
     *                     `passage` drives the contexts instead
     */
-  private def scoreExtentContexts(childGroups: Seq[Seq[String]],
-                                  groupOp: Option[String],
-                                  extentsByDoc: DataFrame,
-                                  passage: Option[(Int, Int)],
-                                  k: Int): DataFrame = {
-    val processed = childGroups.flatten.map(analyzer.processTerm)
+  /** Shared clause-belief scaffold: processed child terms → per-child
+    * scorers (OOV/stopped children get the cf-guarded TermStats(0,0)
+    * scorer), the processed-term → child-index map, and the per-doc
+    * (term → positions) postings map for the live terms. Used by every
+    * extent-context scorer (plain, nested, relative, mixed) so the OOV
+    * guard and stats probe live in ONE place; the FP-sensitive fold
+    * arithmetic stays at each call site.
+    */
+  private final case class ClausePrep(
+      processed: Seq[String], fns: Array[TermScoreFunction],
+      termIdx: Map[String, Seq[Int]], perDoc: DataFrame)
+
+  private def prepClause(childTerms: Seq[String]): ClausePrep = {
+    val processed = childTerms.map(analyzer.processTerm)
     val live = processed.filter(_ != null).distinct
     val tstats = termStatsFor(live)
-    // per-child score functions (1/|group| weights, query order)
     val fns: Array[TermScoreFunction] = processed.map { pt =>
       val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
       Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
         ts.df.toDouble, stats.totalDocs)
     }.toArray
+    val termIdx: Map[String, Seq[Int]] =
+      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
+    val perDoc =
+      if (live.isEmpty) null
+      else index.postings.where(col("term").isin(live: _*))
+        .groupBy("docId")
+        .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
+    ClausePrep(processed, fns, termIdx, perDoc)
+  }
+
+  private def scoreExtentContexts(childGroups: Seq[Seq[String]],
+                                  groupOp: Option[String],
+                                  extentsByDoc: DataFrame,
+                                  passage: Option[(Int, Int)],
+                                  k: Int): DataFrame = {
+    val prep = prepClause(childGroups.flatten)
+    val fns = prep.fns
+    val termIdx = prep.termIdx
     val groupOf: Array[Int] = childGroups.zipWithIndex
       .flatMap { case (g, gi) => g.map(_ => gi) }.toArray
     val wChild: Array[Double] = childGroups
       .flatMap(g => g.map(_ => 1.0 / g.length)).toArray
     val nGroups = childGroups.length
     val isOr = groupOp.contains("or")
-    val termIdx: Map[String, Seq[Int]] =
-      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
-        .map { case (t, xs) => t -> xs.map(_._2) }
-
-    val perDoc = index.postings
-      .where(col("term").isin(live: _*))
-      .groupBy("docId")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
+    if (prep.perDoc == null)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("docId", LongType), StructField("begin", IntegerType),
+        StructField("end", IntegerType), StructField("score", DoubleType))))
+    val perDoc = prep.perDoc
 
     val extentsDf = passage match {
       case Some((width, inc)) =>
@@ -1184,22 +1207,14 @@ final class Engine(
       case (AboutClause(_, ts), gi) => ts.map(_ -> gi)
       case _ => Nil
     }
-    val processed = termChildren.map { case (t, _) => analyzer.processTerm(t) }
-    val live = processed.filter(_ != null).distinct
-    val tstats = termStatsFor(live)
-    val fns: Array[TermScoreFunction] = processed.map { pt =>
-      val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
-      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
-        ts.df.toDouble, stats.totalDocs)
-    }.toArray
+    val prep = prepClause(termChildren.map(_._1))
+    val fns = prep.fns
     val groupOfChild: Array[Int] = termChildren.map(_._2).toArray
     val wChild: Array[Double] = cls.zipWithIndex.flatMap {
       case (AboutClause(_, ts), _) => ts.map(_ => 1.0 / ts.length)
       case _ => Nil
     }.toArray
-    val termIdx: Map[String, Seq[Int]] =
-      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
-        .map { case (t, xs) => t -> xs.map(_._2) }
+    val termIdx = prep.termIdx
 
     // numeric clauses → raw nodes, one-job stats, per-group scorers
     val numNodes: Seq[(Int, QueryNode)] = cls.zipWithIndex.collect {
@@ -1223,11 +1238,7 @@ final class Engine(
       .groupBy("docId")
       .agg(collect_list(struct(col("g"), col("begins"), col("ends"))).as("numx"))
 
-    val perDoc =
-      if (live.isEmpty) null
-      else index.postings.where(col("term").isin(live: _*))
-        .groupBy("docId")
-        .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
+    val perDoc = prep.perDoc
     val cand =
       if (perDoc == null)
         numExt.select(col("docId"),
@@ -1311,23 +1322,15 @@ final class Engine(
     */
   private def scoreRelativeAbout(terms: Seq[String], aExt: DataFrame,
                                  sExt: DataFrame, k: Int): DataFrame = {
-    val processed = terms.map(analyzer.processTerm)
-    val live = processed.filter(_ != null).distinct
-    val tstats = termStatsFor(live)
-    val fns: Array[TermScoreFunction] = processed.map { pt =>
-      val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
-      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
-        ts.df.toDouble, stats.totalDocs)
-    }.toArray
-    val w = 1.0 / processed.length
-    val termIdx: Map[String, Seq[Int]] =
-      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
-        .map { case (t, xs) => t -> xs.map(_._2) }
-    val perDoc = index.postings
-      .where(col("term").isin(live: _*))
-      .groupBy("docId")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
-    val joined = perDoc
+    val prep = prepClause(terms)
+    val fns = prep.fns
+    val termIdx = prep.termIdx
+    val w = 1.0 / prep.processed.length
+    if (prep.perDoc == null)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("docId", LongType), StructField("begin", IntegerType),
+        StructField("end", IntegerType), StructField("score", DoubleType))))
+    val joined = prep.perDoc
       .join(aExt.select(col("docId"), col("ex").as("aex")), Seq("docId"), "inner")
       .join(sExt.select(col("docId"), col("ex").as("sex")), Seq("docId"), "inner")
     val bcFns = spark.sparkContext.broadcast(fns)
@@ -1408,14 +1411,8 @@ final class Engine(
                                   innerGroups: Seq[Seq[String]], innerOp: Option[String],
                                   aExt: DataFrame, bExt: DataFrame, k: Int): DataFrame = {
     val groups = outerGroups ++ innerGroups
-    val processed = groups.flatten.map(analyzer.processTerm)
-    val live = processed.filter(_ != null).distinct
-    val tstats = termStatsFor(live)
-    val fns: Array[TermScoreFunction] = processed.map { pt =>
-      val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
-      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
-        ts.df.toDouble, stats.totalDocs)
-    }.toArray
+    val prep = prepClause(groups.flatten)
+    val fns = prep.fns
     val nOuterChildren = outerGroups.map(_.length).sum
     val groupOf: Array[Int] = groups.zipWithIndex
       .flatMap { case (g, gi) => g.map(_ => gi) }.toArray
@@ -1424,15 +1421,12 @@ final class Engine(
     val nGroups = groups.length
     val outerOr = outerOp.contains("or")
     val innerOr = innerOp.contains("or")
-    val termIdx: Map[String, Seq[Int]] =
-      processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
-        .map { case (t, xs) => t -> xs.map(_._2) }
-
-    val perDoc = index.postings
-      .where(col("term").isin(live: _*))
-      .groupBy("docId")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"))
-    val joined = perDoc
+    val termIdx = prep.termIdx
+    if (prep.perDoc == null)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("docId", LongType), StructField("begin", IntegerType),
+        StructField("end", IntegerType), StructField("score", DoubleType))))
+    val joined = prep.perDoc
       .join(aExt.select(col("docId"), col("ex").as("aex")), Seq("docId"), "inner")
       .join(bExt.select(col("docId"), col("ex").as("bex")), Seq("docId"), "inner")
 

@@ -114,11 +114,13 @@ object Daat {
     */
   def topK(index: InvertedIndex, p: DaatPlan, k: Int,
            exhaustive: Boolean = false,
-           seedTheta: Double = Double.NegativeInfinity): DataFrame = {
+           seedTheta: Double = Double.NegativeInfinity,
+           deleted: Set[Long] = Set.empty): DataFrame = {
     val spark = index.segments.sparkSession
     import spark.implicits._
     val terms = p.terms.map(_.term).toSeq
     val bcPlan = spark.sparkContext.broadcast(p)
+    val bcDeleted = spark.sparkContext.broadcast(deleted)
 
     val segs0 = index.segments
       .where(col("term").isin(terms: _*))
@@ -151,7 +153,7 @@ object Daat {
       val cursors = plan.terms.indices.map { i =>
         new Cursor(blocksByTerm(i).sortBy(_.firstDoc).toArray, plan.terms(i))
       }.toArray
-      wand(cursors, plan, k, exhaustive, seedTheta).iterator
+      wand(cursors, plan, k, exhaustive, seedTheta, bcDeleted.value).iterator
     }.toDF("docId", "score")
 
     // global merge of per-bucket top-k candidates
@@ -247,7 +249,8 @@ object Daat {
     */
   def wand(cursors: Array[Cursor], plan: DaatPlan, k: Int,
            exhaustive: Boolean,
-           seedTheta: Double = Double.NegativeInfinity): Seq[(Long, Double)] = {
+           seedTheta: Double = Double.NegativeInfinity,
+           deleted: Set[Long] = Set.empty): Seq[(Long, Double)] = {
     val nTerms = cursors.length
     val heap = new TopKHeap(k)
     val order = (0 until nTerms).toArray // cursor indices sorted by current doc
@@ -300,7 +303,7 @@ object Daat {
       if (cursors(order(0)).doc == Long.MaxValue) { done = true }
       else if (exhaustive) {
         val d = cursors(order(0)).doc
-        heap.offer(d, scoreCurrent(d))
+        if (!deleted.contains(d)) heap.offer(d, scoreCurrent(d))
         var i = 0
         while (i < nTerms) { if (cursors(i).doc == d) cursors(i).next(); i += 1 }
       } else {
@@ -331,6 +334,12 @@ object Daat {
           while (p + 1 < nTerms && !cursors(order(p + 1)).exhausted &&
                  cursors(order(p + 1)).doc == pivotDoc) p += 1
           if (pivotDoc == Long.MaxValue) done = true
+          else if (deleted.contains(pivotDoc)) {
+            // DeletedDocumentList skip — consulted before scoring, like
+            // the reference's bitmap check during evaluation
+            var m = 0
+            while (m < nTerms) { if (cursors(m).doc == pivotDoc) cursors(m).next(); m += 1 }
+          }
           else if (cursors(order(0)).doc == pivotDoc) {
             // all cursors ≤ pivot sit on pivotDoc candidates — refine with
             // block-max bounds before full scoring

@@ -77,16 +77,42 @@ final class Engine(
     priors += name -> (table.select(col("docId"), col("logPrior")), defaultLog)
 
   /** Deleted-document list (reference: src/DeletedDocumentList.cpp —
-    * bitmap consulted during evaluation and merge). Queries anti-join it;
-    * the segment-level DAAT path requires compaction first, mirroring
-    * merge-time skipping (reference: src/IndexWriter.cpp:575-580), so
-    * runQuery falls back to the DataFrame path while deletions pend.
+    * bitmap consulted during evaluation and merge). Belief-path queries
+    * anti-join it; the DAAT kernel consults a broadcast in-memory set
+    * (the bitmap analogue, bounded by DaatDeleteCap pending deletions)
+    * and falls back to the anti-join path only beyond the cap — mass
+    * deletions should compact instead (reference merge-time skipping:
+    * src/IndexWriter.cpp:575-580).
     */
   private var deletedDocs: Option[DataFrame] = None
+  private var deletedSetCache: Option[Option[Set[Long]]] = None
 
   def deleteDocuments(docIds: DataFrame): Unit = {
     val d = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
     deletedDocs = Some(deletedDocs.map(_.union(d).distinct()).getOrElse(d))
+    deletedSetCache = None
+  }
+
+  /** The pending-delete set as a driver-side bitmap for the DAAT paths —
+    * the reference's DeletedDocumentList is exactly this in-memory
+    * structure, bounded by pending deletions until the next compaction
+    * (reference: src/DeletedDocumentList.cpp). Above the cap the kernel
+    * paths defer to the anti-join belief path (mass deletions should
+    * compact instead).
+    */
+  private val DaatDeleteCap = 100000
+  private def daatDeletedSet: Option[Set[Long]] = {
+    deletedSetCache.getOrElse {
+      val computed = deletedDocs match {
+        case None => Some(Set.empty[Long])
+        case Some(d) =>
+          val rows = d.limit(DaatDeleteCap + 1).collect()
+          if (rows.length > DaatDeleteCap) None
+          else Some(rows.map(_.getLong(0)).toSet)
+      }
+      deletedSetCache = Some(computed)
+      computed
+    }
   }
 
   /** drop deleted documents from any per-doc result — the
@@ -691,9 +717,9 @@ final class Engine(
   def runQuery(query: String, k: Int, useDaat: Boolean = true): DataFrame = {
     val ast = QueryParser.parse(query)
     daatBag(ast) match {
-      case Some(termWeights) if useDaat && baseline && deletedDocs.isEmpty =>
+      case Some(termWeights) if useDaat && baseline && daatDeletedSet.isDefined =>
         runDaat(termWeights, k, exhaustive = false)
-      case Some(_) if useDaat && lmMethod && deletedDocs.isEmpty =>
+      case Some(_) if useDaat && lmMethod && daatDeletedSet.isDefined =>
         // flat LM bags run the kernel too — weights become the belief
         // weights evaluate() would use (combine: 1/k; weight: w/Σ|w|)
         runDaatLm(lmBagWeights(ast).get, k, exhaustive = false)
@@ -745,7 +771,7 @@ final class Engine(
   def runQueries(queries: Seq[String], k: Int, useDaat: Boolean = true): Seq[(String, DataFrame)] = {
     val asts = queries.map(q => q -> QueryParser.parse(q))
     def daatPath(ast: QueryNode): Boolean =
-      daatBag(ast).isDefined && useDaat && (baseline || lmMethod) && deletedDocs.isEmpty
+      daatBag(ast).isDefined && useDaat && (baseline || lmMethod) && daatDeletedSet.isDefined
     val allTerms = asts.flatMap { case (_, a) => QueryParser.termLeaves(a) }
       .flatMap(t => Option(analyzer.processTerm(t)))
     val tstats = termStatsFor(allTerms.distinct)
@@ -799,9 +825,11 @@ final class Engine(
       (t, w, fn)
     }
     val p = Daat.plan(engineTerms)
+    val del = daatDeletedSet.getOrElse(
+      throw new IllegalStateException("DAAT with unbounded pending deletes — compact first"))
     val seed = if (exhaustive || index.topdocs == null) Double.NegativeInfinity
-               else topdocsSeed(p, k)
-    Daat.topK(index, p, k, exhaustive, seed)
+               else topdocsSeed(p, k, del)
+    Daat.topK(index, p, k, exhaustive, seed, del)
   }
 
   /** LM bag through the kernel. Unlike the baseline path, stopped/OOV
@@ -836,9 +864,11 @@ final class Engine(
         StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
     }
     val p = Daat.planLm(engineTerms, minDlQuery)
+    val del = daatDeletedSet.getOrElse(
+      throw new IllegalStateException("DAAT with unbounded pending deletes — compact first"))
     val seed = if (exhaustive || index.topdocs == null) Double.NegativeInfinity
-               else topdocsSeed(p, k)
-    Daat.topK(index, p, k, exhaustive, seed)
+               else topdocsSeed(p, k, del)
+    Daat.topK(index, p, k, exhaustive, seed, del)
   }
 
   /** WAND threshold seeding from the topdocs lists (reference:
@@ -849,14 +879,18 @@ final class Engine(
     * θ0 satisfies θ0 ≤ true k-th best — pruning against it stays exact
     * (WandPropertySpec). Collect is bounded to k rows per query term.
     */
-  private def topdocsSeed(p: Daat.DaatPlan, k: Int): Double = {
+  private def topdocsSeed(p: Daat.DaatPlan, k: Int,
+                          deleted: Set[Long] = Set.empty): Double = {
     val terms = p.terms.map(_.term).toSeq
     val w = Window.partitionBy("term")
       .orderBy((col("tf").cast(DoubleType) / col("length")).desc, col("docId").asc)
+    // deleted docs are excluded: their bounds could exceed the surviving
+    // corpus's true k-th best, which would make the seed unsound
     val rows = index.topdocs
       .where(col("term").isin(terms: _*))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("term", "docId", "tf", "length").collect()
+      .filterNot(r => deleted.contains(r.getLong(1)))
     if (rows.isEmpty) return Double.NegativeInfinity
     val byTerm = p.terms.map(tp => tp.term -> tp).toMap
     val perDoc = scala.collection.mutable.HashMap.empty[Long, Double]

@@ -99,6 +99,25 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("deleted documents: kernel skip == anti-join belief path (okapi + dirichlet)") {
+    // round 3: the kernel consults the in-memory delete set (the
+    // DeletedDocumentList bitmap analogue) instead of forcing the
+    // belief-path fallback — results must stay bit-identical
+    for (method <- Seq("okapi", "dirichlet")) {
+      val engine = new Engine(spark, index, Analyzer(), ScoringRule(method = method))
+      engine.deleteDocuments {
+        import spark.implicits._
+        (1L to 600L).filter(_ % 7 == 0).toDF("docId")
+      }
+      for (q <- queries; k <- Seq(10, 100)) {
+        val wand = run(engine, q, k, "wand")
+        val dfp = run(engine, q, k, "dataframe")
+        assert(wand == dfp, s"deleted-aware WAND != DataFrame for '$q' k=$k ($method)")
+        assert(wand.forall(_._1 % 7 != 0), s"deleted doc leaked for '$q' ($method)")
+      }
+    }
+  }
+
   test("LM topdocs seeding stays exact") {
     val td = IndexBuilder.buildTopdocs(index.postings,
       IndexConfig(topdocsMinDf = 20L, topdocsFraction = 0.05))

@@ -313,6 +313,32 @@ object IndexBuilder {
       dictionary.count())
   }
 
+  /** Rebuild the index WITHOUT the deleted documents — the reference's
+    * merge/trim-time deleted-document skipping (reference:
+    * src/IndexWriter.cpp:575-580; Repository trim/compaction). Postings,
+    * doclens and field extents filter by anti-join; dictionary, stats,
+    * segments (fresh bucket layout over the surviving doc range) and
+    * topdocs regenerate. DocIds stay stable — the reference keeps ids
+    * across trim, and dense re-assignment would invalidate stored
+    * priors/metadata keyed by id.
+    */
+  def compactDeletes(index: InvertedIndex, deleted: DataFrame,
+                     cfg: IndexConfig): InvertedIndex = {
+    val del = deleted.select(col(deleted.columns.head).cast(LongType).as("docId"))
+    val postings = index.postings.join(del, Seq("docId"), "left_anti")
+    val doclens = index.doclens.join(del, Seq("docId"), "left_anti")
+    val dictionary = buildDictionary(postings)
+    val stats = buildStats(doclens, dictionary)
+    val segments = buildSegments(postings, stats.totalDocs, cfg).toDF()
+    val extents =
+      if (index.fieldExtents == null) null
+      else index.fieldExtents.join(del, Seq("docId"), "left_anti")
+    val topdocs =
+      if (index.topdocs == null) null else buildTopdocs(postings, cfg)
+    InvertedIndex(postings, dictionary, doclens, stats, segments, extents,
+      numBuckets = cfg.numBuckets, topdocs = topdocs)
+  }
+
   /** Topdocs per term: df > topdocsMinDf → keep top fraction ranked by
     * tf/length (reference: src/IndexWriter.cpp:530-534,585-608).
     */

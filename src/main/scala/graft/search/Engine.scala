@@ -115,6 +115,19 @@ final class Engine(
     }
   }
 
+  /** Rebuild the engine's index without the pending deletes and clear
+    * the list — the Repository trim/compaction verb (reference:
+    * IndexEnvironment::compact; merge-time skipping
+    * src/IndexWriter.cpp:575-580). Collection statistics change to the
+    * surviving corpus, exactly as a fresh build over it would.
+    */
+  def compacted(cfg: graft.index.IndexConfig): Engine = deletedDocs match {
+    case None => this
+    case Some(d) =>
+      new Engine(spark, graft.index.IndexBuilder.compactDeletes(index, d, cfg),
+        analyzer, rule)
+  }
+
   /** drop deleted documents from any per-doc result — the
     * DeletedDocumentList bitmap consulted during ALL evaluation paths
     * (reference: src/DeletedDocumentList.cpp)

@@ -1048,6 +1048,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_compact" -> ((s, dir) => {
+      // delete doc_id % 7 == 0, trim (compactDeletes), dump the
+      // dictionary — must equal a dictionary computed over the surviving
+      // docs only (Repository trim semantics, stable docIds)
+      val docs = corpusDocs(s, dir)
+      val idx = IndexBuilder.build(docs, cfg)
+      val eng = new Engine(s, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+      eng.deleteDocuments(documents(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id")))
+      eng.compacted(cfg).index.dictionary
+        .select(col("term"), col("df"), col("ctf"),
+          col("maxDocLen").cast(LongType).as("max_dl"),
+          col("minDocLen").cast(LongType).as("min_dl"))
+        .orderBy("term")
+    }),
+
     "q_sdm" -> ((s, dir) => {
       // reformulateQuery genSDM: plain terms → Metzler-Croft sequential
       // dependence #weight(0.85 terms 0.1 #1-pairs 0.05 #uw8-pairs),
@@ -2233,6 +2249,23 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(s, 6) AS score FROM sc
          |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // compacted dictionary == dictionary over surviving docs
+    "q_compact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |), dl AS (
+         |  SELECT doc_id, len(toks) AS doclen FROM d
+         |), tok AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+         |)
+         |SELECT p.term, count(*) AS df, sum(p.tf)::BIGINT AS ctf,
+         |       max(dl.doclen) AS max_dl, min(dl.doclen) AS min_dl
+         |FROM p JOIN dl USING(doc_id)
+         |GROUP BY p.term ORDER BY p.term""".stripMargin,
 
     // FDM: q_sdm's pieces + the 3-term spans — od triple (adjacent
     // positions) and uw12 triple (every anchor whose FIRST occurrence of

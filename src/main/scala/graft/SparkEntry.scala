@@ -1052,9 +1052,9 @@ object SparkEntry {
       // delete doc_id % 7 == 0, trim (compactDeletes), dump the
       // dictionary — must equal a dictionary computed over the surviving
       // docs only (Repository trim semantics, stable docIds)
-      val docs = corpusDocs(s, dir)
-      val idx = IndexBuilder.build(docs, cfg)
-      val eng = new Engine(s, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+      // fresh Engine over the CACHED per-dir index: deletions/compaction
+      // are engine-local state, so the shared build is safe to reuse
+      val eng = new Engine(s, buildIndex(s, dir), cfg.analyzer, ScoringRule(method = "okapi"))
       eng.deleteDocuments(documents(s, dir).where(col("doc_id") % 7 === 0)
         .select(col("doc_id")))
       eng.compacted(cfg).index.dictionary

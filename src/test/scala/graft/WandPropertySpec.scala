@@ -191,6 +191,52 @@ class WandPropertySpec extends AnyFunSuite {
       s"seeding decoded $dSeeded blocks vs cold $dCold — no decode saving")
   }
 
+  test("LM bounds actually prune: seeded dirichlet run decodes fewer blocks") {
+    // the baseMax + δ algebra must yield non-vacuous bounds — with the
+    // exact k-th best as seed, the kernel must skip block decodes on a
+    // mid-frequency term, just like the okapi path
+    import org.apache.spark.sql.functions.col
+    import graft.search.Daat._
+    val engPlain = new Engine(spark, index, Analyzer(), ScoringRule(method = "dirichlet"))
+    val n = index.stats.totalDocs
+    val midTerm = index.dictionary
+      .where(col("df") > n / 10 && col("df") < n / 3)
+      .orderBy(col("df").desc).select("term").head().getString(0)
+    val terms = Seq(midTerm)
+    val tstats = engPlain.termStatsFor(terms)
+    val engineTerms = terms.map { t =>
+      val ts = tstats.getOrElse(t, TermStats(0, 0))
+      (t, 1.0, Scorers.forTerm(ScoringRule(method = "dirichlet"), ts.ctf.toDouble,
+        index.stats.totalTerms.toDouble, ts.df.toDouble, index.stats.totalDocs),
+        ts.ctf, ts.minDl)
+    }
+    val p = Daat.planLm(engineTerms, engineTerms.map(_._5).min)
+    val rows = index.segments.where(col("term").isin(terms: _*))
+      .select("term", "firstDoc", "lastDoc", "numDocs", "maxTf", "minDl",
+        "docsDelta", "tfs", "dls").collect()
+    def mkCursors() = {
+      val byTerm = rows.groupBy(_.getString(0))
+      p.terms.map { tp =>
+        val bs = byTerm.getOrElse(tp.term, Array.empty).map { r =>
+          Block(r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5),
+            r.getAs[Array[Byte]](6), r.getAs[Array[Byte]](7), r.getAs[Array[Byte]](8))
+        }.sortBy(_.firstDoc)
+        new Cursor(bs, tp)
+      }
+    }
+    val k = 5
+    val cCold = mkCursors()
+    val rCold = Daat.wand(cCold, p, k, exhaustive = false)
+    val theta0 = rCold.last._2
+    val cSeeded = mkCursors()
+    val rSeeded = Daat.wand(cSeeded, p, k, exhaustive = false, seedTheta = theta0)
+    assert(rSeeded == rCold)
+    val dSeeded = cSeeded.map(_.decodedBlocks).sum
+    val dCold = cCold.map(_.decodedBlocks).sum
+    assert(dSeeded < dCold,
+      s"LM seeding decoded $dSeeded blocks vs cold $dCold — bounds are vacuous")
+  }
+
   test("WAND pruning actually skips block decodes on selective queries") {
     // direct kernel exercise: rare term + mid-frequency term, k=1 — once
     // the rare doc sets θ above the mid term's UB, its remaining blocks

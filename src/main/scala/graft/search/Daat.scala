@@ -21,15 +21,26 @@ import graft.index.{BlockCodec, InvertedIndex}
   * multi-server evaluate-then-merge shape
   * (reference: src/QueryEnvironment.cpp:242-316) with buckets as servers.
   *
-  * Scope: baseline okapi/tfidf bags with non-negative weights (the
-  * flagship path), AND — round 3 — flat LM bags (dirichlet / jm /
-  * two-stage) via `planLm`: a missing term contributes its background
-  * score bg_t(dl) = s_t(0, dl) instead of 0, so the WAND algebra runs
-  * on score = B(dl) + Σ effW·δ_t(tf, dl) with δ = s − bg ≥ 0 monotone
-  * in tf and non-increasing in dl for all three LM methods; the pivot
-  * bound is baseMax + Σ δ-upper-bounds where baseMax = B(minDl over
-  * the query terms' posting lists) bounds every candidate's background
-  * sum. Exact scores still fold children in query order with the real
+  * Scope:
+  *  - baseline okapi/tfidf bags with non-negative weights (flagship),
+  *  - flat LM bags (dirichlet / jm / two-stage) via `planLm` — round 3:
+  *    a missing term contributes its background score bg_t(dl) =
+  *    s_t(0, dl) instead of 0, so the WAND algebra runs on
+  *    score = B(dl) + Σ effW·δ_t(tf, dl) with δ = s − bg ≥ 0 monotone
+  *    in tf and non-increasing in dl; the pivot bound is baseMax +
+  *    Σ δ-upper-bounds where baseMax = B(minDl over the query terms'
+  *    posting lists) bounds every candidate's background sum,
+  *  - round 4: STRUCTURED #combine/#weight trees whose leaves are terms
+  *    or #odN/#uwN windows of plain terms (the SDM/FDM shape) via
+  *    [[StructuredPlan]] — ordered/unordered windows run INSIDE the
+  *    kernel on per-posting position lists decoded from the segment
+  *    blocks, exactly like the reference evaluates proximity operators
+  *    document-at-a-time (reference: src/OrderedWindowNode.cpp:111-166,
+  *    src/UnorderedWindowNode.cpp:69-186) with term-bound max-score
+  *    (window block bound ≤ Σ constituent term block maxTf,
+  *    reference: src/TermFrequencyBeliefNode.cpp:105-135).
+  *
+  * Exact scores always fold children in query order with the real
   * bg(dl) — bit-identical to the DataFrame path (WandPropertySpec).
   */
 object Daat {
@@ -49,6 +60,53 @@ object Daat {
     */
   final case class DaatPlan(terms: Array[TermPlan], children: Array[(Int, Double)],
                             lm: Boolean = false, baseMax: Double = 0.0)
+
+  // ---------------------------------------------------------------
+  // structured (window-aware) plans — round 4
+  // ---------------------------------------------------------------
+
+  /** #odN / #uwN window of plain terms (in query order). A member that
+    * stopped/never occurs keeps its slot (cursor exhausts immediately →
+    * the window never matches, scored as background — NullScorer-through-
+    * window semantics identical to the DataFrame path).
+    */
+  final case class WindowSpec(terms: Array[String], ordered: Boolean, width: Int) {
+    override def equals(o: Any): Boolean = o match {
+      case w: WindowSpec =>
+        ordered == w.ordered && width == w.width && terms.sameElements(w.terms)
+      case _ => false
+    }
+    override def hashCode: Int =
+      (terms.toSeq, ordered, width).hashCode
+  }
+
+  /** One scored leaf of a structured query: a unigram term (window ==
+    * null) or a window expression. effWeight = Σ over fold-tree paths of
+    * the weight products reaching this leaf (for WAND bounds only; exact
+    * scoring uses the fold tree).
+    */
+  final case class LeafPlan(
+      term: String,                 // unigram term; windows: diagnostic label
+      window: WindowSpec,           // null for unigrams
+      scoreFn: TermScoreFunction,
+      effWeight: Double,
+      upperBound: Double)
+
+  /** The belief-combination tree: mirrors nested
+    * #combine/#weight OpSum folds bit-exactly (weights in query order,
+    * inner sums completed before the outer fold — Engine.combineBeliefs).
+    */
+  sealed trait FoldTree extends Serializable
+  final case class FLeaf(leaf: Int) extends FoldTree
+  final case class FNode(children: Array[(Double, FoldTree)]) extends FoldTree
+
+  /** Structured kernel plan. `baseMax` (LM only) = the fold tree
+    * evaluated with every leaf at bg(minDlQuery) — the exact supremum of
+    * any candidate's background sum (bg non-increasing in dl, weights
+    * ≥ 0, and every candidate matches ≥1 leaf so dl ≥ minDlQuery).
+    */
+  final case class StructuredPlan(leaves: Array[LeafPlan], tree: FoldTree,
+                                  lm: Boolean, baseMax: Double)
 
   /** Build the plan from global stats (the stats round — one dictionary
     * lookup, no posting scan).
@@ -122,36 +180,15 @@ object Daat {
     val bcPlan = spark.sparkContext.broadcast(p)
     val bcDeleted = spark.sparkContext.broadcast(deleted)
 
-    val segs0 = index.segments
-      .where(col("term").isin(terms: _*))
-      .select("term", "bucket", "firstDoc", "lastDoc", "numDocs", "maxTf",
-        "minDl", "docsDelta", "tfs", "dls")
-    // one task per docId-range bucket — NOT spark.sql.shuffle.partitions:
-    // a query touches only |terms| posting lists, and padding it to the
-    // session-wide partition count schedules mostly-empty tasks.
-    // Pre-bucketed segments (bucketed table scan / persisted repartition)
-    // skip the exchange entirely: the filter is narrow, so every task
-    // already holds complete (term × bucket) groups — a hot term's
-    // posting payload never crosses the wire per query.
-    val segs =
-      if (index.segmentsBucketed) segs0
-      else if (index.numBuckets > 0) segs0.repartition(index.numBuckets, col("bucket"))
-      else segs0.repartition(col("bucket"))
+    val segs = querySegments(index, terms, withPositions = false)
 
     val locals = segs.mapPartitions { rows =>
       val plan = bcPlan.value
       val nTerms = plan.terms.length
-      // collect this partition's blocks per term, sorted by firstDoc
-      val blocksByTerm = Array.fill(nTerms)(scala.collection.mutable.ArrayBuffer.empty[Block])
-      val termIdx = plan.terms.iterator.map(_.term).zipWithIndex.toMap
-      rows.foreach { r =>
-        val ti = termIdx(r.getString(0))
-        blocksByTerm(ti) += Block(
-          r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6),
-          r.getAs[Array[Byte]](7), r.getAs[Array[Byte]](8), r.getAs[Array[Byte]](9))
-      }
+      val byTerm = collectBlocks(rows, hasPositions = false)
       val cursors = plan.terms.indices.map { i =>
-        new Cursor(blocksByTerm(i).sortBy(_.firstDoc).toArray, plan.terms(i))
+        new Cursor(byTerm.getOrElse(plan.terms(i).term, TermBlocks.empty),
+          plan.terms(i))
       }.toArray
       wand(cursors, plan, k, exhaustive, seedTheta, bcDeleted.value).iterator
     }.toDF("docId", "score")
@@ -160,15 +197,207 @@ object Daat {
     locals.orderBy(col("score").desc, col("docId").asc).limit(k)
   }
 
+  /** Structured (window-aware) distributed WAND — the SDM/FDM physical
+    * path. Segment rows ship WITH positionsDelta; per bucket, one
+    * [[Cursor]] per unigram leaf and one [[WindowCursor]] (over member
+    * term cursors sharing the bucket's decoded blocks) per window leaf.
+    */
+  def topKStructured(index: InvertedIndex, p: StructuredPlan, k: Int,
+                     exhaustive: Boolean = false,
+                     deleted: Set[Long] = Set.empty): DataFrame = {
+    val spark = index.segments.sparkSession
+    import spark.implicits._
+    val termSet = p.leaves.flatMap(l =>
+      if (l.window == null) Seq(l.term) else l.window.terms.toSeq).distinct.toSeq
+    val bcPlan = spark.sparkContext.broadcast(p)
+    val bcDeleted = spark.sparkContext.broadcast(deleted)
+
+    val segs = querySegments(index, termSet, withPositions = true)
+
+    val locals = segs.mapPartitions { rows =>
+      val plan = bcPlan.value
+      val byTerm = collectBlocks(rows, hasPositions = true)
+      val cursors: Array[DaatCursor] = plan.leaves.map(leafCursor(_, byTerm, plan.lm))
+      val heap = wandLoop(cursors, plan.baseMax, k, exhaustive,
+        Double.NegativeInfinity, bcDeleted.value,
+        d => scoreStructured(cursors, plan, d))
+      heap.iterator
+    }.toDF("docId", "score")
+
+    locals.orderBy(col("score").desc, col("docId").asc).limit(k)
+  }
+
+  /** Kernel-side ContextCount for window expressions: ONE pass over the
+    * member terms' segment blocks per bucket; per window the member
+    * cursors leapfrog their conjunction and [[WindowMatcher]] counts
+    * matches per doc — (occ, df) per window, summed across buckets
+    * (docId ranges are disjoint). Bit-count-identical to the DataFrame
+    * windowRaw aggregation (same positions, same matcher).
+    * (reference: src/ContextCountAccumulator.cpp gathered in one
+    * server round, src/QueryEnvironment.cpp:957-966)
+    */
+  def windowStats(index: InvertedIndex, windows: Array[WindowSpec],
+                  deleted: Set[Long] = Set.empty): Array[(Double, Long)] = {
+    if (windows.isEmpty) return Array.empty
+    val spark = index.segments.sparkSession
+    import spark.implicits._
+    val termSet = windows.flatMap(_.terms).distinct.toSeq
+    val bcWindows = spark.sparkContext.broadcast(windows)
+    val bcDeleted = spark.sparkContext.broadcast(deleted)
+
+    val segs = querySegments(index, termSet, withPositions = true)
+
+    val partials = segs.mapPartitions { rows =>
+      val ws = bcWindows.value
+      val del = bcDeleted.value
+      val byTerm = collectBlocks(rows, hasPositions = true)
+      ws.iterator.zipWithIndex.map { case (w, wi) =>
+        val cur = new WindowCursor(
+          w.terms.map(t => new Cursor(byTerm.getOrElse(t, TermBlocks.empty),
+            statsPlan(t))),
+          w.ordered, w.width, null, 0.0, 0.0, lmMode = false)
+        var occ = 0L; var df = 0L
+        while (!cur.exhausted) {
+          if (!del.contains(cur.doc)) {
+            val c = cur.tf
+            if (c > 0) { occ += c; df += 1 }
+          }
+          cur.next()
+        }
+        (wi, occ, df)
+      }
+    }.toDF("wi", "occ", "df")
+      .groupBy("wi").agg(sum("occ").as("occ"), sum("df").as("df"))
+      .collect()
+
+    val out = Array.fill(windows.length)((0.0, 0L))
+    partials.foreach { r => out(r.getInt(0)) = (r.getLong(1).toDouble, r.getLong(2)) }
+    out
+  }
+
+  private def statsPlan(t: String) = TermPlan(t, null, 0.0, 0.0)
+
+  /** Shared per-query segment scan: filter to the query's terms, select
+    * the block columns (positions only when the plan needs them — the
+    * flat path never ships position bytes), co-locate by bucket.
+    * One task per docId-range bucket — NOT spark.sql.shuffle.partitions:
+    * a query touches only |terms| posting lists, and padding it to the
+    * session-wide partition count schedules mostly-empty tasks.
+    * Pre-bucketed segments (bucketed table scan / persisted repartition)
+    * skip the exchange entirely: the filter is narrow, so every task
+    * already holds complete (term × bucket) groups — a hot term's
+    * posting payload never crosses the wire per query.
+    */
+  private def querySegments(index: InvertedIndex, terms: Seq[String],
+                            withPositions: Boolean): DataFrame = {
+    val base = Seq("term", "bucket", "firstDoc", "lastDoc", "numDocs", "maxTf",
+      "minDl", "docsDelta", "tfs", "dls")
+    val cols = if (withPositions) base :+ "positionsDelta" else base
+    val segs0 = index.segments
+      .where(col("term").isin(terms: _*))
+      .select(cols.map(col): _*)
+    if (index.segmentsBucketed) segs0
+    else if (index.numBuckets > 0) segs0.repartition(index.numBuckets, col("bucket"))
+    else segs0.repartition(col("bucket"))
+  }
+
+  /** Group one partition's segment rows into per-term [[TermBlocks]]
+    * (shared decode cache — member cursors of several windows over the
+    * same term decode each block once).
+    */
+  private def collectBlocks(rows: Iterator[org.apache.spark.sql.Row],
+                            hasPositions: Boolean): Map[String, TermBlocks] = {
+    val buf = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Block]]
+    rows.foreach { r =>
+      buf.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.ArrayBuffer.empty[Block]) += Block(
+        r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getAs[Array[Byte]](7), r.getAs[Array[Byte]](8), r.getAs[Array[Byte]](9),
+        if (hasPositions) r.getAs[Array[Byte]](10) else Array.emptyByteArray)
+    }
+    buf.iterator.map { case (t, bs) =>
+      t -> new TermBlocks(bs.sortBy(_.firstDoc).toArray)
+    }.toMap
+  }
+
+  /** One leaf cursor over the bucket's shared blocks. */
+  private def leafCursor(l: LeafPlan, byTerm: Map[String, TermBlocks],
+                         lm: Boolean): DaatCursor =
+    if (l.window == null)
+      new Cursor(byTerm.getOrElse(l.term, TermBlocks.empty),
+        TermPlan(l.term, l.scoreFn, l.effWeight, l.upperBound, lm))
+    else
+      new WindowCursor(
+        l.window.terms.map(t => new Cursor(byTerm.getOrElse(t, TermBlocks.empty),
+          statsPlan(t))),
+        l.window.ordered, l.window.width,
+        l.scoreFn, l.effWeight, l.upperBound, lmMode = lm)
+
   final case class Block(firstDoc: Long, lastDoc: Long, numDocs: Int,
                          maxTf: Int, minDl: Int,
-                         docsDelta: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
+                         docsDelta: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+                         pos: Array[Byte] = Array.emptyByteArray)
+
+  /** A term's blocks in one bucket plus a shared memoized decode cache:
+    * several cursors over the same term (unigram leaf + window members)
+    * decode each block's payload once per partition.
+    */
+  final class TermBlocks(val blocks: Array[Block]) {
+    private val docsC = new Array[Array[Long]](blocks.length)
+    private val tfsC = new Array[Array[Int]](blocks.length)
+    private val dlsC = new Array[Array[Int]](blocks.length)
+    private val possC = new Array[Array[Array[Int]]](blocks.length)
+    def length: Int = blocks.length
+    def docs(i: Int): Array[Long] = {
+      if (docsC(i) == null) {
+        val b = blocks(i)
+        docsC(i) = BlockCodec.decodeDeltas(b.docsDelta, b.numDocs)
+        tfsC(i) = BlockCodec.decodePlain(b.tfs, b.numDocs).map(_.toInt)
+        dlsC(i) = BlockCodec.decodePlain(b.dls, b.numDocs).map(_.toInt)
+      }
+      docsC(i)
+    }
+    def tfs(i: Int): Array[Int] = { docs(i); tfsC(i) }
+    def dls(i: Int): Array[Int] = { docs(i); dlsC(i) }
+    def positions(i: Int): Array[Array[Int]] = {
+      if (possC(i) == null) {
+        val b = blocks(i)
+        require(b.pos.nonEmpty || b.numDocs == 0,
+          "positions not stored — rebuild the index with storePositions=true")
+        possC(i) = BlockCodec.decodePositions(b.pos, b.numDocs)
+      }
+      possC(i)
+    }
+  }
+  object TermBlocks {
+    val empty = new TermBlocks(Array.empty[Block])
+  }
+
+  /** Common cursor surface the WAND loop drives — implemented by the
+    * posting-list [[Cursor]] and the proximity [[WindowCursor]].
+    */
+  trait DaatCursor {
+    def scoreFn: TermScoreFunction
+    def effWeight: Double
+    def upperBound: Double
+    def exhausted: Boolean
+    def doc: Long
+    def tf: Int
+    def dl: Int
+    def blockBound: Double
+    def blockLast: Long
+    def next(): Unit
+    def advanceTo(target: Long): Unit
+  }
 
   /** Lazy-decoding posting cursor with block skipping: `advanceTo` hops
     * whole blocks via (firstDoc, lastDoc) without decoding — the skip
     * record analogue (reference: src/DiskDocListIterator.cpp:196-210).
     */
-  final class Cursor(blocks: Array[Block], val plan: TermPlan) {
+  final class Cursor(tb: TermBlocks, val plan: TermPlan) extends DaatCursor {
+    def this(blocks: Array[Block], plan: TermPlan) = this(new TermBlocks(blocks), plan)
+    private def blocks: Array[Block] = tb.blocks
     private var bi = 0
     private var pos = 0
     private var docs: Array[Long] = null
@@ -176,12 +405,15 @@ object Daat {
     private var dls: Array[Int] = null
     var decodedBlocks = 0 // instrumentation for pruning tests
 
+    def scoreFn: TermScoreFunction = plan.scoreFn
+    def effWeight: Double = plan.effWeight
+    def upperBound: Double = plan.upperBound
+
     private def ensureDecoded(): Unit = {
       if (docs == null && bi < blocks.length) {
-        val b = blocks(bi)
-        docs = BlockCodec.decodeDeltas(b.docsDelta, b.numDocs)
-        tfs = BlockCodec.decodePlain(b.tfs, b.numDocs).map(_.toInt)
-        dls = BlockCodec.decodePlain(b.dls, b.numDocs).map(_.toInt)
+        docs = tb.docs(bi)
+        tfs = tb.tfs(bi)
+        dls = tb.dls(bi)
         decodedBlocks += 1
       }
     }
@@ -198,6 +430,15 @@ object Daat {
       else docs(pos)
     def tf: Int = { ensureDecoded(); tfs(pos) }
     def dl: Int = { ensureDecoded(); dls(pos) }
+    /** position list of the current posting (windows only — decoded
+      * per block on first touch, shared across the bucket's cursors)
+      */
+    def positions: Array[Int] = { ensureDecoded(); tb.positions(bi)(pos) }
+    /** current block's max tf / min dl — the block-max metadata, readable
+      * without decoding (window cursors combine members' bounds)
+      */
+    def blockMaxTf: Int = if (exhausted) 0 else blocks(bi).maxTf
+    def blockMinDl: Int = if (exhausted) 1 else blocks(bi).minDl
     /** max contribution of the CURRENT block (block-max bound). LM mode
       * bounds the δ above background — the background sum is already
       * covered by the plan-level baseMax; δ peaks at (maxTf, minDl).
@@ -238,40 +479,181 @@ object Daat {
     }
   }
 
-  /** The WAND loop with block-max refinement over one partition.
-    *
-    * @param seedTheta initial pruning threshold from topdocs candidate
-    *   seeding (reference: src/WeightedAndNode.cpp:119-186). MUST be a
-    *   lower bound of the true global k-th best score: the caller derives
-    *   it from k distinct docs' score lower bounds, so any doc pruned by
-    *   it is provably outside the top-k. Valid in every bucket task —
-    *   it is a global bound.
+  /** Proximity cursor: the conjunction of its member term cursors,
+    * leapfrog-aligned; `tf` = the #odN/#uwN match count over the
+    * members' decoded position lists at the aligned doc — the
+    * document-at-a-time OrderedWindowNode/UnorderedWindowNode evaluation
+    * (reference: src/OrderedWindowNode.cpp:111-166,
+    * src/UnorderedWindowNode.cpp:69-186). The conjunction SKIPS docs
+    * missing any member — sound, because the window can only match where
+    * every member occurs; a doc where members align but no window fits
+    * has tf = 0 and scores as background, exactly like the DataFrame
+    * path's absent-leaf fill-in.
+    */
+  final class WindowCursor(members: Array[Cursor], ordered: Boolean, width: Int,
+                           val scoreFn: TermScoreFunction,
+                           val effWeight: Double,
+                           val upperBound: Double,
+                           lmMode: Boolean) extends DaatCursor {
+    private var curDoc: Long = Long.MaxValue
+    private var tfc: Int = -1
+    align(0L)
+
+    private def align(target: Long): Unit = {
+      tfc = -1
+      if (members.isEmpty) { curDoc = Long.MaxValue; return }
+      var t = target
+      var aligned = false
+      while (!aligned) {
+        var maxD = Long.MinValue
+        var minD = Long.MaxValue
+        var i = 0
+        while (i < members.length) {
+          members(i).advanceTo(t)
+          val d = members(i).doc
+          if (d > maxD) maxD = d
+          if (d < minD) minD = d
+          i += 1
+        }
+        if (maxD == Long.MaxValue) { curDoc = Long.MaxValue; aligned = true }
+        else if (minD == maxD) { curDoc = maxD; aligned = true }
+        else t = maxD
+      }
+    }
+
+    def exhausted: Boolean = curDoc == Long.MaxValue
+    def doc: Long = curDoc
+    def tf: Int = {
+      if (tfc < 0) {
+        val k = members.length
+        val bs = new Array[Array[Int]](k)
+        val es = new Array[Array[Int]](k)
+        var i = 0
+        while (i < k) {
+          val ps = members(i).positions
+          bs(i) = ps
+          val e = new Array[Int](ps.length)
+          var j = 0
+          while (j < ps.length) { e(j) = ps(j) + 1; j += 1 }
+          es(i) = e
+          i += 1
+        }
+        val ex = if (ordered) WindowMatcher.ordered(bs, es, width)
+                 else WindowMatcher.unordered(bs, es, width)
+        tfc = ex._1.length
+      }
+      tfc
+    }
+    def dl: Int = members(0).dl
+    def blockLast: Long = {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < members.length) {
+        val bl = members(i).blockLast
+        if (bl < m) m = bl
+        i += 1
+      }
+      m
+    }
+    /** Window tf at any doc d in [doc, blockLast] is ≤ Σ member tf(d)
+      * ≤ Σ member block maxTf (each match consumes ≥1 member
+      * occurrence, and for unordered windows each anchor is a member
+      * occurrence — reference term-bound max-score,
+      * src/TermFrequencyBeliefNode.cpp:105-135); dl(d) ≥ max member
+      * block minDl. Score monotone ↑ tf, ↓ dl for all supported rules.
+      */
+    def blockBound: Double =
+      if (exhausted) 0.0
+      else {
+        var tfB = 0L
+        var dlB = 1
+        var i = 0
+        while (i < members.length) {
+          tfB += members(i).blockMaxTf
+          if (members(i).blockMinDl > dlB) dlB = members(i).blockMinDl
+          i += 1
+        }
+        val s = scoreFn.scoreOccurrence(tfB.toDouble, dlB)
+        if (lmMode) math.max(effWeight * (s - scoreFn.scoreOccurrence(0.0, dlB)), 0.0)
+        else math.max(effWeight * s, 0.0)
+      }
+    def next(): Unit = if (!exhausted) align(curDoc + 1)
+    def advanceTo(target: Long): Unit =
+      if (!exhausted && target > curDoc) align(target)
+  }
+
+  /** Exact structured score of `docId`: leaf scores (real tf when the
+    * leaf's cursor sits on the doc, else the background fill-in
+    * scoreFn(0, dl)) folded through the tree in query order — the
+    * bit-exact mirror of nested combineBeliefs. Returns NaN when no
+    * leaf has a REAL match (window conjunction aligned but zero window
+    * count everywhere): such a doc is not a candidate on the DataFrame
+    * path (absent from every leaf's match list) and must not be offered.
+    */
+  def scoreStructured(cursors: Array[DaatCursor], p: StructuredPlan,
+                      docId: Long): Double = {
+    val n = cursors.length
+    var docDl = -1
+    var any = false
+    var i = 0
+    while (i < n) {
+      val c = cursors(i)
+      if (!c.exhausted && c.doc == docId) {
+        docDl = c.dl
+        if (c.tf > 0) any = true
+      }
+      i += 1
+    }
+    if (!any) return Double.NaN
+    val leafScore = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val c = cursors(i)
+      leafScore(i) =
+        if (!c.exhausted && c.doc == docId)
+          c.scoreFn.scoreOccurrence(c.tf.toDouble, docDl)
+        else
+          c.scoreFn.scoreOccurrence(0.0, docDl)
+      i += 1
+    }
+    def eval(t: FoldTree): Double = t match {
+      case FLeaf(li) => leafScore(li)
+      case FNode(cs) =>
+        var acc = 0.0
+        var j = 0
+        while (j < cs.length) {
+          acc += cs(j)._1 * eval(cs(j)._2)
+          j += 1
+        }
+        acc
+    }
+    eval(p.tree)
+  }
+
+  /** Evaluate the fold tree with every leaf pinned to a fixed value
+    * function — used to compute the exact background supremum baseMax.
+    */
+  def foldWith(tree: FoldTree, leafValue: Int => Double): Double = tree match {
+    case FLeaf(li) => leafValue(li)
+    case FNode(cs) =>
+      var acc = 0.0
+      var j = 0
+      while (j < cs.length) {
+        acc += cs(j)._1 * foldWith(cs(j)._2, leafValue)
+        j += 1
+      }
+      acc
+  }
+
+  /** The flat-bag WAND entry (okapi/tfidf/LM bags) — exact scoring folds
+    * plan.children in query order; missing children contribute bg(dl)
+    * in LM mode (combineBeliefs fill-in).
     */
   def wand(cursors: Array[Cursor], plan: DaatPlan, k: Int,
            exhaustive: Boolean,
            seedTheta: Double = Double.NegativeInfinity,
            deleted: Set[Long] = Set.empty): Seq[(Long, Double)] = {
     val nTerms = cursors.length
-    val heap = new TopKHeap(k)
-    val order = (0 until nTerms).toArray // cursor indices sorted by current doc
-
-    def sortOrder(): Unit = {
-      // insertion sort — nTerms is tiny and mostly sorted
-      var i = 1
-      while (i < nTerms) {
-        val x = order(i); val dx = cursors(x).doc
-        var j = i - 1
-        while (j >= 0 && cursors(order(j)).doc > dx) { order(j + 1) = order(j); j -= 1 }
-        order(j + 1) = x
-        i += 1
-      }
-    }
-
-    // exact score of the doc all cursors in `matching` sit on; folds
-    // children in ORIGINAL query order (bit-parity with DataFrame path).
-    // LM mode: a missing child contributes its background score bg(dl)
-    // with the DOC's length (read off any cursor sitting on the doc) —
-    // exactly the combineBeliefs bg fill-in.
     val contrib = new Array[Double](nTerms)
     def scoreCurrent(docId: Long): Double = {
       java.util.Arrays.fill(contrib, 0.0)
@@ -296,6 +678,46 @@ object Daat {
       }
       acc
     }
+    wandLoop(cursors.map(c => c: DaatCursor), plan.baseMax, k,
+      exhaustive, seedTheta, deleted, scoreCurrent)
+  }
+
+  /** The WAND loop with block-max refinement over one partition,
+    * generic over cursor kinds and the exact scorer (`scoreDoc` returns
+    * NaN for a doc that is not a real candidate — skipped, not offered).
+    *
+    * @param seedTheta initial pruning threshold from topdocs candidate
+    *   seeding (reference: src/WeightedAndNode.cpp:119-186). MUST be a
+    *   lower bound of the true global k-th best score: the caller derives
+    *   it from k distinct docs' score lower bounds, so any doc pruned by
+    *   it is provably outside the top-k. Valid in every bucket task —
+    *   it is a global bound.
+    */
+  def wandLoop(cursors: Array[DaatCursor], baseMax: Double, k: Int,
+               exhaustive: Boolean, seedTheta: Double, deleted: Set[Long],
+               scoreDoc: Long => Double): Seq[(Long, Double)] = {
+    val nTerms = cursors.length
+    val heap = new TopKHeap(k)
+    val order = (0 until nTerms).toArray // cursor indices sorted by current doc
+
+    def sortOrder(): Unit = {
+      // insertion sort — nTerms is tiny and mostly sorted
+      var i = 1
+      while (i < nTerms) {
+        val x = order(i); val dx = cursors(x).doc
+        var j = i - 1
+        while (j >= 0 && cursors(order(j)).doc > dx) { order(j + 1) = order(j); j -= 1 }
+        order(j + 1) = x
+        i += 1
+      }
+    }
+
+    def offerAndAdvance(d: Long): Unit = {
+      val s = scoreDoc(d)
+      if (!java.lang.Double.isNaN(s)) heap.offer(d, s)
+      var m = 0
+      while (m < nTerms) { if (cursors(m).doc == d) cursors(m).next(); m += 1 }
+    }
 
     var done = false
     while (!done) {
@@ -303,20 +725,21 @@ object Daat {
       if (cursors(order(0)).doc == Long.MaxValue) { done = true }
       else if (exhaustive) {
         val d = cursors(order(0)).doc
-        if (!deleted.contains(d)) heap.offer(d, scoreCurrent(d))
-        var i = 0
-        while (i < nTerms) { if (cursors(i).doc == d) cursors(i).next(); i += 1 }
+        if (deleted.contains(d)) {
+          var m = 0
+          while (m < nTerms) { if (cursors(m).doc == d) cursors(m).next(); m += 1 }
+        } else offerAndAdvance(d)
       } else {
         val theta = math.max(heap.threshold, seedTheta)
         // find pivot: first prefix whose Σ UB exceeds θ (LM: the
         // background-sum bound joins the running total from the start)
-        var acc = plan.baseMax
+        var acc = baseMax
         var p = -1
         var i = 0
         while (i < nTerms && p < 0) {
           val c = cursors(order(i))
           if (!c.exhausted) {
-            acc += c.plan.upperBound
+            acc += c.upperBound
             // >= not >: a doc that can only TIE θ still wins on the
             // docId-asc tiebreak when its id is smaller than the worst
             if (acc >= theta) p = i
@@ -325,7 +748,7 @@ object Daat {
         }
         if (p < 0) done = true // no doc can beat θ
         else {
-          val pivotDoc = cursors(order(p)).doc
+          var pivotDoc = cursors(order(p)).doc
           // extend the pivot across ties: a cursor beyond p sitting ON
           // pivotDoc also contributes to its score, and the block-max
           // rejection below only bounds cursors ≤ p — without the
@@ -343,7 +766,7 @@ object Daat {
           else if (cursors(order(0)).doc == pivotDoc) {
             // all cursors ≤ pivot sit on pivotDoc candidates — refine with
             // block-max bounds before full scoring
-            var bacc = plan.baseMax
+            var bacc = baseMax
             var j = 0
             while (j <= p) {
               val c = cursors(order(j))
@@ -353,12 +776,8 @@ object Daat {
               }
               j += 1
             }
-            if (bacc >= theta) {
-              val s = scoreCurrent(pivotDoc)
-              heap.offer(pivotDoc, s)
-              var m = 0
-              while (m < nTerms) { if (cursors(m).doc == pivotDoc) cursors(m).next(); m += 1 }
-            } else {
+            if (bacc >= theta) offerAndAdvance(pivotDoc)
+            else {
               // BMW skip: jump past the shallowest current block boundary.
               // The bound `bacc` only covers cursors ≤ p, so the skip must
               // also stop BEFORE the next cursor's doc — docs from there on

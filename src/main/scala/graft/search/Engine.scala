@@ -737,7 +737,8 @@ final class Engine(
         // weights evaluate() would use (combine: 1/k; weight: w/Σ|w|)
         runDaatLm(lmBagWeights(ast).get, k, exhaustive = false)
       case _ =>
-        scoredTail(evaluate(ast), k)
+        (if (useDaat) runStructured(ast, k) else None)
+          .getOrElse(scoredTail(evaluate(ast), k))
     }
   }
 
@@ -785,11 +786,14 @@ final class Engine(
     val asts = queries.map(q => q -> QueryParser.parse(q))
     def daatPath(ast: QueryNode): Boolean =
       daatBag(ast).isDefined && useDaat && (baseline || lmMethod) && daatDeletedSet.isDefined
+    def structPath(ast: QueryNode): Boolean =
+      daatBag(ast).isEmpty && useDaat && structuredServes(ast)
     val allTerms = asts.flatMap { case (_, a) => QueryParser.termLeaves(a) }
       .flatMap(t => Option(analyzer.processTerm(t)))
     val tstats = termStatsFor(allTerms.distinct)
     val cstats = complexStatsBatch(
-      asts.collect { case (_, a) if !daatPath(a) => complexRawLeaves(a) }.flatten)
+      asts.collect { case (_, a) if !daatPath(a) && !structPath(a) =>
+        complexRawLeaves(a) }.flatten)
     asts.map { case (q, ast) =>
       q -> (daatBag(ast) match {
         case Some(termWeights) if daatPath(ast) && baseline =>
@@ -798,7 +802,9 @@ final class Engine(
           runDaatLm(lmBagWeights(ast).get, k, exhaustive = false,
             tstatsOpt = Some(tstats))
         case _ =>
-          scoredTail(evaluateWith(ast, tstats, cstats, root = true), k)
+          (if (structPath(ast)) runStructured(ast, k, tstatsOpt = Some(tstats))
+           else None)
+            .getOrElse(scoredTail(evaluateWith(ast, tstats, cstats, root = true), k))
       })
     }
   }
@@ -882,6 +888,170 @@ final class Engine(
     val seed = if (exhaustive || index.topdocs == null) Double.NegativeInfinity
                else topdocsSeed(p, k, del)
     Daat.topK(index, p, k, exhaustive, seed, del)
+  }
+
+  // ------------------------------------------------------------------
+  // structured (SDM/FDM-shaped) kernel path — round 4
+  // ------------------------------------------------------------------
+
+  /** True when the AST is a #combine/#weight tree (non-negative weights)
+    * over term leaves and #odN/#uwN windows of plain terms — the
+    * dependence-model shape the window-aware WAND kernel serves
+    * (reference runs these document-at-a-time too:
+    * src/OrderedWindowNode.cpp, src/WeightedAndNode.cpp).
+    */
+  private def structuredShape(n: QueryNode): Boolean = n match {
+    case _: TermNode => true
+    case OdNode(_, cs) => cs.length >= 2 && cs.forall(_.isInstanceOf[TermNode])
+    case UwNode(_, cs) => cs.length >= 2 && cs.forall(_.isInstanceOf[TermNode])
+    case CombineNode(cs) => cs.nonEmpty && cs.forall(structuredShape)
+    case WeightNode(cs) =>
+      cs.nonEmpty && cs.forall { case (w, c) => w >= 0 && structuredShape(c) } &&
+        cs.exists(_._1 > 0)
+    case _ => false
+  }
+
+  private def containsWindow(n: QueryNode): Boolean = n match {
+    case _: OdNode | _: UwNode => true
+    case CombineNode(cs) => cs.exists(containsWindow)
+    case WeightNode(cs) => cs.exists(c => containsWindow(c._2))
+    case _ => false
+  }
+
+  /** dispatch predicate shared by runQuery/runQueries */
+  private def structuredServes(ast: QueryNode): Boolean =
+    (baseline || lmMethod) && daatDeletedSet.isDefined &&
+      structuredShape(ast) && containsWindow(ast)
+
+  private sealed trait LeafMeta
+  private final case class TermLeafM(processed: String, qtf: Int) extends LeafMeta
+  private final case class WinLeafM(spec: Daat.WindowSpec) extends LeafMeta
+
+  /** Build and run the structured WAND plan, or None when the shape is
+    * not kernel-servable. Mirrors evaluateWith EXACTLY: per-level
+    * weights (root-vs-inner, baseline-vs-LM), per-level okapi qtf maps,
+    * background fill-in, nested left-to-right folds — bit-identical
+    * scores (WandPropertySpec structured cases).
+    */
+  private[graft] def runStructured(ast: QueryNode, k: Int,
+                                   exhaustive: Boolean = false,
+                                   tstatsOpt: Option[Map[String, TermStats]] = None): Option[DataFrame] = {
+    if (!structuredServes(ast)) return None
+    val del = daatDeletedSet.get
+
+    // ---- leaf registry (dedup by identical semantics) ----
+    val leafIdx = scala.collection.mutable.LinkedHashMap.empty[(String, Seq[String], Int, Int), Int]
+    val leafMeta = scala.collection.mutable.ArrayBuffer.empty[LeafMeta]
+    val Sentinel = " stopped"
+
+    def termLeaf(raw: String, qtfs: Map[String, Int]): Daat.FoldTree = {
+      val pt = analyzer.processTerm(raw)
+      val processed = if (pt == null) Sentinel else pt
+      // evaluateWith: baseline terms score with the ENCLOSING level's
+      // qtf; LM terms go through scoreRaw's default qtf = 1
+      val qtf = if (baseline && pt != null) qtfs.getOrElse(pt, 1) else 1
+      val key = ("t", Seq(processed), 0, qtf)
+      Daat.FLeaf(leafIdx.getOrElseUpdate(key, {
+        leafMeta += TermLeafM(processed, qtf); leafMeta.length - 1
+      }))
+    }
+    def windowLeaf(ordered: Boolean, width: Int, cs: Seq[QueryNode]): Daat.FoldTree = {
+      val members = cs.map { case TermNode(t) =>
+        Option(analyzer.processTerm(t)).getOrElse(Sentinel)
+      }
+      val key = (if (ordered) "od" else "uw", members, width, 0)
+      Daat.FLeaf(leafIdx.getOrElseUpdate(key, {
+        leafMeta += WinLeafM(Daat.WindowSpec(members.toArray, ordered, width))
+        leafMeta.length - 1
+      }))
+    }
+
+    def walk(n: QueryNode, root: Boolean): Daat.FoldTree = n match {
+      case cn @ CombineNode(cs) =>
+        val w = if (root && baseline) 1.0 else 1.0 / cs.size
+        val qtfs = qtfMap(cn)
+        Daat.FNode(cs.map(c => (w, child(c, qtfs))).toArray)
+      case wn @ WeightNode(cs) =>
+        val qtfs = qtfMap(wn)
+        val weights =
+          if (root && baseline) cs.map(_._1)
+          else {
+            val total = cs.map(c => math.abs(c._1)).sum
+            cs.map(_._1 / total)
+          }
+        Daat.FNode(cs.zip(weights).map { case ((_, c), w) => (w, child(c, qtfs)) }.toArray)
+      case leaf => child(leaf, qtfMap(leaf))
+    }
+    def child(c: QueryNode, qtfs: Map[String, Int]): Daat.FoldTree = c match {
+      case TermNode(t) => termLeaf(t, qtfs)
+      case OdNode(w, cs) => windowLeaf(ordered = true, w, cs)
+      case UwNode(w, cs) => windowLeaf(ordered = false, w, cs)
+      case sub => walk(sub, root = false)
+    }
+
+    val tree = walk(ast, root = true)
+    val metas = leafMeta.toArray
+
+    // ---- stats rounds: dictionary probe + ONE kernel window pass ----
+    val realTerms = metas.flatMap {
+      case TermLeafM(p, _) if p != Sentinel => Seq(p)
+      case WinLeafM(spec) => spec.terms.filterNot(_ == Sentinel).toSeq
+      case _ => Nil
+    }.distinct.toSeq
+    val tstats = tstatsOpt.getOrElse(termStatsFor(realTerms))
+    val windows = metas.collect { case WinLeafM(s) => s }
+    val wstats = Daat.windowStats(index, windows, del)
+
+    // ---- per-leaf score functions, bounds, eff weights ----
+    val effW = new Array[Double](metas.length)
+    def accEff(t: Daat.FoldTree, w: Double): Unit = t match {
+      case Daat.FLeaf(i) => effW(i) += w
+      case Daat.FNode(cs) => cs.foreach { case (cw, ch) => accEff(ch, w * cw) }
+    }
+    accEff(tree, 1.0)
+
+    var wi = 0
+    val leaves = metas.zipWithIndex.map {
+      case (TermLeafM(p, qtf), i) =>
+        val ts = tstats.getOrElse(p, TermStats(0, 0))
+        val fn = Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+          ts.df.toDouble, stats.totalDocs, qtf = qtf)
+        val minDl = math.max(ts.minDl, 1)
+        val ub =
+          if (baseline) math.max(effW(i) * fn.scoreOccurrence(1e18, 1), 0.0)
+          else effW(i) * math.max(
+            fn.scoreOccurrence(ts.ctf.toDouble, minDl) - fn.scoreOccurrence(0.0, minDl), 0.0)
+        (Daat.LeafPlan(p, null, fn, effW(i), ub), if (ts.ctf > 0) minDl else 0)
+      case (WinLeafM(spec), i) =>
+        val (occ, df) = wstats(wi); wi += 1
+        val fn = Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+          df.toDouble, stats.totalDocs)
+        // window matches contain every member: dl ≥ max member minDocLen
+        val minDl = math.max(
+          spec.terms.map(t => tstats.get(t).map(_.minDl).getOrElse(1)).max, 1)
+        val ub =
+          if (baseline) math.max(effW(i) * fn.scoreOccurrence(1e18, 1), 0.0)
+          else effW(i) * math.max(
+            fn.scoreOccurrence(occ, minDl) - fn.scoreOccurrence(0.0, minDl), 0.0)
+        (Daat.LeafPlan(spec.terms.mkString(if (spec.ordered) "#od:" else "#uw:", ",", ""),
+          spec, fn, effW(i), ub), if (df > 0) minDl else 0)
+    }
+
+    // every candidate matches ≥1 live leaf — its dl is ≥ the min of the
+    // live leaves' minimum context lengths (the baseMax argument)
+    val liveMinDls = leaves.collect { case (_, m) if m > 0 => m }
+    if (liveMinDls.isEmpty) {
+      return Some(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType)))))
+    }
+    val minDlQuery = liveMinDls.min
+    val leafPlans = leaves.map(_._1)
+    val baseMax =
+      if (baseline) 0.0
+      else Daat.foldWith(tree, li => leafPlans(li).scoreFn.scoreOccurrence(0.0, minDlQuery))
+
+    val p = Daat.StructuredPlan(leafPlans, tree, lm = lmMethod, baseMax = baseMax)
+    Some(Daat.topKStructured(index, p, k, exhaustive, del))
   }
 
   /** WAND threshold seeding from the topdocs lists (reference:

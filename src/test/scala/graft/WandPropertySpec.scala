@@ -99,6 +99,53 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  // round 4: SDM/FDM-shaped #combine/#weight trees with #odN/#uwN window
+  // leaves run INSIDE the kernel (positions decoded from segment blocks,
+  // WindowMatcher per candidate) — must be bit-identical to the nested
+  // combineBeliefs DataFrame path, pruned == exhaustive, and the
+  // structured dispatch must actually fire (no silent belief fallback).
+  private val structuredQueries = Seq(
+    graft.search.Reformulate.sdm(Seq("return", "license", "class")),
+    graft.search.Reformulate.fdm(Seq("val", "import", "static")),
+    "#combine(#od1(return license) #uw4(class def))",
+    "#weight(0.6 #combine(return class) 0.2 #combine(#od2(return class)) 0.2 #combine(#uw8(return class)))",
+    "#weight(0.8 #combine(return zzznotaword) 0.2 #combine(#od1(return zzznotaword)))",
+    "#combine(#od1(return return) val)",
+    "#uw12(return license class)"
+  )
+
+  test("structured kernel (windows in DAAT): == DataFrame path == exhaustive, all rules") {
+    for (method <- Seq("method:okapi", "method:tfidf", "method:dirichlet",
+                       "method:jm,collectionLambda:0.4", "method:two,mu:2500,lambda:0.4")) {
+      val engine = new Engine(spark, index, Analyzer(), ScoringRule.parse(method))
+      for (q <- structuredQueries; k <- Seq(10, 1000)) {
+        val ast = QueryParser.parse(q)
+        val kernelOpt = engine.runStructured(ast, k)
+        assert(kernelOpt.isDefined, s"structured dispatch did not fire for '$q' ($method)")
+        val kernel = kernelOpt.get.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val exh = engine.runStructured(ast, k, exhaustive = true).get
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val dfp = run(engine, q, k, "dataframe")
+        assert(kernel == exh, s"structured WAND != exhaustive for '$q' k=$k ($method)\n w=${kernel.take(5)}\n e=${exh.take(5)}")
+        assert(kernel == dfp, s"structured WAND != DataFrame for '$q' k=$k ($method)\n w=${kernel.take(5)}\n d=${dfp.take(5)}")
+      }
+    }
+  }
+
+  test("structured kernel honors the delete set (dirichlet)") {
+    val engine = new Engine(spark, index, Analyzer(), ScoringRule(method = "dirichlet"))
+    engine.deleteDocuments {
+      import spark.implicits._
+      (1L to 600L).filter(_ % 5 == 0).toDF("docId")
+    }
+    for (q <- structuredQueries.take(4); k <- Seq(10, 100)) {
+      val wand = run(engine, q, k, "wand") // runQuery dispatches structured
+      val dfp = run(engine, q, k, "dataframe")
+      assert(wand == dfp, s"deleted-aware structured WAND != DataFrame for '$q' k=$k")
+      assert(wand.forall(_._1 % 5 != 0), s"deleted doc leaked for '$q'")
+    }
+  }
+
   test("deleted documents: kernel skip == anti-join belief path (okapi + dirichlet)") {
     // round 3: the kernel consults the in-memory delete set (the
     // DeletedDocumentList bitmap analogue) instead of forcing the

@@ -229,10 +229,23 @@ object Bench {
       d.count(); e.count()
       d.limit(5).crossJoin(broadcast(e.limit(2))).count()
     }
+    // per-query paired-median protocol (round 4, mirroring the scaling
+    // phases): R reps per query, the headline number is the MEDIAN and
+    // every rep is embedded. The first rep of the first query touching
+    // each cached index absorbs the one-time build — the median reports
+    // the steady-state query cost (build throughput is phase 2's metric).
+    val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    def medianD(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to qReps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, medianD(times), times)
     }
     spark.stop()
 
@@ -361,11 +374,13 @@ object Bench {
         } finally sk.stop()
       } else ""
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qr = results.map { case (k, _, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_reps":$qr,"sf":"$sfDir",""" +
       s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
       s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
       scalingJson + coresScalingJson + skewJson + "}")

@@ -133,6 +133,63 @@ object SparkEntry {
     new Engine(s, idx, cfg.analyzer, ScoringRule(method = "okapi"))
   }
 
+  /** Engine with a THREE-level field tree (head ⊃ lead ⊃ kick) plus a
+    * numeric and a DATE whole-doc field — the fixture for the path-op,
+    * date-op and deep-NEXI driver queries (kept separate from
+    * [[fieldEngine]] so the established two-level oracles stay stable).
+    *
+    * The kick field is DELIBERATELY non-uniform so the three path ops
+    * (#child/#descendant/#parent) each select a different doc subset:
+    *   doc_id % 3 == 0 → kick[0,2) with direct parent `lead`
+    *   doc_id % 3 == 1 → kick[0,2) with direct parent `head` (skips lead)
+    *   doc_id % 3 == 2 → no kick extent at all
+    * mdate = 2020-01-01 + (doc_id % 400) days, deterministic and
+    * recomputable in DuckDB from doc_id alone.
+    */
+  private val deepFieldIndexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.index.InvertedIndex]()
+
+  private def deepFieldEngine(s: SparkSession, dir: String): Engine = {
+    val idx = deepFieldIndexCache.computeIfAbsent(dir, _ => {
+      val docs = documents(s, dir)
+        .select(col("doc_id").as("docId"), col("text").as("content"), col("n_chars"))
+        .withColumn("mdate", date_format(
+          date_add(to_date(lit("2020-01-01")), (col("docId") % 400).cast("int")),
+          "yyyy-MM-dd"))
+      val built = IndexBuilder.build(docs, cfg,
+        annotate = df => FieldAnnotators.dateField("mdate", "mdate")(
+          FieldAnnotators.numericField("nchars", "n_chars")(
+            FieldAnnotators.nestedHeadField(2, parent = "lead", name = "kick",
+              cond = col("docId") % 3 === 0)(
+              FieldAnnotators.nestedHeadField(2, parent = "head", name = "kick",
+                cond = col("docId") % 3 === 1)(
+                FieldAnnotators.nestedHeadField(4)(
+                  FieldAnnotators.headField(10)(df)))))))
+      built.copy(fieldExtents = built.fieldExtents.persist(),
+        doclens = built.doclens.persist(), postings = built.postings.persist())
+    })
+    new Engine(s, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+  }
+
+  /** per-dir cache of the q_rewrite_fields store (build + writeAll +
+    * surgery happen once; the query re-opens and dumps)
+    */
+  private val rewrittenStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** absolute path shared by the Spark readers and the DuckDB oracles
+    * (read_csv) for the reference-generated stemmer golden vectors
+    */
+  private val GoldenDir = "/root/repo/src/test/resources/graft"
+
+  private def goldenWords(s: SparkSession, file: String): DataFrame =
+    s.read.option("sep", "\t")
+      .schema("word STRING, stem_ref STRING")
+      .csv(s"$GoldenDir/$file")
+
+  // #datebetween bounds as (doc_id % 400) offsets from the 2020-01-01 base
+  private val DateBase = java.time.LocalDate.parse("2020-01-01").toEpochDay
+  private val DateLoOff = java.time.LocalDate.parse("2020-02-01").toEpochDay - DateBase // 31
+  private val DateHiOff = java.time.LocalDate.parse("2020-06-01").toEpochDay - DateBase // 152
+
   /** Flagship: BM25 top-k on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     engine(spark, "/root/testdata/sf0.001")
@@ -581,6 +638,168 @@ object SparkEntry {
         .select(col("docId").as("doc_id")).orderBy("doc_id")
     }),
 
+    "q_path_child" -> ((s, dir) => {
+      // #child(kick lead): kick extents whose DIRECT parent is a lead
+      // extent — only the doc_id % 3 == 0 docs link kick under lead
+      // (reference: src/ExtentChildNode.cpp over index parent links)
+      val eng = deepFieldEngine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("#child(kick lead)")).df
+        .select(col("docId").as("doc_id"),
+          element_at(col("begins"), 1).cast(LongType).as("begin"),
+          element_at(col("ends"), 1).cast(LongType).as("end"))
+        .where(col("end") > col("begin"))
+        .orderBy("doc_id")
+    }),
+
+    "q_path_parent" -> ((s, dir) => {
+      // #parent(lead kick): lead extents that are the direct parent of a
+      // kick extent (reference: src/ExtentParentNode.cpp) — again only
+      // the doc_id % 3 == 0 docs
+      val eng = deepFieldEngine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("#parent(lead kick)")).df
+        .select(col("docId").as("doc_id"),
+          element_at(col("begins"), 1).cast(LongType).as("begin"),
+          element_at(col("ends"), 1).cast(LongType).as("end"))
+        .where(col("end") > col("begin"))
+        .orderBy("doc_id")
+    }),
+
+    "q_path_desc" -> ((s, dir) => {
+      // #descendant(kick head): kick extents with head ANYWHERE up the
+      // parent chain — reaches head via lead (doc_id%3==0) or directly
+      // (doc_id%3==1); absent for doc_id%3==2
+      // (reference: src/ExtentDescendantNode.cpp)
+      val eng = deepFieldEngine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("#descendant(kick head)")).df
+        .select(col("docId").as("doc_id"),
+          element_at(col("begins"), 1).cast(LongType).as("begin"),
+          element_at(col("ends"), 1).cast(LongType).as("end"))
+        .where(col("end") > col("begin"))
+        .orderBy("doc_id")
+    }),
+
+    "q_date_ops" -> ((s, dir) => {
+      // #datebefore/#datebetween/#dateafter over the mdate field
+      // (epoch-day payload; ISO literals parsed by the query language —
+      // reference: src/indrilang.g:840-935, FieldLess/Between/GreaterNode).
+      // mdate = 2020-01-01 + doc_id % 400 days, so membership is pure
+      // doc_id arithmetic for the oracle.
+      val eng = deepFieldEngine(s, dir)
+      def dump(q: String, op: String) =
+        eng.evaluateRaw(QueryParser.parse(q)).df
+          .select(lit(op).as("op"), col("docId").as("doc_id"))
+      dump("#datebefore(mdate 2020-02-01)", "before")
+        .unionAll(dump("#datebetween(mdate 2020-02-01 2020-06-01)", "between"))
+        .unionAll(dump("#dateafter(mdate 2020-06-01)", "after"))
+        .orderBy("op", "doc_id")
+    }),
+
+    "q_passage" -> ((s, dir) => {
+      // #combine[passage10:5](data merge): every sliding passage scored
+      // as its own dirichlet context (reference: FixedPassageNode,
+      // src/InferenceNetworkBuilder.cpp:152-185); k covers all passages
+      // so (doc, begin) ordering is boundary-free for the oracle
+      val eng = new Engine(s, buildIndex(s, dir), cfg.analyzer,
+        ScoringRule(method = "dirichlet"))
+      eng.runExtentQuery(s"#combine[passage10:5](${BmTerms.take(2).mkString(" ")})", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_porter" -> ((s, dir) => {
+      // Porter stemmer surface vs 36k reference-generated golden vectors
+      // (reference: src/Porter_Stemmer.cpp compiled standalone → TSV)
+      val stemUdf = udf { (w: String) => graft.analysis.PorterStemmer.stem(w) }
+      goldenWords(s, "porter_golden.tsv")
+        .select(col("word"), stemUdf(col("word")).as("stem"))
+        .orderBy("word")
+    }),
+
+    "q_krovetz" -> ((s, dir) => {
+      // Krovetz kstem surface vs the reference-generated golden vectors
+      // (reference: src/KrovetzStemmer.cpp compiled standalone → TSV)
+      val stemUdf = udf { (w: String) => graft.analysis.KrovetzStemmer.stem(w) }
+      goldenWords(s, "kstem_golden.tsv")
+        .select(col("word"), stemUdf(col("word")).as("stem"))
+        .orderBy("word")
+    }),
+
+    "q_working_set" -> ((s, dir) => {
+      // runQuery against a working set: FilterNode semantics — score only
+      // docs in the supplied docId set (reference:
+      // src/QueryEnvironment.cpp:694-707 _scoredQuery + FilterNode)
+      val eng = engine(s, dir)
+      val ws = documents(s, dir).where(col("doc_id") % 7 === 0).select("doc_id")
+      eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 20, ws)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_extent_list" -> ((s, dir) => {
+      // dumpindex expressionlist: every matching extent of an expression
+      // (reference: dumpindex/dumpindex.cpp:25-53)
+      val eng = engine(s, dir)
+      eng.expressionList(s"#od1(${OdPair._1} ${OdPair._2})")
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"),
+          col("end").cast(LongType).as("end"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_ponte_terms" -> ((s, dir) => {
+      // Ponte expander term table over the okapi top-10 feedback docs
+      // (reference: src/PonteExpander.cpp:80-143); fbTerms covers every
+      // tf>=2 term so the cut is boundary-free
+      val eng = engine(s, dir)
+      val top = eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      graft.search.Expanders.ponteTerms(eng, top,
+        graft.search.RelevanceModel.Params(fbDocs = 10, fbTerms = 1000000))
+        .select(col("term"), round(col("coll"), 6).as("coll"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("term")
+    }),
+
+    "q_tfidf_terms" -> ((s, dir) => {
+      // TFIDF expander term table over the same feedback docs
+      // (reference: src/TFIDFExpander.cpp:100-241)
+      val eng = engine(s, dir)
+      val top = eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      graft.search.Expanders.tfidfTerms(eng, top,
+        graft.search.RelevanceModel.Params(fbDocs = 10, fbTerms = 1000000))
+        .select(col("term"), round(col("weight"), 6).as("weight"))
+        .orderBy("term")
+    }),
+
+    "q_rewrite_fields" -> ((s, dir) => {
+      // modifyfields offline surgery on a WRITTEN store: drop `lead`,
+      // add a `note` offset annotation [1,3) for doc_id % 5 == 0, reopen
+      // and dump the surviving field surface (reference:
+      // modifyfields/ModifyFields.cpp). The store build+surgery is
+      // cached per dir; the query itself re-opens and dumps.
+      val tmp = rewrittenStoreCache.computeIfAbsent(dir, _ => {
+        val t = java.nio.file.Files.createTempDirectory("graft-rewrite-drv").toString
+        val docs = documents(s, dir)
+          .select(col("doc_id").as("docId"), col("text").as("content"))
+        val idx = IndexBuilder.build(docs, cfg,
+          annotate = df => FieldAnnotators.nestedHeadField(4)(
+            FieldAnnotators.headField(10)(df)))
+        graft.index.SegmentStore.writeAll(idx, t, cfg)
+        val notes = documents(s, dir).where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("docId"), lit("note").as("field"),
+            lit(1).as("begin"), lit(3).as("end"))
+        graft.index.SegmentStore.rewriteFields(s, t, remove = Seq("lead"), add = notes)
+        t
+      })
+      graft.index.SegmentStore.open(s, tmp).fieldExtents
+        .select(col("docId").as("doc_id"), col("field"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"))
+        .orderBy("doc_id", "field", "begin")
+    }),
+
     "q_shrinkage" -> ((s, dir) => {
       // ShrinkageBeliefNode default configuration over the (root-level)
       // head field: down = (1-w_d)·MLE(extent) + w_d·p_jm(doc), then
@@ -783,10 +1002,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_ngram_jaccard" -> ((s, dir) => {
+      // candidates from the PRODUCTION LSH path (same 4×2 banding as
+      // q_lsh_pairs) — exact n-gram Jaccard verifies each LSH candidate
+      // pair, exercising the minhash → LSH-bucket-join → exact-verify
+      // pretraining dedup pipeline end-to-end (no crossJoin anywhere)
       val docs = documents(s, dir)
-      val ids = docs.where(col("doc_id") < 40).select(col("doc_id").as("a"))
-      val cands = ids.crossJoin(docs.where(col("doc_id") < 40).select(col("doc_id").as("b")))
-        .where(col("a") < col("b"))
+      val cands = TextPipeline.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
       TextPipeline.ngramJaccard(docs, cands, "doc_id", "text")
         .where(col("jaccard") > 0)
         .orderBy("a", "b")
@@ -1705,6 +1927,179 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE n_chars BETWEEN 500 AND 1000 ORDER BY doc_id""".stripMargin,
 
+    // kick[0, min(2, dl)) with parent lead exists only for doc_id%3==0
+    "q_path_child" ->
+      s"""$DTok
+         |SELECT doc_id, 0::BIGINT AS begin, least(2, doclen)::BIGINT AS "end"
+         |FROM dl WHERE doc_id % 3 = 0 AND doclen > 0 ORDER BY doc_id""".stripMargin,
+
+    // lead extents with a kick child — again exactly the doc_id%3==0 docs
+    "q_path_parent" ->
+      s"""$DTok
+         |SELECT doc_id, 0::BIGINT AS begin, least(4, doclen)::BIGINT AS "end"
+         |FROM dl WHERE doc_id % 3 = 0 AND doclen > 0 ORDER BY doc_id""".stripMargin,
+
+    // kick reaches head up the chain for %3==0 (via lead) and %3==1 (direct)
+    "q_path_desc" ->
+      s"""$DTok
+         |SELECT doc_id, 0::BIGINT AS begin, least(2, doclen)::BIGINT AS "end"
+         |FROM dl WHERE doc_id % 3 IN (0, 1) AND doclen > 0 ORDER BY doc_id""".stripMargin,
+
+    // mdate = 2020-01-01 + doc_id%400 days; 2020-02-01 → offset 31,
+    // 2020-06-01 → offset 152; before/after strict, between inclusive
+    "q_date_ops" ->
+      """WITH m AS (SELECT doc_id, doc_id % 400 AS off FROM documents)
+        |SELECT 'before' AS op, doc_id FROM m WHERE off < 31
+        |UNION ALL SELECT 'between' AS op, doc_id FROM m WHERE off >= 31 AND off <= 152
+        |UNION ALL SELECT 'after' AS op, doc_id FROM m WHERE off > 152
+        |ORDER BY op, doc_id""".stripMargin,
+
+    // sliding passages b = 0,5,… < doclen, e = min(b+10, doclen);
+    // candidates = docs with ≥1 query term; dirichlet over the passage
+    // (1-based pos: tf counts pos in (b, e])
+    "q_passage" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge')
+         |), pas AS (
+         |  SELECT dl.doc_id, unnest(range(0, dl.doclen, 5)) AS b, dl.doclen
+         |  FROM dl WHERE dl.doc_id IN (SELECT doc_id FROM cand)
+         |), pe AS (
+         |  SELECT doc_id, b, least(b + 10, doclen) AS e FROM pas
+         |), tf AS (
+         |  SELECT p.doc_id, p.b, p.e,
+         |    count(*) FILTER (WHERE t.term = 'data') AS tfd,
+         |    count(*) FILTER (WHERE t.term = 'merge') AS tfm
+         |  FROM pe p LEFT JOIN tok t ON t.doc_id = p.doc_id
+         |    AND t.term IN ('data','merge') AND t.pos > p.b AND t.pos <= p.e
+         |  GROUP BY p.doc_id, p.b, p.e
+         |)
+         |SELECT t.doc_id, t.b::BIGINT AS begin, t.e::BIGINT AS "end",
+         |  round(0.5 * ln((t.tfd + 2500.0 * cf.cd / st.tt) / ((t.e - t.b) + 2500.0))
+         |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / ((t.e - t.b) + 2500.0)), 6) AS score
+         |FROM tf t CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, begin""".stripMargin,
+
+    "q_porter" ->
+      s"""SELECT word, stem_ref AS stem
+         |FROM read_csv('$GoldenDir/porter_golden.tsv', header=false, delim='\t',
+         |              columns={'word': 'VARCHAR', 'stem_ref': 'VARCHAR'})
+         |ORDER BY word""".stripMargin,
+
+    "q_krovetz" ->
+      s"""SELECT word, stem_ref AS stem
+         |FROM read_csv('$GoldenDir/kstem_golden.tsv', header=false, delim='\t',
+         |              columns={'word': 'VARCHAR', 'stem_ref': 'VARCHAR'})
+         |ORDER BY word""".stripMargin,
+
+    // okapi scores, restricted to the working set AFTER scoring
+    "q_working_set" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc WHERE doc_id % 7 = 0
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // every adjacent (hash, scan) pair: begin = 0-based pos of hash,
+    // end = exclusive 0-based end of scan
+    "q_extent_list" ->
+      s"""$DTok
+         |SELECT a.doc_id, (a.pos - 1)::BIGINT AS begin, (a.pos + 1)::BIGINT AS "end"
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'hash' AND b.term = 'scan'
+         |ORDER BY a.doc_id, begin""".stripMargin,
+
+    // fb = okapi top-10; per-term over fb docs with tf>=2:
+    //   coll   = Σ ln((tf/dl) / (ctf/colLen))      [PonteExpander sort key]
+    //   weight = Σ exp(docScore) · tf/dl           [μ = 0]
+    "q_ponte_terms" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |), fb AS (
+         |  SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 10
+         |), pt AS (
+         |  SELECT t.term, t.doc_id, count(*) AS tf
+         |  FROM tok t JOIN fb ON t.doc_id = fb.doc_id
+         |  GROUP BY t.term, t.doc_id HAVING count(*) >= 2
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok
+         |  WHERE term IN (SELECT term FROM pt) GROUP BY term
+         |)
+         |SELECT pt.term,
+         |  round(sum(ln((pt.tf::DOUBLE / dl.doclen) / (ctf.ctf::DOUBLE / st.tt::DOUBLE))), 6) AS coll,
+         |  round(sum(exp(fb.s) * (pt.tf::DOUBLE / dl.doclen)), 6) AS weight
+         |FROM pt JOIN dl USING(doc_id) JOIN ctf USING(term)
+         |JOIN fb ON fb.doc_id = pt.doc_id CROSS JOIN st
+         |GROUP BY pt.term ORDER BY pt.term""".stripMargin,
+
+    // weight(t) = (Σ_fb BM25TF·idf) / fbDocs · fbOrigWeight with
+    // BM25TF = k1·tf/(tf + k1(1−b + b/avgdl·dl)), idf = ln((N+1)/(df+0.5))
+    "q_tfidf_terms" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |), fb AS (
+         |  SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 10
+         |), pt AS (
+         |  SELECT t.term, t.doc_id, count(*) AS tf
+         |  FROM tok t JOIN fb ON t.doc_id = fb.doc_id
+         |  GROUP BY t.term, t.doc_id
+         |), dfs AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |  WHERE term IN (SELECT term FROM pt) GROUP BY term
+         |)
+         |SELECT pt.term,
+         |  round(sum( (1.2 * pt.tf / (pt.tf + 1.2 * (0.25 + (0.75 / (st.tt::DOUBLE / st.n)) * dl.doclen)))
+         |             * ln((st.n + 1) / (dfs.df + 0.5)) ) / 10 * 0.5, 6) AS weight
+         |FROM pt JOIN dl USING(doc_id) JOIN dfs USING(term) CROSS JOIN st
+         |GROUP BY pt.term ORDER BY pt.term""".stripMargin,
+
+    // post-surgery field surface: head kept (clipped to doclen), lead
+    // removed, note [1,3) added for doc_id%5==0
+    "q_rewrite_fields" ->
+      s"""$DTok
+         |SELECT doc_id, 'head' AS field, 0::BIGINT AS begin, least(10, doclen)::BIGINT AS "end" FROM dl
+         |UNION ALL
+         |SELECT doc_id, 'note' AS field, 1::BIGINT AS begin, 3::BIGINT AS "end"
+         |FROM documents WHERE doc_id % 5 = 0
+         |ORDER BY doc_id, field, begin""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
@@ -1840,19 +2235,37 @@ object SparkEntry {
         |  round(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS repeat_frac
         |FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
+    // candidate pairs = the q_lsh_pairs banding (4 hashes × 2 bands),
+    // then exact distinct-trigram Jaccard on each candidate
     "q_ngram_jaccard" ->
       """WITH d AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents WHERE doc_id < 40
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
         |), s AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
         |  FROM d
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh3
+        |  FROM s
+        |), banded AS (
+        |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id
+        |), sd AS (
+        |  SELECT doc_id, list_distinct(sh) AS sh FROM s
         |), pr AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |    len(list_intersect(a.sh, b.sh)) AS inter,
-        |    len(list_distinct(list_concat(a.sh, b.sh))) AS uni
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  SELECT p.a, p.b,
+        |    len(list_intersect(x.sh, y.sh)) AS inter,
+        |    len(list_distinct(list_concat(x.sh, y.sh))) AS uni
+        |  FROM pairs p JOIN sd x ON x.doc_id = p.a JOIN sd y ON y.doc_id = p.b
         |)
         |SELECT a, b, round(inter::DOUBLE / uni, 6) AS jaccard
         |FROM pr WHERE inter > 0 ORDER BY a, b""".stripMargin,

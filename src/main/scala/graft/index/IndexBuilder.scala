@@ -548,9 +548,11 @@ object IndexBuilder {
   */
 object FieldAnnotators {
 
-  private def appendField(df: DataFrame, entry: Column): DataFrame =
+  private def appendField(df: DataFrame, entry: Column,
+                          cond: Column = lit(true)): DataFrame =
     df.withColumn("fields",
-      when(col("fields").isNull, array(entry))
+      when(!cond, col("fields"))
+        .when(col("fields").isNull, array(entry))
         .otherwise(array_union(col("fields"), array(entry))))
 
   /** Append externally-supplied text (anchor text, URL terms, offset
@@ -584,8 +586,8 @@ object FieldAnnotators {
     * smooth over (reference: src/ShrinkageBeliefNode.cpp child walk).
     */
   def nestedHeadField(n: Int, parent: String = "head", parentOrd: Int = 1,
-                      name: String = "lead")(df: DataFrame): DataFrame =
-    appendField(df, struct(
+                      name: String = "lead", cond: Column = lit(true))(df: DataFrame): DataFrame =
+    appendField(df, cond = cond, entry = struct(
       lit(name).as("field"),
       lit(0).as("begin"),
       least(lit(n), size(col("slots"))).cast("int").as("end"),

@@ -885,6 +885,35 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_nexi_paren" -> ((s, dir) => {
+      // parenthesized clause nesting (filterParens, nexilang.g:312-363):
+      // //head[(about(., data) or about(., merge)) and about(., query)]
+      // — the or-node folds first, then halves with the third belief
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head[(about(., ${BmTerms(0)}) or about(., ${BmTerms(1)})) and about(., ${BmTerms(2)})]",
+          1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_nexi_deep" -> ((s, dir) => {
+      // three-level CAS path //head//lead//kick[about(., data)]: kick
+      // extents whose ancestor chain passes lead THEN head — matches
+      // only the doc_id%3==0 docs (kick→lead→head); the %3==1 docs'
+      // kick→head chain skips lead and must NOT match
+      // (chained NestedExtentInside, nexilang.g:251-270)
+      val eng = deepFieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head//lead//kick[about(., ${BmTerms(0)})]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_bool" -> ((s, dir) => {
       // NEXI boolean clause: //head[about(., data merge) and about(., query)]
       // — the grammar's single logical combination; `and` folds the two
@@ -1879,6 +1908,54 @@ object SparkEntry {
     // inside the head extent; and → (g1/2 + g2/2), or → ln(1−(1−e^g1)(1−e^g2))
     "q_nexi_bool" -> nexiBoolSql(orFold = false),
     "q_nexi_or" -> nexiBoolSql(orFold = true),
+
+    // parenthesized nesting: g0/g1/g2 = single-term dirichlet beliefs
+    // over the head extent; score = or(g0,g1)/2 + g2/2 with
+    // or(x,y) = ln(1−(1−e^x)(1−e^y))
+    "q_nexi_paren" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm,
+         |         (SELECT count(*) FROM tok WHERE term = 'query') AS cq
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge','query')
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS tfd,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS tfm,
+         |    count(*) FILTER (WHERE term = 'query' AND pos <= 10) AS tfq
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |), g AS (
+         |  SELECT t.doc_id, least(10, dl.doclen) AS hl,
+         |    ln((t.tfd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0)) AS g0,
+         |    ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)) AS g1,
+         |    ln((t.tfq + 2500.0 * cf.cq / st.tt) / (least(10, dl.doclen) + 2500.0)) AS g2
+         |  FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |)
+         |SELECT doc_id, 0::BIGINT AS "begin", hl::BIGINT AS "end",
+         |  round(ln(1.0 - (1.0 - exp(g0)) * (1.0 - exp(g1))) / 2 + g2 / 2, 6) AS score
+         |FROM g ORDER BY doc_id, "begin"""".stripMargin,
+
+    // three-level path: rows = kick extents of the doc_id%3==0 docs only
+    // (the %3==1 docs' kick→head chain skips lead); single-term belief
+    // in the kick context [0, min(2, doclen))
+    "q_nexi_deep" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd
+         |), tfe AS (
+         |  SELECT doc_id, count(*) FILTER (WHERE term = 'data' AND pos <= 2) AS tfd
+         |  FROM tok WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(2, dl.doclen)::BIGINT AS "end",
+         |  round(1.0 * ln((t.tfd + 2500.0 * cf.cd / st.tt) / (least(2, dl.doclen) + 2500.0)), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |WHERE t.doc_id % 3 = 0
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
 
     "q_incremental_build" ->
       s"""$DTok, p AS (

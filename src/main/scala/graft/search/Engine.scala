@@ -44,6 +44,38 @@ final case class TermStats(ctf: Long, df: Long, minDl: Int = 1)
 final case class ShrinkRule(field: String, weight: Double,
                             lengthProportional: Boolean)
 
+/** Serializable fold tree for parenthesized NEXI clause nesting
+  * (reference: src/nexilang.g:312-363): leaves index the per-extent
+  * clause-belief array; `and` folds as CombineNode over two children
+  * (½·l + ½·r mean of logs), `or` as OrNode (log(1−Π(1−exp))). Top
+  * level so broadcasting a tree never captures an Engine $outer.
+  */
+sealed trait ScoreTree extends Serializable
+final case class ScoreLeaf(g: Int) extends ScoreTree
+final case class ScoreBool(or: Boolean, left: ScoreTree, right: ScoreTree) extends ScoreTree
+
+object ScoreTree {
+  def fold(t: ScoreTree, gs: Array[Double]): Double = t match {
+    case ScoreLeaf(g) => gs(g)
+    case ScoreBool(true, l, r) =>
+      math.log(1.0 - (1.0 - math.exp(fold(l, gs))) * (1.0 - math.exp(fold(r, gs))))
+    case ScoreBool(false, l, r) =>
+      fold(l, gs) / 2 + fold(r, gs) / 2
+  }
+
+  /** map a parsed ClauseTree to leaf indices in in-order positions */
+  def from(t: NexiParser.ClauseTree): ScoreTree = {
+    var next = -1
+    def walk(n: NexiParser.ClauseTree): ScoreTree = n match {
+      case NexiParser.ClauseLeaf(_) => next += 1; ScoreLeaf(next)
+      case NexiParser.ClauseBool(op, l, r) =>
+        val lt = walk(l); val rt = walk(r)
+        ScoreBool(op == "or", lt, rt)
+    }
+    walk(t)
+  }
+}
+
 /** The QueryEnvironment facade (reference:
   * include/indri/QueryEnvironment.hpp:176-346) over Spark DataFrames.
   *
@@ -1195,7 +1227,8 @@ final class Engine(
                                   groupOp: Option[String],
                                   extentsByDoc: DataFrame,
                                   passage: Option[(Int, Int)],
-                                  k: Int): DataFrame = {
+                                  k: Int,
+                                  tree: Option[ScoreTree] = None): DataFrame = {
     val prep = prepClause(childGroups.flatten)
     val fns = prep.fns
     val termIdx = prep.termIdx
@@ -1229,11 +1262,13 @@ final class Engine(
     val bcIdx = spark.sparkContext.broadcast(termIdx)
     val bcGroupOf = spark.sparkContext.broadcast(groupOf)
     val bcWChild = spark.sparkContext.broadcast(wChild)
+    val bcTree = spark.sparkContext.broadcast(tree)
     val scoreUdf = udf { (tp: Map[String, Seq[Int]], bs: Seq[Int], es: Seq[Int]) =>
       val fs = bcFns.value
       val tIdx = bcIdx.value
       val gOf = bcGroupOf.value
       val wc = bcWChild.value
+      val foldTree = bcTree.value
       bs.indices.map { i =>
         val b = bs(i); val e = es(i)
         val ctx = e - b
@@ -1252,17 +1287,20 @@ final class Engine(
             wc(child) * fs(child).scoreOccurrence(tfByChild(child).toDouble, ctx)
           child += 1
         }
-        val acc =
-          if (nGroups == 1) groupScore(0)
-          else if (isOr) { // OrNode fold
-            var notAny = 1.0; var g = 0
-            while (g < nGroups) { notAny *= (1.0 - math.exp(groupScore(g))); g += 1 }
-            math.log(1.0 - notAny)
-          } else { // CombineNode 1/k fold
-            var s = 0.0; var g = 0
-            while (g < nGroups) { s += groupScore(g) / nGroups; g += 1 }
-            s
-          }
+        val acc = foldTree match {
+          case Some(t) => ScoreTree.fold(t, groupScore)
+          case None =>
+            if (nGroups == 1) groupScore(0)
+            else if (isOr) { // OrNode fold
+              var notAny = 1.0; var g = 0
+              while (g < nGroups) { notAny *= (1.0 - math.exp(groupScore(g))); g += 1 }
+              math.log(1.0 - notAny)
+            } else { // CombineNode 1/k fold
+              var s = 0.0; var g = 0
+              while (g < nGroups) { s += groupScore(g) / nGroups; g += 1 }
+              s
+            }
+        }
         (b, e, acc)
       }
     }
@@ -1386,10 +1424,16 @@ final class Engine(
       q.nexiClauses.exists(_.isInstanceOf[NumericClause])
     nq.inner match {
       case Some(in) =>
-        require(nq.relOf(0).isEmpty && in.relOf(0).isEmpty && !hasNumeric(nq) && !hasNumeric(in),
-          "relative about / numeric predicates inside the two-level CAS form are outside the subset")
+        require(nq.relOf(0).isEmpty && in.relOf(0).isEmpty && !hasNumeric(nq) && !hasNumeric(in)
+          && nq.tree.isEmpty && in.tree.isEmpty,
+          "relative about / numeric predicates / parenthesized nesting inside " +
+          "the two-level CAS form are outside the subset")
         scoreNestedContexts(nq.clauses, nq.op, in.clauses, in.op,
           nexiExtents(nq.path), nexiExtents(in.path), k)
+      case None if nq.tree.isDefined =>
+        // parenthesized clause nesting: leaf beliefs fold via the tree
+        scoreExtentContexts(nq.clauses, None, nexiExtents(nq.path),
+          passage = None, k, tree = Some(ScoreTree.from(nq.tree.get)))
       case None if hasNumeric(nq) =>
         scoreMixedClauses(nq.nexiClauses, nq.op, nexiExtents(nq.path), k)
       case None =>
@@ -1612,8 +1656,41 @@ final class Engine(
       raw.select(col("docId"),
         sort_array(transform(arrays_zip(col("begins"), col("ends")),
           s => struct(s("begins").as("begin"), s("ends").as("end")))).as("ex"))
-    case p => throw new IllegalArgumentException(
-      s"NEXI paths deeper than 2 fields are outside the supported subset: //${p.mkString("//")}")
+    case p =>
+      // //a//b//c…: extents of the LAST field whose ancestor chain
+      // passes the remaining path fields in order, innermost first
+      // (chained NestedExtentInside, reference: nexilang.g:251-270) —
+      // intervening levels are allowed, same as the 2-level descendant
+      val target = p.last
+      val grouped = fieldExtents.groupBy("docId").agg(
+        collect_list(struct(col("field"), col("begin"), col("end"),
+          col("ordinal"), col("parentField"), col("parentOrdinal"))).as("all"))
+      val bcNeed = spark.sparkContext.broadcast(p.dropRight(1).toArray)
+      val chainUdf = udf { (all: Seq[Row]) =>
+        val need = bcNeed.value // outermost first
+        val byKey = all.map(r => (r.getString(0), r.getInt(3)) -> r).toMap
+        all.filter { r =>
+          r.getString(0) == target && {
+            var j = need.length - 1 // innermost required ancestor first
+            var pf = r.getString(4); var po = r.getInt(5)
+            var hops = 0
+            while (pf != null && j >= 0 && hops < 64) {
+              if (pf == need(j)) j -= 1
+              byKey.get((pf, po)) match {
+                case Some(par) => pf = par.getString(4); po = par.getInt(5)
+                case None => pf = null
+              }
+              hops += 1
+            }
+            j < 0
+          }
+        }.map(r => (r.getInt(1), r.getInt(2)))
+      }
+      grouped.select(col("docId"), chainUdf(col("all")).as("be"))
+        .where(size(col("be")) > 0)
+        .select(col("docId"),
+          sort_array(transform(col("be"),
+            s => struct(s("_1").as("begin"), s("_2").as("end")))).as("ex"))
   }
 
   /** Two-level CAS `//a[clause1]//b[clause2]`: every b extent nested in

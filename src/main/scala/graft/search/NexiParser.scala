@@ -34,8 +34,17 @@ package graft.search
   * negative weight in the reference; the subset drops them and
   * documents it). Quoted phrases are split into their terms.
   *
-  * Out of subset (throws): parenthesized clause nesting, relative about
-  * combined with boolean clauses, quantities/dates beyond integers.
+  *  - parenthesized clause nesting: `//f[(c1 or c2) and c3]` → a binary
+  *    and/or ClauseTree over about filters, folded per node (and →
+  *    CombineNode ½+½ mean of logs, or → OrNode; nexilang.g:312-363
+  *    filterParens);
+  *  - paths deeper than 2 fields: `//a//b//c[about(., …)]` → extents of
+  *    the last field whose ancestor chain passes the path fields in
+  *    order (chained NestedExtentInside, nexilang.g:251-270).
+  *
+  * Out of subset (throws): relative about combined with boolean
+  * clauses, numeric/relative leaves inside parenthesized nesting,
+  * quantities/dates beyond integers.
   */
 object NexiParser {
 
@@ -47,13 +56,24 @@ object NexiParser {
     */
   final case class NumericClause(field: String, op: String, value: Long) extends NexiClause
 
+  /** Parenthesized clause nesting (nexilang.g:312-363 — clause :=
+    * filter (logical filter)?; filter := '(' clause ')' | about |
+    * arith): the general form is a binary and/or tree over filters.
+    * An unparenthesized `f1 and f2 and f3` chain folds LEFT-associative
+    * — identical to the `(f1 and f2) and f3` the grammar would force.
+    */
+  sealed trait ClauseTree
+  final case class ClauseLeaf(clause: NexiClause) extends ClauseTree
+  final case class ClauseBool(op: String, left: ClauseTree, right: ClauseTree) extends ClauseTree
+
   /** path = field chain (outermost first; empty = CO query); clauses =
     * the filters (1 or 2, per the grammar); op = the logical connector
     * when two are present; inner = the second `//path[clause]` level
     */
   final case class NexiQuery(path: Seq[String], nexiClauses: Seq[NexiClause],
                              op: Option[String],
-                             inner: Option[NexiQuery] = None) {
+                             inner: Option[NexiQuery] = None,
+                             tree: Option[ClauseTree] = None) {
     def terms: Seq[String] =
       nexiClauses.collect { case AboutClause(_, ts) => ts }.flatten ++
         inner.toSeq.flatMap(_.terms)
@@ -125,21 +145,91 @@ object NexiParser {
     val path = pathStr.split("//").toSeq.map(_.trim).filter(_.nonEmpty)
     require(path.nonEmpty && path.forall(_.matches("[A-Za-z0-9_]+")),
       s"unsupported NEXI path: $pathStr")
-    // split on ONE top-level and/or (the grammar's maximum); the filter
-    // syntaxes contain no and/or tokens, so a word-boundary split is safe
-    val parts = clause.split("(?i)\\b(and|or)\\b").map(_.trim).filter(_.nonEmpty)
-    val connectors = "(?i)\\b(and|or)\\b".r.findAllMatchIn(clause)
-      .map(_.group(1).toLowerCase).toSeq
-    (parts.length, connectors) match {
-      case (1, Seq()) =>
-        NexiQuery(path, Seq(parseFilter(parts(0))), None)
-      case (2, Seq(c)) =>
-        val fs = parts.toSeq.map(parseFilter)
+    parseClauseTree(clause) match {
+      case ClauseLeaf(f) =>
+        NexiQuery(path, Seq(f), None)
+      case ClauseBool(c, ClauseLeaf(f1), ClauseLeaf(f2)) =>
+        // the grammar's single optional connector — the flat form
+        val fs = Seq(f1, f2)
         require(!fs.exists { case AboutClause(Some(_), _) => true; case _ => false },
           s"relative about paths combine only as a sole clause in this subset: $clause")
         NexiQuery(path, fs, Some(c))
-      case _ => throw new IllegalArgumentException(
-        s"unsupported NEXI clause (subset: filter [and|or filter]): $clause")
+      case t =>
+        // parenthesized nesting: leaves in in-order, folded by the tree
+        val leaves = treeLeaves(t)
+        require(leaves.forall {
+          case AboutClause(None, _) => true; case _ => false
+        }, "parenthesized NEXI nesting supports plain about(., terms) " +
+           s"leaves only in this subset: $clause")
+        NexiQuery(path, leaves, None, tree = Some(t))
+    }
+  }
+
+  def treeLeaves(t: ClauseTree): Seq[NexiClause] = t match {
+    case ClauseLeaf(c) => Seq(c)
+    case ClauseBool(_, l, r) => treeLeaves(l) ++ treeLeaves(r)
+  }
+
+  /** split `s` at top-level (paren-depth-0) `and`/`or` word boundaries —
+    * about()'s own parens and nested clause parens raise the depth, so
+    * connectors inside them never split
+    */
+  private def splitTopLevel(s: String): (Seq[String], Seq[String]) = {
+    val parts = Seq.newBuilder[String]
+    val ops = Seq.newBuilder[String]
+    val lower = s.toLowerCase
+    var depth = 0; var start = 0; var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+               (lower.startsWith("and", i) || lower.startsWith("or", i))) {
+        val len = if (lower.startsWith("and", i)) 3 else 2
+        if (i + len >= s.length || !s.charAt(i + len).isLetterOrDigit) {
+          parts += s.substring(start, i).trim
+          ops += lower.substring(i, i + len)
+          n += 1
+          i += len; start = i
+        } else i += 1
+      } else i += 1
+    }
+    parts += s.substring(start).trim
+    (parts.result(), ops.result())
+  }
+
+  /** balanced-outer-paren peel (filterParens, nexilang.g:360-363) */
+  private def peelParens(s0: String): String = {
+    var s = s0.trim
+    while (s.startsWith("(") && s.endsWith(")") && {
+      var depth = 0; var minInner = Int.MaxValue
+      s.substring(1, s.length - 1).foreach {
+        case '(' => depth += 1
+        case ')' => depth -= 1; minInner = math.min(minInner, depth)
+        case _ =>
+      }
+      depth == 0 && (minInner == Int.MaxValue || minInner >= 0)
+    }) s = s.substring(1, s.length - 1).trim
+    s
+  }
+
+  private def parseClauseTree(s0: String): ClauseTree = {
+    val s = peelParens(s0)
+    val (parts, ops) = splitTopLevel(s)
+    if (parts.length == 1) {
+      val p = parts.head
+      if (p != s) parseClauseTree(p)
+      else ClauseLeaf(parseFilter(p))
+    } else {
+      require(parts.forall(_.nonEmpty),
+        s"dangling and/or in NEXI clause: $s0")
+      // left-assoc fold pairing each op with the next part
+      parts.tail.map(parseClauseTree)
+        .zip(ops)
+        .foldLeft(parseClauseTree(parts.head)) {
+          case (acc, (rhs, op)) => ClauseBool(op, acc, rhs)
+        }
     }
   }
 

@@ -257,17 +257,37 @@ class FieldOpsSpec extends AnyFunSuite {
       && mixed.op.contains("and"))
 
     // parser guards: three clauses, deep paths, unknown filter syntax
-    intercept[IllegalArgumentException] {
-      NexiParser.parse("//a[about(., x) and about(., y) and about(., z)]")
-    }
-    intercept[IllegalArgumentException] {
-      eng2.runNexi("//a//b//c[about(., x)]", 5)
-    }
     // filterParens: redundant outer parens peel off
     assert(NexiParser.parse("//a[(about(., x))]") == NexiParser.parse("//a[about(., x)]"))
-    intercept[IllegalArgumentException] { // nested boolean grouping stays out
-      NexiParser.parse("//a[(about(., x) and about(., y)) or about(., z)]")
+
+    // parenthesized clause nesting (round 4): the tree parses and folds
+    // per node — (c or c) and c over identical beliefs s gives
+    // or(s,s)/2 + s/2 with or(s,s) = ln(1 − (1 − e^s)²)
+    val parenQ = NexiParser.parse("//a[(about(., x) and about(., y)) or about(., z)]")
+    assert(parenQ.tree.isDefined && parenQ.clauses == Seq(Seq("x"), Seq("y"), Seq("z")))
+    val parenScores = eng2.runNexi(
+      "//par[(about(., beta) or about(., beta)) and about(., beta)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    single.foreach { case (d, b, _, s) =>
+      val orPart = math.log(1 - math.pow(1 - math.exp(s), 2))
+      assert(math.abs(parenScores((d, b)) - (orPart / 2 + s / 2)) < 1e-9)
     }
+    // unparenthesized 3-filter chain folds left-associative:
+    // (c1 and c2) and c3
+    val chain = NexiParser.parse("//a[about(., x) and about(., y) and about(., z)]")
+    assert(chain.tree.contains(NexiParser.ClauseBool("and",
+      NexiParser.ClauseBool("and",
+        NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq("x"))),
+        NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq("y")))),
+      NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq("z"))))))
+
+    // three-level path (round 4): //sec//par//b walks the ancestor
+    // chain b → par → sec; doc1's gamma-b qualifies, nothing in doc2
+    val deep = eng2.runNexi("//sec//par//b[about(., gamma)]", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(deep == Seq((1L, 2, 3)))
+    // order matters: //par//sec//b requires sec BETWEEN b and par — no match
+    assert(eng2.runNexi("//par//sec//b[about(., gamma)]", 10).count() == 0)
   }
 
   test("shrinkage-smoothed extent scores match the scalar model (JM, non-recursive)") {

@@ -1192,8 +1192,9 @@ object SparkEntry {
     }),
 
     "q_snippets" -> ((s, dir) => {
-      // SnippetBuilder analogue; no SQL oracle (string assembly) →
-      // rows-only driver check; semantics pinned by AuxOpsSpec
+      // SnippetBuilder analogue — fully oracled (round 4): the greedy
+      // region merge runs as a recursive CTE and the highlighted string
+      // assembles in SQL (simple-mode rawTokens == the oracle tokens)
       val docs = corpusDocs(s, dir)
       graft.search.Snippets.build(docs, "#combine(data merge)", cfg.analyzer,
         windowWidth = 12)
@@ -2645,6 +2646,41 @@ object SparkEntry {
     // windowWidth=12) recomputed from token positions via a list_reduce
     // whose accumulator packs (regionStart, count) into one BIGINT;
     // gap arithmetic is shift-invariant so 1-based positions are fine
+    // full snippet strings: greedy region merge (windowWidth 12) via a
+    // recursive CTE carrying the running region start, ±2 context words,
+    // global-match-set highlighting, regions joined by ' ... ' — the
+    // exact SnippetBuilder fold (simple-mode rawTokens are the lowercase
+    // [a-z0-9]+ runs, so the oracle tokens ARE the display surface)
+    "q_snippets" ->
+      s"""${DTok.replaceFirst("WITH", "WITH RECURSIVE")}, m AS (
+         |  SELECT doc_id, pos - 1 AS p,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |  FROM tok WHERE term IN ('data','merge')
+         |), walk AS (
+         |  SELECT doc_id, rn, p, p AS rb, 1 AS rid FROM m WHERE rn = 1
+         |  UNION ALL
+         |  SELECT m.doc_id, m.rn, m.p,
+         |    CASE WHEN m.p + 1 - w.rb > 12 THEN m.p ELSE w.rb END AS rb,
+         |    CASE WHEN m.p + 1 - w.rb > 12 THEN w.rid + 1 ELSE w.rid END AS rid
+         |  FROM walk w JOIN m ON m.doc_id = w.doc_id AND m.rn = w.rn + 1
+         |), reg AS (
+         |  SELECT doc_id, rid, min(rb) AS rb, max(p) + 1 AS re
+         |  FROM walk GROUP BY doc_id, rid
+         |), ms AS (
+         |  SELECT doc_id, list(p) AS mlist FROM m GROUP BY doc_id
+         |), snip AS (
+         |  SELECT r.doc_id, r.rid,
+         |    array_to_string(
+         |      list_transform(range(greatest(r.rb - 2, 0), least(r.re + 2, dl.doclen)),
+         |        i -> CASE WHEN list_contains(ms.mlist, i)
+         |             THEN '<b>' || d.toks[i + 1] || '</b>' ELSE d.toks[i + 1] END),
+         |      ' ') AS s
+         |  FROM reg r JOIN dl ON dl.doc_id = r.doc_id JOIN d ON d.doc_id = r.doc_id
+         |  JOIN ms ON ms.doc_id = r.doc_id
+         |)
+         |SELECT doc_id, string_agg(s, ' ... ' ORDER BY rid) AS snippet
+         |FROM snip GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_snippet_stats" ->
       s"""$DTok, m AS (
          |  SELECT doc_id, list_sort(list(pos)) AS ms FROM tok

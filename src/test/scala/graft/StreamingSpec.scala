@@ -118,6 +118,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(IncrementalIndexer.open(spark, dir, cfg).doclens.count() == afterCrash.doclens.count())
   }
 
+  test("deletes spanning generations + compactDeletes == fresh build of survivors") {
+    // round-4 integration: deletions issued against a GENERATIONAL
+    // (IncrementalIndexer) store, one victim per generation, then
+    // delete-compaction — must equal a fresh batch build of the
+    // survivors bit-exactly (CompactSpec covers the single-build case)
+    val dir = Files.tmp("inc-del")
+    val docs = allDocs.toDF("docId", "content")
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(1L, 2L, 3L)), 0L, dir, cfg)
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(4L, 5L, 6L)), 1L, dir, cfg)
+
+    val eng = new Engine(spark, IncrementalIndexer.open(spark, dir, cfg),
+      cfg.analyzer, ScoringRule(method = "okapi"))
+    eng.deleteDocuments(Seq(2L, 5L).toDF("docId")) // one per generation
+    val trimmed = eng.compacted(cfg)
+
+    val survivors = allDocs.filterNot(d => d._1 == 2L || d._1 == 5L)
+    val fresh = new Engine(spark,
+      IndexBuilder.build(survivors.toDF("docId", "content"), cfg),
+      cfg.analyzer, ScoringRule(method = "okapi"))
+
+    assert(trimmed.index.stats == fresh.index.stats)
+    assert(trimmed.index.dictionary.select("term", "df", "ctf")
+      .exceptAll(fresh.index.dictionary.select("term", "df", "ctf")).count() == 0)
+    assert(fresh.index.dictionary.select("term", "df", "ctf")
+      .exceptAll(trimmed.index.dictionary.select("term", "df", "ctf")).count() == 0)
+    val rT = trimmed.runQuery("#combine(alpha beta)", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rF = fresh.runQuery("#combine(alpha beta)", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rT == rF && rT.nonEmpty) // bit-exact scores over survivors
+    assert(!rT.exists(r => r._1 == 2L || r._1 == 5L))
+  }
+
   test("streaming exact-dedup (flatMapGroupsWithState) matches batch exactDedup") {
     import graft.pipeline.TextPipeline
     import graft.streaming.StreamDedup

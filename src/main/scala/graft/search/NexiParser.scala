@@ -48,9 +48,27 @@ package graft.search
   */
 object NexiParser {
 
+  /** Term leaf of an about() term list (reference: nexilang.g:439-454
+    * term := unrestrictedTerm | PLUS unrestrictedTerm | MINUS
+    * unrestrictedTerm; nexilang.g:456-480 unrestrictedTerm := rawText |
+    * DBL_QUOTE odNode DBL_QUOTE): a quoted phrase is an ODNode (exact
+    * adjacency) and a `-` term wraps in a NotNode — `+` is the identity
+    * (the reference builds the same node for both branches).
+    */
+  sealed trait NexiTerm
+  final case class PlainTerm(t: String) extends NexiTerm
+  final case class PhraseTerm(ts: Seq[String]) extends NexiTerm
+  final case class NotTerm(inner: NexiTerm) extends NexiTerm
+
   sealed trait NexiClause
   /** `about(., terms)` or `about(.//rel, terms)` */
-  final case class AboutClause(rel: Option[String], terms: Seq[String]) extends NexiClause
+  final case class AboutClause(rel: Option[String], leaves: Seq[NexiTerm]) extends NexiClause {
+    /** plain positive terms (the legacy string surface; structured
+      * leaves are invisible here — paths that only support plain terms
+      * gate on [[NexiQuery.hasStructuredLeaves]])
+      */
+    def terms: Seq[String] = leaves.collect { case PlainTerm(t) => t }
+  }
   /** `.//field op value` — op ∈ less|greater|equals with the reference's
     * inclusive rewrites already applied (<= n → less n+1, >= n → greater n−1)
     */
@@ -75,11 +93,19 @@ object NexiParser {
                              inner: Option[NexiQuery] = None,
                              tree: Option[ClauseTree] = None) {
     def terms: Seq[String] =
-      nexiClauses.collect { case AboutClause(_, ts) => ts }.flatten ++
+      nexiClauses.collect { case a: AboutClause => a.terms }.flatten ++
         inner.toSeq.flatMap(_.terms)
-    /** term lists of the about clauses (legacy surface for tests) */
+    /** plain term lists of the about clauses (legacy surface for tests) */
     def clauses: Seq[Seq[String]] =
-      nexiClauses.collect { case AboutClause(_, ts) => ts }
+      nexiClauses.collect { case a: AboutClause => a.terms }
+    /** full leaf lists (phrases / negations included) */
+    def leafGroups: Seq[Seq[NexiTerm]] =
+      nexiClauses.collect { case AboutClause(_, ls) => ls }
+    /** any phrase or negated leaf present (incl. the inner level)? */
+    def hasStructuredLeaves: Boolean =
+      (nexiClauses.collect { case AboutClause(_, ls) => ls }.flatten ++
+        inner.toSeq.flatMap(_.nexiClauses.collect { case AboutClause(_, ls) => ls }.flatten))
+        .exists(!_.isInstanceOf[PlainTerm])
     def relOf(i: Int): Option[String] = nexiClauses.lift(i) match {
       case Some(AboutClause(rel, _)) => rel
       case _ => None
@@ -233,9 +259,23 @@ object NexiParser {
     }
   }
 
-  private def termList(s: String): Seq[String] =
-    s.replace("\"", " ").trim.split("\\s+").toSeq.filter(_.nonEmpty)
-      .filterNot(_.startsWith("-"))           // negated terms dropped
-      .map(t => if (t.startsWith("+")) t.substring(1) else t)
-      .filter(_.nonEmpty)
+  /** structured term list: `+t` = t, `-t`/`-"a b"` → NotTerm,
+    * `"a b"` → PhraseTerm (single-word quotes collapse to PlainTerm)
+    */
+  private val LeafRe = """([+-]?)(?:"([^"]*)"|(\S+))""".r
+
+  private def termList(s: String): Seq[NexiTerm] =
+    LeafRe.findAllMatchIn(s.trim).flatMap { m =>
+      val sign = m.group(1)
+      val inner: Option[NexiTerm] = Option(m.group(2)) match {
+        case Some(q) => // quoted phrase
+          val ws = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          if (ws.isEmpty) None
+          else if (ws.size == 1) Some(PlainTerm(ws.head))
+          else Some(PhraseTerm(ws))
+        case None =>
+          Some(m.group(3)).filter(_.nonEmpty).map(PlainTerm)
+      }
+      if (sign == "-") inner.map(NotTerm) else inner
+    }.toSeq
 }

@@ -189,12 +189,18 @@ class FieldOpsSpec extends AnyFunSuite {
     val er = eng.runExtentQuery("#combine[title](merge sort)", 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
     assert(nexi == er)
-    // CO == #combine (document ranking); +prefix stripped, -term dropped
+    // CO == #combine (document ranking); +prefix stripped, -term →
+    // NotNode, quoted phrase → ODNode (round 4; nexilang.g:439-480)
     val co = eng.runNexi("+merge sort -body", 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val comb = eng.runQuery("#combine(merge sort)", 10)
+    val comb = eng.runQuery("#combine(merge sort #not(body))", 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(co == comb)
+    val coPhrase = eng.runNexi("\"merge sort\" body", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val combPhrase = eng.runQuery("#combine(#od1(merge sort) body)", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(coPhrase == combPhrase)
 
     // nested path //sec//par: par extents inside a sec ancestor
     val rows = Seq(
@@ -277,9 +283,9 @@ class FieldOpsSpec extends AnyFunSuite {
     val chain = NexiParser.parse("//a[about(., x) and about(., y) and about(., z)]")
     assert(chain.tree.contains(NexiParser.ClauseBool("and",
       NexiParser.ClauseBool("and",
-        NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq("x"))),
-        NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq("y")))),
-      NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq("z"))))))
+        NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq(NexiParser.PlainTerm("x")))),
+        NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq(NexiParser.PlainTerm("y"))))),
+      NexiParser.ClauseLeaf(NexiParser.AboutClause(None, Seq(NexiParser.PlainTerm("z")))))))
 
     // three-level path (round 4): //sec//par//b walks the ancestor
     // chain b → par → sec; doc1's gamma-b qualifies, nothing in doc2
@@ -288,6 +294,63 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(deep == Seq((1L, 2, 3)))
     // order matters: //par//sec//b requires sec BETWEEN b and par — no match
     assert(eng2.runNexi("//par//sec//b[about(., gamma)]", 10).count() == 0)
+  }
+
+  test("NEXI phrase and negated leaves inside about() (round 4)") {
+    import graft.search.NexiParser
+    // same two-doc field corpus as the CAS tests:
+    // doc1 tokens alpha beta gamma delta eps tail, par extents [1,4) [5,6)
+    // doc2 tokens solo beta plain, par extent [0,2)
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps</sec> <par>tail</par>"),
+      (2L, "<par>solo beta</par> <sec>plain</sec>")
+    ).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par"), FieldSpec("b")))
+    val idx2 = IndexBuilder.build(rows, cfg2)
+    val eng2 = new Engine(spark, idx2, cfg2.analyzer, ScoringRule(method = "dirichlet"))
+    val tt = eng2.termCount().toDouble
+
+    // leaf parsing: quoted → PhraseTerm, -x → NotTerm, -"a b" → Not(Phrase)
+    val pq = NexiParser.parse("""//par[about(., "beta gamma" -delta +eps -"a b")]""")
+    assert(pq.leafGroups == Seq(Seq(
+      NexiParser.PhraseTerm(Seq("beta", "gamma")),
+      NexiParser.NotTerm(NexiParser.PlainTerm("delta")),
+      NexiParser.PlainTerm("eps"),
+      NexiParser.NotTerm(NexiParser.PhraseTerm(Seq("a", "b"))))))
+    assert(pq.clauses == Seq(Seq("eps"))) // legacy plain surface
+
+    // phrase leaf: "beta gamma" matches doc1 at begin 1 (len 2) —
+    // contained in par [1,4), NOT in [5,6); doc2 has no adjacency so it
+    // is no candidate. Window stats: ctf=1, df=1.
+    val ph = eng2.runNexi("""//par[about(., "beta gamma")]""", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    assert(ph.keySet == Set((1L, 1), (1L, 5)))
+    val cfP = 1.0 / tt
+    assert(math.abs(ph((1L, 1)) - math.log((1 + 2500.0 * cfP) / (3 + 2500.0))) < 1e-9)
+    assert(math.abs(ph((1L, 5)) - math.log((0 + 2500.0 * cfP) / (1 + 2500.0))) < 1e-9)
+
+    // negated leaf: ½ln(p_beta) + ½ln(1 − p_gamma) per extent; doc2's
+    // par [0,2) has beta but no gamma — its Not belief is near 0
+    val ng = eng2.runNexi("//par[about(., beta -gamma)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    val cfB = eng2.termCount("beta") / tt
+    val cfG = eng2.termCount("gamma") / tt
+    def pDir(tf: Int, ctx: Int, cf: Double) = (tf + 2500.0 * cf) / (ctx + 2500.0)
+    assert(math.abs(ng((1L, 1)) -
+      (0.5 * math.log(pDir(1, 3, cfB)) + 0.5 * math.log1p(-pDir(1, 3, cfG)))) < 1e-9)
+    assert(math.abs(ng((2L, 0)) -
+      (0.5 * math.log(pDir(1, 2, cfB)) + 0.5 * math.log1p(-pDir(0, 2, cfG)))) < 1e-9)
+
+    // a phrase with an OOV constituent cannot match anywhere: zero-stat
+    // child, cf-guarded — still deterministic, no crash
+    val oov = eng2.runNexi("""//par[about(., beta "beta zzzmissing")]""", 10)
+    assert(oov.count() > 0)
+
+    // structured leaves stay gated outside the plain/tree CAS paths
+    intercept[IllegalArgumentException] {
+      eng2.runNexi("""//sec[about(., "beta gamma")]//par[about(., beta)]""", 10)
+    }
   }
 
   test("shrinkage-smoothed extent scores match the scalar model (JM, non-recursive)") {

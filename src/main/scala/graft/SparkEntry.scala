@@ -1,11 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.index.{FieldAnnotators, IndexBuilder, IndexConfig}
-import graft.pipeline.{Similarity, TextPipeline}
+import graft.pipeline.{HarvestLinks, Similarity, TextPipeline}
 import graft.search.{Engine, QueryParser, ScoringRule}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -85,6 +85,99 @@ object SparkEntry {
 
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id").as("docId"), col("text").as("content"))
+
+  /** page url of doc `c` in the harvestlinks web fixture */
+  private def urlOf(c: Column): Column =
+    concat(lit("http://site"), (c % 7).cast("string"), lit(".test/doc"), c.cast("string"))
+
+  /** Deterministic HTML-ish web corpus over documents — the
+    * harvestlinks fixture (reference: harvestlinks/harvestlinks.cpp,
+    * src/AnchorTextHarvester.cpp). Four markup links per page: two
+    * in-corpus links with anchor text (the second often redirect-mapped),
+    * one in-corpus link with a WHITESPACE-ONLY anchor (must drop —
+    * AnchorTextHarvester.cpp:134 requires ≥1 anchor term), and one
+    * off-corpus external link (drops at resolution). Pure column
+    * expressions so DuckDB rebuilds the identical html strings.
+    */
+  private def webDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val n = docs.agg((max(col("doc_id")) + 1).as("__n"))
+    val d1 = (col("doc_id") * 7 + 1) % col("__n")
+    val d2 = (col("doc_id") * 13 + 3) % col("__n")
+    val d3 = (col("doc_id") + 17) % col("__n")
+    docs.crossJoin(broadcast(n)).select(col("doc_id"),
+      urlOf(col("doc_id")).as("url"),
+      concat(
+        lit("<p>"), col("lang"), lit(" page</p><a href=\""), urlOf(d1),
+        lit("\">jump doc "), d1.cast("string"),
+        lit("</a><i>x</i><a href=\""), urlOf(d2),
+        lit("\">see also "), d2.cast("string"), lit(" page</a><a href=\""),
+        urlOf(d3), lit("\"> </a><a href=\"http://external.test/page"),
+        (col("doc_id") % 5).cast("string"), lit("\">offsite ref</a>")).as("html"))
+  }
+
+  /** redirect map for the web fixture: every page with doc_id%5==2
+    * redirects to the next page (single-hop conflation target set)
+    */
+  private def webRedirects(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val n = docs.agg((max(col("doc_id")) + 1).as("__n"))
+    docs.crossJoin(broadcast(n)).where(col("doc_id") % 5 === 2)
+      .select(urlOf(col("doc_id")).as("from_url"),
+        urlOf((col("doc_id") + 1) % col("__n")).as("to_url"))
+  }
+
+  /** DuckDB mirror of [[webDocs]]/[[webRedirects]] + harvest/conflate/
+    * resolve: `lc` = conflated link table, `lr` = in-corpus resolved
+    * edges. generate_subscripts is 1-based (Spark posexplode is 0-based)
+    * hence the `- 1`; the two regexp_extract_all lists zip positionally.
+    */
+  private val WebCte = {
+    def u(e: String) = s"'http://site' || (($e) % 7) || '.test/doc' || ($e)"
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, ${u("doc_id")} AS url,
+       |    '<p>' || lang || ' page</p><a href="' || ${u("(doc_id*7+1) % n")} ||
+       |    '">jump doc ' || ((doc_id*7+1) % n) ||
+       |    '</a><i>x</i><a href="' || ${u("(doc_id*13+3) % n")} ||
+       |    '">see also ' || ((doc_id*13+3) % n) || ' page</a><a href="' ||
+       |    ${u("(doc_id+17) % n")} ||
+       |    '"> </a><a href="http://external.test/page' || (doc_id % 5) ||
+       |    '">offsite ref</a>' AS html
+       |  FROM documents, nn
+       |),
+       |x AS (
+       |  SELECT doc_id, url,
+       |    regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1) AS hs,
+       |    regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 2) AS an
+       |  FROM w
+       |),
+       |lraw AS (
+       |  SELECT doc_id AS src_doc, url AS src_url,
+       |    generate_subscripts(hs, 1) - 1 AS link_ord,
+       |    unnest(hs) AS dst_url0, unnest(an) AS anchor0
+       |  FROM x
+       |),
+       |l AS (
+       |  SELECT src_doc, src_url, link_ord, dst_url0 AS dst_url,
+       |    array_to_string(regexp_extract_all(lower(anchor0), '[a-z0-9]+'), ' ') AS anchor
+       |  FROM lraw
+       |  WHERE len(regexp_extract_all(lower(anchor0), '[a-z0-9]+')) > 0
+       |),
+       |rd AS (
+       |  SELECT ${u("doc_id")} AS from_url, ${u("(doc_id+1) % n")} AS to_url
+       |  FROM documents, nn WHERE doc_id % 5 = 2
+       |),
+       |lc AS (
+       |  SELECT l.src_doc, l.src_url, l.link_ord,
+       |    coalesce(rd.to_url, l.dst_url) AS dst_url, l.anchor
+       |  FROM l LEFT JOIN rd ON l.dst_url = rd.from_url
+       |),
+       |lr AS (
+       |  SELECT lc.*, w2.doc_id AS dst_doc
+       |  FROM lc JOIN w w2 ON lc.dst_url = w2.url
+       |)""".stripMargin
+  }
 
   private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 256, numBuckets = 8)
 
@@ -857,6 +950,35 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_nexi_phrase" -> ((s, dir) => {
+      // phrase leaf //head[about(., "data merge" window)]: the quoted
+      // phrase is an exact-adjacency ODNode scored as an occurrence
+      // belief in the head context with the WINDOW's collection stats
+      // (nexilang.g:456-480 DBL_QUOTE odNode → NestedRawScorerNode);
+      // folds with the plain term at 1/2 weights
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi("//head[about(., \"data merge\" window)]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_nexi_not" -> ((s, dir) => {
+      // negated leaf //head[about(., data -slow)]: the `-` term wraps
+      // in a NotNode — belief ln(1 − exp(s_slow)) — and folds with the
+      // positive term at 1/2 weights (nexilang.g:439-454 MINUS branch;
+      // src/NotNode.cpp:53)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi("//head[about(., data -slow)]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_rel" -> ((s, dir) => {
       // relative about //head[about(.//lead, query)]: each head extent
       // takes the MAX over its nested lead extents of the lead-context
@@ -1210,6 +1332,46 @@ object SparkEntry {
         .where(col("src") =!= col("dst")).distinct()
       val nodes = s.range(0, 20).toDF("id")
       graft.pipeline.PageRank.compute(nodes, edges)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
+
+    "q_harvestlinks" -> ((s, dir) => {
+      // harvestlinks link harvest + redirect conflation (reference:
+      // src/AnchorTextHarvester.cpp:118-176): whitespace-only anchors
+      // drop, ordinals survive the drop, off-corpus targets stay in the
+      // raw link table (resolution is q_anchor_text's step)
+      HarvestLinks.conflate(
+          HarvestLinks.harvest(webDocs(s, dir)), webRedirects(s, dir))
+        .select(col("src_doc"), col("link_ord").cast(LongType).as("link_ord"),
+          col("dst_url"), col("anchor"))
+        .orderBy("src_doc", "link_ord")
+    }),
+
+    "q_anchor_text" -> ((s, dir) => {
+      // resolve in-corpus targets and aggregate per-target anchor text
+      // (the AnchorTextAnnotator input record, src/AnchorTextAnnotator
+      // .cpp:56-77); external targets drop at the docno join
+      val web = webDocs(s, dir)
+      val resolved = HarvestLinks.resolve(
+        HarvestLinks.conflate(HarvestLinks.harvest(web), webRedirects(s, dir)),
+        web.select(col("url"), col("doc_id")))
+      HarvestLinks.anchorText(resolved)
+        .select(col("dst_doc"), col("n_inlinks"), col("anchors"))
+        .orderBy("dst_doc")
+    }),
+
+    "q_pagerank_harvest" -> ((s, dir) => {
+      // the full harvestlinks → pagerank chain: harvested + conflated +
+      // resolved in-corpus edges feed PageRank (c=0.7, 10 iters) over
+      // the whole page universe
+      val web = webDocs(s, dir)
+      val resolved = HarvestLinks.resolve(
+        HarvestLinks.conflate(HarvestLinks.harvest(web), webRedirects(s, dir)),
+        web.select(col("url"), col("doc_id")))
+      val edges = resolved.select(col("src_doc").as("src"), col("dst_doc").as("dst"))
+        .distinct()
+      graft.pipeline.PageRank.compute(web.select(col("doc_id")), edges)
         .select(col("id"), round(col("pr"), 6).as("pr"))
         .orderBy("id")
     }),
@@ -1862,6 +2024,61 @@ object SparkEntry {
          |CROSS JOIN st CROSS JOIN cf
          |ORDER BY c.doc_id, "begin"""".stripMargin,
 
+    // phrase leaf: the "data merge" adjacency matches play the tf role
+    // — a phrase start at 1-based pos p is contained in the head extent
+    // [0, min(10, doclen)) iff p+1 ≤ 10 (p+1 ≤ doclen holds because the
+    // second word exists) — with the WINDOW's collection stats; ½ + ½
+    // fold with the plain 'window' child exactly as the engine computes
+    "q_nexi_phrase" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), ph AS (
+         |  SELECT a.doc_id, a.pos FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'data' AND b.term = 'merge'
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM ph) AS cp,
+         |         (SELECT count(*) FROM tok WHERE term = 'window') AS cw
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term = 'window'
+         |  UNION
+         |  SELECT DISTINCT doc_id FROM ph
+         |), tfe AS (
+         |  SELECT c.doc_id,
+         |    (SELECT count(*) FROM ph WHERE ph.doc_id = c.doc_id AND ph.pos + 1 <= 10) AS tfp,
+         |    (SELECT count(*) FROM tok t WHERE t.doc_id = c.doc_id
+         |       AND t.term = 'window' AND t.pos <= 10) AS tfw
+         |  FROM cand c
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round(0.5 * ln((t.tfp + 2500.0 * cf.cp / st.tt) / (least(10, dl.doclen) + 2500.0))
+         |      + 0.5 * ln((t.tfw + 2500.0 * cf.cw / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    // negated leaf: NotNode belief ln(1 − p_slow) where p_slow is the
+    // dirichlet probability of 'slow' in the head context
+    // (src/NotNode.cpp:53); candidates = docs with EITHER term
+    "q_nexi_not" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'slow') AS cs
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data', 'slow')
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS tfd,
+         |    count(*) FILTER (WHERE term = 'slow' AND pos <= 10) AS tfs
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round(0.5 * ln((t.tfd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0))
+         |      + 0.5 * ln(1.0 - exp(ln((t.tfs + 2500.0 * cf.cs / st.tt) / (least(10, dl.doclen) + 2500.0)))), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
+
     // relative about: head extents score max over nested lead extents
     // (exactly one per doc) of ln(d(query|lead)); candidates = docs
     // containing 'query' (the clause's only live term)
@@ -2459,6 +2676,38 @@ object SparkEntry {
          |), pr0 AS (
          |  SELECT id, 0.015 AS pr FROM n
          |),
+         |$prs
+         |SELECT id, round(pr, 6) AS pr FROM pr10 ORDER BY id""".stripMargin
+    },
+
+    "q_harvestlinks" ->
+      s"""$WebCte
+         |SELECT src_doc, link_ord::BIGINT AS link_ord, dst_url, anchor
+         |FROM lc ORDER BY src_doc, link_ord""".stripMargin,
+
+    "q_anchor_text" ->
+      s"""$WebCte
+         |SELECT dst_doc, count(*)::BIGINT AS n_inlinks,
+         |  string_agg(anchor, ' ' ORDER BY src_doc, link_ord) AS anchors
+         |FROM lr GROUP BY dst_doc ORDER BY dst_doc""".stripMargin,
+
+    "q_pagerank_harvest" -> {
+      val base = "(SELECT 0.3 / count(*) FROM documents)"
+      val prs = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT nd.id, 0.7 * coalesce(s.acc, 0) + $base AS pr
+           |  FROM nd LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.pr / od.outdeg) AS acc
+           |    FROM e JOIN od USING(src) JOIN pr${i - 1} p ON p.id = e.src
+           |    GROUP BY e.dst
+           |  ) s ON s.id = nd.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$WebCte,
+         |e AS (SELECT DISTINCT src_doc AS src, dst_doc AS dst FROM lr),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nd AS (SELECT doc_id AS id FROM documents),
+         |pr0 AS (SELECT id, $base AS pr FROM nd),
          |$prs
          |SELECT id, round(pr, 6) AS pr FROM pr10 ORDER BY id""".stripMargin
     },

@@ -218,36 +218,43 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     // ---- phase 1: driver-contract queries on the sf tables ----
-    val spark = session(cpus)
-    // untimed session warmup (parquet footers, broadcast machinery,
-    // codegen infra) — without it the alphabetically-FIRST query absorbs
-    // all session init (measured ~6s of q_ann_brute's round-2 7.1s)
-    locally {
-      import org.apache.spark.sql.functions.broadcast
-      val d = spark.read.parquet(s"$sfDir/documents.parquet")
-      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      d.count(); e.count()
-      d.limit(5).crossJoin(broadcast(e.limit(2))).count()
-    }
-    // per-query paired-median protocol (round 4, mirroring the scaling
-    // phases): R reps per query, the headline number is the MEDIAN and
-    // every rep is embedded. The first rep of the first query touching
-    // each cached index absorbs the one-time build — the median reports
-    // the steady-state query cost (build throughput is phase 2's metric).
-    val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    // SPARK_GRAFT_PHASE1=0 skips it — for dedicated large-scale
+    // throughput runs where the per-query surface isn't the subject
     def medianD(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to qReps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Double, Seq[Double])] =
+      if (sys.env.getOrElse("SPARK_GRAFT_PHASE1", "1") != "1") Seq.empty
+      else {
+        val spark = session(cpus)
+        // untimed session warmup (parquet footers, broadcast machinery,
+        // codegen infra) — without it the alphabetically-FIRST query absorbs
+        // all session init (measured ~6s of q_ann_brute's round-2 7.1s)
+        locally {
+          import org.apache.spark.sql.functions.broadcast
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          d.count(); e.count()
+          d.limit(5).crossJoin(broadcast(e.limit(2))).count()
+        }
+        // per-query paired-median protocol (round 4, mirroring the scaling
+        // phases): R reps per query, the headline number is the MEDIAN and
+        // every rep is embedded. The first rep of the first query touching
+        // each cached index absorbs the one-time build — the median reports
+        // the steady-state query cost (build throughput is phase 2's metric).
+        val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val times = (1 to qReps).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }
+          (name, medianD(times), times)
+        }
+        spark.stop()
+        rs
       }
-      (name, medianD(times), times)
-    }
-    spark.stop()
 
     // ---- phases 2-4: engine build/query throughput + scaling ----
     // protocol: untimed warmup (driver JIT/codegen), then N executors
@@ -286,9 +293,14 @@ object Bench {
              |"reps":$repsJson}"""
             .stripMargin.replace("\n", ""))
       } else {
-        val (bh, qh, p) = (1 to reps).map(_ => engineBench(execs4N, nDocs))
-          .reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2), a._3))
-        (bh, qh, p, "")
+        // no-scaling throughput run: same rep-median protocol — the
+        // headline build/query numbers are MEDIANS and every rep embeds
+        val rs = (1 to reps).map(_ => engineBench(execs4N, nDocs))
+        val repsJson = rs.map { case (b, q, _) =>
+          s"""{"build_docs_per_sec":$b,"query_qps":$q}"""
+        }.mkString("[", ",", "]")
+        (median(rs.map(_._1)), median(rs.map(_._2)), rs.head._3,
+          s""","throughput":{"executors":$execs4N,"cores_per_executor":4,"reps":$repsJson}""")
       }
 
     // ---- optional: N-vs-4N CORES in one executor JVM (unsaturated
@@ -374,6 +386,50 @@ object Bench {
         } finally sk.stop()
       } else ""
 
+    // ---- optional: dedup/pipeline family at larger scale ----
+    // SPARK_GRAFT_PIPELINE_DOCS=N synthesizes an N-doc text corpus and
+    // times the pretraining-pipeline hot path (exact dedup, minhash+LSH
+    // pairs, exact-substring repeats, token counts) with the same
+    // rep-median protocol — the "does the dedup family survive 10×"
+    // evidence the sf tables are too small for.
+    val pipelineJson =
+      sys.env.get("SPARK_GRAFT_PIPELINE_DOCS").map(_.toInt).filter(_ > 0).map { pDocs =>
+        val sp = session(cpus)
+        try {
+          import org.apache.spark.sql.functions.{col, xxhash64}
+          import graft.pipeline.TextPipeline
+          val corpus = CorpusSynthesizer.corpus(sp, pDocs)
+            .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+              col("content").as("text"))
+            .persist()
+          corpus.count() // materialize the input untimed
+          val ops: Seq[(String, () => Long)] = Seq(
+            "exact_dedup" -> (() =>
+              TextPipeline.exactDedup(corpus, "doc_id", "text").count()),
+            "minhash_lsh_pairs" -> (() =>
+              TextPipeline.minhashLshPairs(corpus, "doc_id", "text",
+                numHashes = 4, bands = 2).count()),
+            "repeated_spans" -> (() =>
+              TextPipeline.repeatedSpans(corpus, "doc_id", "text", k = 8).count()),
+            "token_counts" -> (() =>
+              TextPipeline.tokenCounts(corpus, "doc_id", "text").count()))
+          val entries = ops.map { case (nm, f) =>
+            f() // untimed JIT/codegen warmup rep
+            val ts = (1 to reps).map { _ =>
+              val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+            }
+            (nm, medianD(ts), ts)
+          }
+          corpus.unpersist()
+          val medsJson = entries.map { case (nm, m, _) => s""""${nm}_sec":$m""" }
+            .mkString(",")
+          val repsJson = entries.map { case (nm, _, ts) =>
+            s""""$nm":${ts.mkString("[", ",", "]")}"""
+          }.mkString("{", ",", "}")
+          s""","pipeline_scale":{"docs":$pDocs,$medsJson,"reps":$repsJson}"""
+        } finally sp.stop()
+      }.getOrElse("")
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qr = results.map { case (k, _, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
@@ -383,6 +439,6 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_reps":$qr,"sf":"$sfDir",""" +
       s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
       s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
-      scalingJson + coresScalingJson + skewJson + "}")
+      scalingJson + coresScalingJson + skewJson + pipelineJson + "}")
   }
 }

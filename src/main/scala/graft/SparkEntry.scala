@@ -992,6 +992,22 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_nexi_rel_bool" -> ((s, dir) => {
+      // boolean clause with a relative filter (round 4):
+      // //head[about(.//lead, query) and about(., data)] — the lead
+      // MaxNode belief (one lead extent per doc, always inside head)
+      // folds 1/2 + 1/2 with the head-context about belief
+      // (nexilang.g:312-334 clause := filter (logical filter)? with the
+      // :370-390 aboutClause path branch as a filter)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi("//head[about(.//lead, query) and about(., data)]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_nested" -> ((s, dir) => {
       // two-level CAS //head[about(., data merge)]//lead[about(., query)]:
       // each lead extent nested in a head extent scores
@@ -2094,6 +2110,31 @@ object SparkEntry {
          |)
          |SELECT t.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
          |  round(1.0 * ln((t.lq + 2500.0 * cf.cq / st.tt) / (least(4, dl.doclen) + 2500.0)), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    // boolean clause with a relative filter: per head extent,
+    // ½·[max over contained lead extents of ln(d(query|lead))] +
+    // ½·ln(d(data|head)); every doc has exactly one lead inside head,
+    // so the MaxNode is that single lead belief; candidates = docs
+    // with EITHER term
+    "q_nexi_rel_bool" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'query') AS cq,
+         |         (SELECT count(*) FROM tok WHERE term = 'data') AS cd
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('query', 'data')
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'query' AND pos <= 4) AS lq,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS hd
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round(0.5 * ln((t.lq + 2500.0 * cf.cq / st.tt) / (least(4, dl.doclen) + 2500.0))
+         |      + 0.5 * ln((t.hd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
 

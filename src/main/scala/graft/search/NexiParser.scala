@@ -175,11 +175,10 @@ object NexiParser {
       case ClauseLeaf(f) =>
         NexiQuery(path, Seq(f), None)
       case ClauseBool(c, ClauseLeaf(f1), ClauseLeaf(f2)) =>
-        // the grammar's single optional connector — the flat form
-        val fs = Seq(f1, f2)
-        require(!fs.exists { case AboutClause(Some(_), _) => true; case _ => false },
-          s"relative about paths combine only as a sole clause in this subset: $clause")
-        NexiQuery(path, fs, Some(c))
+        // the grammar's single optional connector — the flat form;
+        // relative abouts are allowed as either filter (round 4:
+        // nexilang.g:312-334 puts no restriction on the filter kinds)
+        NexiQuery(path, Seq(f1, f2), Some(c))
       case t =>
         // parenthesized nesting: leaves in in-order, folded by the tree
         val leaves = treeLeaves(t)

@@ -347,10 +347,41 @@ class FieldOpsSpec extends AnyFunSuite {
     val oov = eng2.runNexi("""//par[about(., beta "beta zzzmissing")]""", 10)
     assert(oov.count() > 0)
 
-    // structured leaves stay gated outside the plain/tree CAS paths
-    intercept[IllegalArgumentException] {
-      eng2.runNexi("""//sec[about(., "beta gamma")]//par[about(., beta)]""", 10)
-    }
+    // structured leaves inside the two-level CAS form: the outer phrase
+    // scores over the sec extent [0,5), the inner plain term over the
+    // nested par [1,4); doc2's par is not inside its sec — no pair
+    val nested = eng2.runNexi(
+      """//sec[about(., "beta gamma")]//par[about(., beta)]""", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(nested.map(t => (t._1, t._2, t._3)) == Seq((1L, 1, 4)))
+    val wantNested = math.log((1 + 2500.0 * cfP) / (5 + 2500.0)) +
+      math.log((1 + 2500.0 * cfB) / (3 + 2500.0))
+    assert(math.abs(nested.head._4 - wantNested) < 1e-9)
+
+    // negated leaf through the relative-about path: each sec extent
+    // takes the max over nested par extents of ½ln(p_beta)+½ln(1−p_gamma)
+    val relNeg = eng2.runNexi("//sec[about(.//par, beta -gamma)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    assert(math.abs(relNeg((1L, 0)) -
+      (0.5 * math.log(pDir(1, 3, cfB)) + 0.5 * math.log1p(-pDir(1, 3, cfG)))) < 1e-9)
+
+    // relative about combined with a boolean (round 4): per sec extent,
+    // ½·[max over contained par of ln(p_beta|par)] + ½·ln(p_alpha|sec).
+    // doc2's sec [2,3) contains no par — under `and` the extent drops,
+    // under `or` the surviving plain branch scores alone (noisy-or of 1)
+    val cfA = eng2.termCount("alpha") / tt
+    val relAnd = eng2.runNexi("//sec[about(.//par, beta) and about(., alpha)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    assert(relAnd.keySet == Set((1L, 0)))
+    assert(math.abs(relAnd((1L, 0)) -
+      (0.5 * math.log(pDir(1, 3, cfB)) + 0.5 * math.log(pDir(1, 5, cfA)))) < 1e-9)
+    val relOr = eng2.runNexi("//sec[about(.//par, beta) or about(., alpha)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    assert(relOr.keySet == Set((1L, 0), (2L, 2)))
+    val orWant1 = math.log(1 -
+      (1 - pDir(1, 3, cfB)) * (1 - pDir(1, 5, cfA)))
+    assert(math.abs(relOr((1L, 0)) - orWant1) < 1e-9)
+    assert(math.abs(relOr((2L, 2)) - math.log(pDir(0, 1, cfA))) < 1e-9)
   }
 
   test("shrinkage-smoothed extent scores match the scalar model (JM, non-recursive)") {

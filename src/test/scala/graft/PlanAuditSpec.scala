@@ -93,4 +93,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // collect_list itself is an object aggregate by design
     assert(plan.contains("*("), s"no codegen spans:\n$plan")
   }
+
+  test("harvestlinks chain: broadcast joins only, no shuffle before the final aggregation") {
+    import graft.pipeline.HarvestLinks
+    val docs = Seq(
+      (1L, "http://s.test/p1", """<a href="http://s.test/p2">go</a>"""),
+      (2L, "http://s.test/p2", """<a href="http://old.test/r">via</a>"""))
+      .toDF("doc_id", "url", "html")
+    val redirects = Seq(("http://old.test/r", "http://s.test/p1"))
+      .toDF("from_url", "to_url")
+    val resolved = HarvestLinks.resolve(
+      HarvestLinks.conflate(HarvestLinks.harvest(docs), redirects),
+      docs.select(col("url"), col("doc_id")))
+    resolved.collect()
+    val plan = resolved.queryExecution.executedPlan.toString
+    // the harvest itself is a projection + generate over ONE scan; the
+    // redirect map and (here) the doc-order side broadcast — the only
+    // acceptable shuffle in the chain is the final anchorText groupBy.
+    // At 100 TB the doc-order join flips to a shuffled hash join on
+    // dst_url, which is the correct web-graph sharding key; what this
+    // audit pins is that nothing ELSE shuffles and nothing goes
+    // cartesian over the corpus side.
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"unexpected join strategy in the harvest chain:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle before aggregation:\n$plan")
+  }
 }

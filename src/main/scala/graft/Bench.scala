@@ -244,7 +244,13 @@ object Bench {
         // each cached index absorbs the one-time build — the median reports
         // the steady-state query cost (build throughput is phase 2's metric).
         val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
-        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // optional comma-separated query-name filter (mirrors Verify's
+        // 3rd arg) — targeted perf iteration without the full surface
+        val qFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        val rs = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (name, _) => qFilter.forall(_.contains(name)) }
+          .map { case (name, fn) =>
           val times = (1 to qReps).map { _ =>
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -152,16 +152,16 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: spherical k-means (Lloyd's, fixed iteration
-    * count, deterministic init from the `ncells` smallest-id vectors) —
-    * the standard inverted-file ANN trainer. Centroids are driver-side
-    * (ncells × dim doubles, tiny); assignment is one distributed pass.
-    * Everything is deterministic for a deterministic corpus, so planted
-    * duplicates are provably routed to their source's cell.
+    * count, deterministic init from the first `ncells` vectors of the
+    * hash-ordered training sample) — the standard inverted-file ANN
+    * trainer. Centroids are driver-side (ncells × dim doubles, tiny);
+    * assignment is one distributed pass. Everything is deterministic
+    * for a deterministic corpus, so planted duplicates are provably
+    * routed to their source's cell.
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    ncells: Int, iters: Int = 5,
                    trainPerCell: Int = 256): Array[Array[Double]] = {
-    val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     def normalize(c: Array[Double]): Array[Double] = {
       var n = 0.0; var i = 0
@@ -170,33 +170,54 @@ object Similarity {
       if (s == 0) c else c.map(_ / s)
     }
     // Bounded training sample — the standard IVF recipe (~trainPerCell
-    // vectors per cell): per-iteration cost is O(sample × dim), FLAT in
-    // corpus size, while the assignment pass (ivfTopK) stays full-corpus.
-    // Deterministic pseudo-random draw: TakeOrdered on xxhash64(id) —
-    // one scan, no full shuffle. Persisted across the Lloyd iterations.
+    // vectors per cell): training cost is FLAT in corpus size, while the
+    // assignment pass (ivfTopK) stays full-corpus. Deterministic
+    // pseudo-random draw: TakeOrdered on xxhash64(id) — one scan, no
+    // full shuffle. The sample is ≤ ncells·trainPerCell vectors (a few
+    // MB at the defaults), so it is collected ONCE and the Lloyd
+    // iterations run driver-side at O(sample·dim·ncells) each — the
+    // previous shape paid 2 Spark jobs PER iteration (assignment +
+    // mean-collect) over the same driver-sized sample.
     val cap = math.min(ncells.toLong * trainPerCell, Int.MaxValue.toLong).toInt
-    val train = base.orderBy(xxhash64(col("id")), col("id")).limit(cap).persist()
-    var cents: Array[Array[Double]] = base.orderBy("id").limit(ncells)
-      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble)).map(normalize)
+    val train: Array[Array[Double]] =
+      base.orderBy(xxhash64(col("id")), col("id")).limit(cap)
+        .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    // init: the first ncells SAMPLE vectors — hash order is a
+    // deterministic pseudo-random draw (the k-means init one wants),
+    // and reusing the sample makes training exactly ONE corpus pass
+    var cents: Array[Array[Double]] = train.take(ncells).map(v => normalize(v.clone()))
+    val n = cents.length // < ncells only when the corpus is smaller
     var it = 0
     while (it < iters) {
-      val assigned = ivfAssignCells(train, cents, nProbe = 1)
-        .select(col("id"), col("v"), col("cell"))
-      // mean per (cell, dim): ncells × dim rows — a driver-sized collect
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
-        .collect()
-      val next = Array.tabulate(ncells)(i => cents(i).clone()) // empty cells keep their centroid
-      val touched = Array.fill(ncells)(false)
-      sums.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        next(c)(d) = r.getDouble(2); touched(c) = true
+      // assignment: nearest centroid by cosine (centroids unit-norm),
+      // tie-break smaller cell id — same arithmetic as ivfAssignCells
+      val sums = Array.fill(n)(new Array[Double](dim))
+      val counts = Array.fill(n)(new Array[Long](dim))
+      train.foreach { v =>
+        var best = -1; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < n) {
+          val cent = cents(c)
+          var dot = 0.0; var nv = 0.0
+          var i = 0
+          val m = math.min(v.length, cent.length)
+          while (i < m) { val x = v(i); dot += x * cent(i); nv += x * x; i += 1 }
+          val sim = if (nv == 0) -2.0 else dot / math.sqrt(nv)
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        var i = 0
+        val m = math.min(v.length, dim)
+        while (i < m) { sums(best)(i) += v(i); counts(best)(i) += 1; i += 1 }
       }
-      cents = next.zipWithIndex.map { case (c, i) => if (touched(i)) normalize(c) else c }
+      cents = Array.tabulate(n) { c =>
+        if (counts(c).exists(_ > 0))
+          normalize(Array.tabulate(dim)(d =>
+            if (counts(c)(d) > 0) sums(c)(d) / counts(c)(d) else 0.0))
+        else cents(c) // empty cells keep their centroid
+      }
       it += 1
     }
-    train.unpersist()
     cents
   }
 

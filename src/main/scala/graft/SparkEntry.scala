@@ -269,9 +269,19 @@ object SparkEntry {
   private val rewrittenStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** absolute path shared by the Spark readers and the DuckDB oracles
-    * (read_csv) for the reference-generated stemmer golden vectors
+    * (read_csv) for the reference-generated stemmer golden vectors —
+    * resolved against the working directory so any checkout location
+    * works (SPARK_GRAFT_REPO overrides; /root/repo is the driver's
+    * checkout fallback for harnesses that cd elsewhere)
     */
-  private val GoldenDir = "/root/repo/src/test/resources/graft"
+  private val GoldenDir: String = {
+    val rel = "src/test/resources/graft"
+    val candidates =
+      sys.env.get("SPARK_GRAFT_REPO").map(r => s"$r/$rel").toSeq ++
+        Seq(s"${new java.io.File(".").getCanonicalPath}/$rel", s"/root/repo/$rel")
+    candidates.find(p => new java.io.File(s"$p/kstem_golden.tsv").isFile)
+      .getOrElse(candidates.last)
+  }
 
   private def goldenWords(s: SparkSession, file: String): DataFrame =
     s.read.option("sep", "\t")
@@ -1002,6 +1012,22 @@ object SparkEntry {
       val eng = fieldEngine(s, dir)
       eng.setScoringRules("method:dirichlet")
       eng.runNexi("//head[about(.//lead, query) and about(., data)]", 1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
+    "q_nexi_mixed" -> ((s, dir) => {
+      // relative about + numeric predicate in ONE boolean clause
+      // (round 4): //head[about(.//lead, query) and .//nchars < 300] —
+      // the lead MaxNode belief folds 1/2 + 1/2 with the contained-
+      // matching-extent occurrence belief (nexilang.g:312-334 filter
+      // kinds mix freely; :370-390 aboutClause path branch;
+      // :395-440 arithmeticClause)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi("//head[about(.//lead, query) and .//nchars < 300]", 1000000)
         .select(col("docId").as("doc_id"),
           col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
           round(col("score"), 6).as("score"))
@@ -2137,6 +2163,40 @@ object SparkEntry {
          |      + 0.5 * ln((t.hd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    // relative about + numeric in one boolean clause: per head extent,
+    // ½·[max over contained lead extents of ln(d(query|lead))] +
+    // ½·ln(d(occ | head)) where occ counts nchars extents (whole-doc)
+    // that match < 300 AND are contained (doclen ≤ 10); candidates =
+    // docs with 'query' OR a matching nchars extent; every doc's lead
+    // sits inside head so the MaxNode branch is always defined
+    "q_nexi_mixed" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'query') AS cq,
+         |         (SELECT count(*) FROM documents WHERE n_chars < 300) AS cn
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term = 'query'
+         |  UNION
+         |  SELECT doc_id FROM documents WHERE n_chars < 300
+         |), tfe AS (
+         |  SELECT doc_id, count(*) FILTER (WHERE term = 'query' AND pos <= 4) AS lq
+         |  FROM tok GROUP BY doc_id
+         |), oc AS (
+         |  SELECT d2.doc_id,
+         |    CASE WHEN d2.n_chars < 300 AND dl.doclen <= 10 THEN 1 ELSE 0 END AS occ
+         |  FROM documents d2 JOIN dl ON dl.doc_id = d2.doc_id
+         |)
+         |SELECT c.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round((1.0 * ln((coalesce(t.lq, 0) + 2500.0 * cf.cq / st.tt) / (least(4, dl.doclen) + 2500.0))) / 2
+         |      + (1.0 * ln((oc.occ + 2500.0 * (CASE WHEN cf.cn <> 0 THEN cf.cn/st.tt ELSE 1.0/(st.tt*2.0) END)) / (least(10, dl.doclen) + 2500.0))) / 2, 6) AS score
+         |FROM cand c
+         |JOIN dl ON dl.doc_id = c.doc_id
+         |JOIN oc ON oc.doc_id = c.doc_id
+         |LEFT JOIN tfe t ON t.doc_id = c.doc_id
+         |CROSS JOIN st CROSS JOIN cf
+         |ORDER BY c.doc_id, "begin"""".stripMargin,
 
     // two-level CAS: s = [½ln(d(data|head)) + ½ln(d(merge|head))]
     //                  + ln(d(query|lead)), rows = lead extents

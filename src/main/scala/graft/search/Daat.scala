@@ -748,7 +748,7 @@ object Daat {
         }
         if (p < 0) done = true // no doc can beat θ
         else {
-          var pivotDoc = cursors(order(p)).doc
+          val pivotDoc = cursors(order(p)).doc
           // extend the pivot across ties: a cursor beyond p sitting ON
           // pivotDoc also contributes to its score, and the block-max
           // rejection below only bounds cursors ≤ p — without the

@@ -384,6 +384,73 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(math.abs(relOr((2L, 2)) - math.log(pDir(0, 1, cfA))) < 1e-9)
   }
 
+  test("NEXI relative about mixed with numeric predicates; baseline/two-level guards") {
+    // corpus with a numeric field n INSIDE sec so containment matters:
+    // doc1 tokens alpha0 beta1 gamma2 delta3 eps4 7@5 tail6 —
+    //   sec [0,6), par [1,4) [6,7), b [2,3), n [5,6) value 7
+    // doc2 tokens solo0 beta1 plain2 3@3 —
+    //   par [0,2), sec [2,4), n [3,4) value 3
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps <n>7</n></sec> <par>tail</par>"),
+      (2L, "<par>solo beta</par> <sec>plain <n>3</n></sec>")
+    ).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par"), FieldSpec("b"),
+        FieldSpec("n", parse = "int")))
+    val idx2 = IndexBuilder.build(rows, cfg2)
+    val eng2 = new Engine(spark, idx2, cfg2.analyzer, ScoringRule(method = "dirichlet"))
+    val tt = eng2.termCount().toDouble
+    val cfB = eng2.termCount("beta") / tt
+    def dir(tf: Int, ctx: Int, cf: Double) =
+      math.log((tf + 2500.0 * cf) / (ctx + 2500.0))
+    // numeric clause stats from the one-job ContextCount round: the
+    // corpus has ONE n extent with value > 5 (doc1's 7) → occ 1, cf 1/T
+    val cfN = 1.0 / tt
+
+    // and: ½·[max over contained par of dirichlet(beta|par)] +
+    //      ½·dirichlet(occ of matching n extents | sec context).
+    // doc2's sec [2,4) contains no par → the rel conjunct is
+    // unscorable and the extent drops (same rule as scoreRelativeMixed)
+    val relNum = eng2.runNexi("//sec[about(.//par, beta) and .//n > 5]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    assert(relNum.keySet == Set((1L, 0, 6)))
+    val want1 = 0.5 * dir(1, 3, cfB) + 0.5 * dir(1, 6, cfN)
+    assert(math.abs(relNum((1L, 0, 6)) - want1) < 1e-9)
+
+    // or: doc1 noisy-ors both branches; doc2's sec keeps only the
+    // numeric branch (occ 0 — its n extent fails the predicate)
+    val relNumOr = eng2.runNexi("//sec[about(.//par, beta) or .//n > 5]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    assert(relNumOr.keySet == Set((1L, 0, 6), (2L, 2, 4)))
+    val orWant1 = math.log(1 -
+      (1 - math.exp(dir(1, 3, cfB))) * (1 - math.exp(dir(1, 6, cfN))))
+    assert(math.abs(relNumOr((1L, 0, 6)) - orWant1) < 1e-9)
+    assert(math.abs(relNumOr((2L, 2, 4)) - dir(0, 2, cfN)) < 1e-9)
+
+    // plain-about + numeric unchanged by the rel machinery: the about
+    // group scores in the sec context itself
+    val plainNum = eng2.runNexi("//sec[about(., alpha) and .//n > 5]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    val cfA = eng2.termCount("alpha") / tt
+    assert(math.abs(plainNum((1L, 0, 6)) -
+      (0.5 * dir(1, 6, cfA) + 0.5 * dir(1, 6, cfN))) < 1e-9)
+
+    // guard: a relative about as the SECOND filter of a two-level CAS
+    // is outside the subset — must throw, not silently score in the
+    // outer context
+    intercept[IllegalArgumentException] {
+      eng2.runNexi("//sec[about(., alpha) and about(.//par, beta)]//par[about(., beta)]", 10)
+    }
+
+    // guard: CO negation under okapi/tfidf baseline → #not over a
+    // positive log?-space score would be NaN; rejected like the
+    // reference's baseline complex-operator check
+    val okapiEng = new Engine(spark, idx2, cfg2.analyzer, ScoringRule(method = "okapi"))
+    intercept[IllegalArgumentException] {
+      okapiEng.runNexi("beta -gamma", 10)
+    }
+  }
+
   test("shrinkage-smoothed extent scores match the scalar model (JM, non-recursive)") {
     val rows = Seq(
       (1L, "<sec>alpha <par>beta <b>gamma</b> delta</par> eps</sec> <par>tail</par>"),

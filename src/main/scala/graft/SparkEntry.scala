@@ -206,6 +206,31 @@ object SparkEntry {
   private def engine(s: SparkSession, dir: String): Engine =
     new Engine(s, buildIndex(s, dir), cfg.analyzer, ScoringRule(method = "okapi"))
 
+  /** QueryEnvironment with TWO repositories added (addIndex federation):
+    * the corpus splits at its docId midpoint, each half builds its own
+    * repository with its own local docIds, and Federation.combine rebases
+    * them onto documentBase offsets — which reconstructs the original
+    * doc_ids exactly, so federated scores must equal the single-repository
+    * BM25 run and share its oracle (reference: src/QueryEnvironment.cpp:
+    * 242-316 evaluate-then-merge, :957-984 cross-server stats sums).
+    */
+  private val federatedIndexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.index.InvertedIndex]()
+
+  private def federatedEngine(s: SparkSession, dir: String): Engine = {
+    val idx = federatedIndexCache.computeIfAbsent(dir, _ => {
+      val docs = corpusDocs(s, dir)
+      val r = docs.agg(min(col("docId")), max(col("docId"))).head()
+      val mn = r.getLong(0)
+      val m = mn + (r.getLong(1) - mn + 1) / 2
+      val half1 = IndexBuilder.build(docs.where(col("docId") < m), cfg)
+      val half2 = IndexBuilder.build(
+        docs.where(col("docId") >= m)
+          .withColumn("docId", col("docId") - m + mn), cfg)
+      graft.index.Federation.combine(Seq(half1, half2))
+    })
+    new Engine(s, idx, cfg.analyzer, ScoringRule(method = "okapi"))
+  }
+
   /** engine with annotator-injected fields: positional `head` (first 10
     * token positions) + whole-doc numeric `nchars` from the n_chars
     * column (OffsetAnnotation/NumericFieldAnnotator analogues).
@@ -500,6 +525,17 @@ object SparkEntry {
       // q_bm25_topk's DataFrame path)
       val eng = engine(s, dir)
       eng.runDaat(BmTerms.map(_ -> 1.0), 20, exhaustive = false)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_federated" -> ((s, dir) => {
+      // the same flat BM25 bag through a TWO-repository federation
+      // (addIndex): global stats sum across members, docIds rebase onto
+      // documentBase offsets — must agree with the single-repository
+      // oracle bit-for-bit
+      val eng = federatedEngine(s, dir)
+      eng.runQuery(s"#combine(${BmTerms.mkString(" ")})", 20)
         .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
@@ -1585,6 +1621,9 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bm25_topk" -> bm25Sql(BmTerms, 20),
+    // federation is score-transparent: two member repositories with
+    // globally-summed stats produce exactly the single-repository ranking
+    "q_federated" -> bm25Sql(BmTerms, 20),
     "q_bm25_daat" -> bm25Sql(BmTerms, 20),
 
     // tfidf: score = (tw·idf·k1)·tf / (tf + k1(1−b) + k1·b/avgdl·dl),

@@ -148,4 +148,33 @@ object BlockCodec {
     }
     out
   }
+
+  /** Shift every decoded value of a delta stream by a constant, WITHOUT
+    * decoding the stream: the first value is stored verbatim as the
+    * first delta (prev = 0), so adding `base` to it shifts the whole
+    * reconstructed sequence while every later delta stays byte-identical.
+    * O(first-varint) per block — this is how federation rebases a
+    * member repository's docId blocks onto its documentBase (reference:
+    * the per-index document base offset, include/indri/Index.hpp
+    * documentBase(); DiskIndex.cpp returns local ids + base).
+    */
+  def rebaseDeltas(bytes: Array[Byte], base: Long): Array[Byte] = {
+    if (bytes.isEmpty) return bytes
+    if (base == 0L) return bytes
+    var off = 0
+    var first = 0L
+    var shift = 0
+    var done = false
+    while (!done) {
+      val b = bytes(off); off += 1
+      first |= (b & 0x7fL) << shift
+      shift += 7
+      done = (b & 0x80) != 0
+    }
+    val buf = new ArrayBuffer[Byte](bytes.length + 2)
+    writeVarint(buf, first + base)
+    var i = off
+    while (i < bytes.length) { buf += bytes(i); i += 1 }
+    buf.toArray
+  }
 }

@@ -529,6 +529,41 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_runquery" -> ((s, dir) => {
+      // the IndriRunQuery application lifecycle end-to-end: XML
+      // parameter file → environment (baseline okapi) → batched
+      // execution → TREC-scorable lines (number Q0 docno rank score
+      // runID). Numbering = <number> when present else queryOffset +
+      // 0-based position (the reference's offset quirk,
+      // runquery/IndriRunQuery.cpp:671). docno = 'D'||doc_id metadata;
+      // scores print %.6f of the rounded value so both engines emit
+      // identical text; ranks ride the ROUNDED ordering for the same
+      // reason (the established double-ordering oracle rule).
+      import graft.apps.RunQuery
+      val xml =
+        s"""<parameters>
+           |  <query>${BmTerms.mkString(" ")}</query>
+           |  <query><number>trec7</number><text>${BandTerms.mkString(" ")}</text></query>
+           |  <count>15</count>
+           |  <baseline>okapi</baseline>
+           |  <runID>graft</runID>
+           |  <trecFormat>true</trecFormat>
+           |  <queryOffset>100</queryOffset>
+           |</parameters>""".stripMargin
+      val p = RunQuery.parseParams(xml)
+      val eng = RunQuery.environmentFor(s, buildIndex(s, dir), p, cfg.analyzer)
+      eng.setMetadata(documents(s, dir).select(col("doc_id").as("docId"),
+        concat(lit("D"), col("doc_id")).as("docno")))
+      RunQuery.execute(eng, p).map { case (num, df) =>
+        RunQuery.trecLines(eng, num,
+          df.select(col("docId"), round(col("score"), 6).as("score")),
+          p, fixedPrecision = Some(6))
+      }.reduce(_ unionByName _)
+        .select(col("query_number"), col("rank").cast(LongType).as("rk"),
+          col("docId").as("doc_id"), col("line"))
+        .orderBy(col("query_number"), col("rk"))
+    }),
+
     "q_federated" -> ((s, dir) => {
       // the same flat BM25 bag through a TWO-repository federation
       // (addIndex): global stats sum across members, docIds rebase onto
@@ -1624,6 +1659,51 @@ object SparkEntry {
     // federation is score-transparent: two member repositories with
     // globally-summed stats produce exactly the single-repository ranking
     "q_federated" -> bm25Sql(BmTerms, 20),
+
+    // the RunQuery app surface: two okapi-baseline bags, TREC lines
+    // `number Q0 docno rank score runID`; ranks and score text both ride
+    // the 6-decimal rounded value on BOTH engines
+    "q_runquery" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p1 AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts1 AS (
+         |  SELECT term, count(*) AS df FROM p1 GROUP BY term
+         |), sc1 AS (
+         |  SELECT p1.doc_id,
+         |    sum( (ln((st.n - ts1.df + 0.5) / (ts1.df + 0.5)) * 2.2) * p1.tf
+         |         / (p1.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p1 JOIN ts1 USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p1.doc_id
+         |), r1 AS (
+         |  SELECT '100' AS query_number,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rk,
+         |    doc_id, round(s, 6) AS score FROM sc1
+         |), p2 AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BandTerms)} GROUP BY term, doc_id
+         |), ts2 AS (
+         |  SELECT term, count(*) AS df FROM p2 GROUP BY term
+         |), sc2 AS (
+         |  SELECT p2.doc_id,
+         |    sum( (ln((st.n - ts2.df + 0.5) / (ts2.df + 0.5)) * 2.2) * p2.tf
+         |         / (p2.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p2 JOIN ts2 USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p2.doc_id
+         |), r2 AS (
+         |  SELECT 'trec7' AS query_number,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rk,
+         |    doc_id, round(s, 6) AS score FROM sc2
+         |), u AS (
+         |  SELECT * FROM r1 WHERE rk <= 15
+         |  UNION ALL SELECT * FROM r2 WHERE rk <= 15
+         |)
+         |SELECT query_number, rk, doc_id,
+         |  query_number || ' Q0 D' || doc_id::VARCHAR || ' ' || rk::VARCHAR ||
+         |  ' ' || printf('%.6f', score) || ' graft' AS line
+         |FROM u ORDER BY query_number, rk""".stripMargin,
     "q_bm25_daat" -> bm25Sql(BmTerms, 20),
 
     // tfidf: score = (tw·idf·k1)·tf / (tf + k1(1−b) + k1·b/avgdl·dl),

@@ -1,0 +1,322 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.analysis.Analyzer
+import graft.index.{Federation, InvertedIndex, SegmentStore}
+import graft.search.{Engine, RelevanceModel, ScoringRule}
+
+/** The IndriRunQuery application surface (reference:
+  * runquery/IndriRunQuery.cpp): an XML parameter file names the
+  * repositories, queries, retrieval rule and output options; the app
+  * opens the repositories into one QueryEnvironment (multiple `<index>`
+  * elements federate — QueryEnvironment::addIndex), runs every query,
+  * and prints TREC-scorable lines.
+  *
+  * Parameter surface (same element names as the reference's usage block,
+  * IndriRunQuery.cpp:30-260): `index`*, `query`* (bare text or
+  * `<number>`, `<text>`, repeated `<workingSetDocno>` and
+  * `<feedbackDocno>` children),
+  * `count`, `rule`, `baseline`, `stopper.word`*, `runID`, `trecFormat`,
+  * `queryOffset`, `fbDocs`, `fbTerms`, `fbOrigWeight`. Command-line
+  * overlays are `-key=value` pairs appended to the tree
+  * (Parameters::loadCommandLine).
+  */
+object RunQuery {
+
+  /** one parsed `<query>` element (reference: push_queue,
+    * runquery/IndriRunQuery.cpp:657-690)
+    */
+  final case class QuerySpec(
+      number: Option[String],
+      text: String,
+      workingSet: Seq[String] = Nil,
+      feedbackDocs: Seq[String] = Nil)
+
+  final case class Params(
+      indexPaths: Seq[String] = Nil,
+      queries: Seq[QuerySpec] = Nil,
+      count: Int = 1000,
+      rule: Option[String] = None,
+      baseline: Option[String] = None,
+      stopwords: Set[String] = Set.empty,
+      runID: String = "indri",
+      trecFormat: Boolean = false,
+      queryOffset: Int = 0,
+      fbDocs: Int = 0,
+      fbTerms: Int = 10,
+      fbOrigWeight: Double = 0.5)
+
+  // ------------------------------------------------------------------
+  // parameter parsing
+  // ------------------------------------------------------------------
+
+  /** Parse an indri `<parameters>` XML document. Repeated elements
+    * accumulate in order, exactly like the reference Parameters tree.
+    */
+  def parseParams(xml: String): Params = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    val root = doc.getDocumentElement
+    require(root.getNodeName == "parameters",
+      s"expected <parameters> root, got <${root.getNodeName}>")
+
+    def children(n: org.w3c.dom.Node): Seq[org.w3c.dom.Element] = {
+      val l = n.getChildNodes
+      (0 until l.getLength).map(l.item).collect {
+        case e: org.w3c.dom.Element => e
+      }
+    }
+    def text(e: org.w3c.dom.Element): String = e.getTextContent.trim
+
+    var p = Params()
+    for (e <- children(root)) e.getNodeName match {
+      case "index" | "server" => p = p.copy(indexPaths = p.indexPaths :+ text(e))
+      case "query" =>
+        val kids = children(e)
+        val byName = kids.groupBy(_.getNodeName)
+        val q =
+          if (kids.isEmpty) QuerySpec(None, text(e))
+          else QuerySpec(
+            number = byName.get("number").map(n => text(n.head)),
+            // bare text fallback when no <text> child — reference
+            // push_queue reads the element value itself
+            text = byName.get("text").map(n => text(n.head)).getOrElse(text(e)),
+            workingSet = byName.getOrElse("workingSetDocno", Nil).map(text),
+            feedbackDocs = byName.getOrElse("feedbackDocno", Nil).map(text))
+        p = p.copy(queries = p.queries :+ q)
+      case "count" => p = p.copy(count = text(e).toInt)
+      case "rule" => p = p.copy(rule = Some(text(e)))
+      case "baseline" => p = p.copy(baseline = Some(text(e)))
+      case "stopper" =>
+        p = p.copy(stopwords = p.stopwords ++
+          children(e).filter(_.getNodeName == "word").map(text))
+      case "runID" => p = p.copy(runID = text(e))
+      case "trecFormat" =>
+        p = p.copy(trecFormat = text(e) == "true" || text(e) == "1")
+      case "queryOffset" => p = p.copy(queryOffset = text(e).toInt)
+      case "fbDocs" => p = p.copy(fbDocs = text(e).toInt)
+      case "fbTerms" => p = p.copy(fbTerms = text(e).toInt)
+      case "fbOrigWeight" => p = p.copy(fbOrigWeight = text(e).toDouble)
+      case _ => // memory/threads/etc: execution knobs Spark owns
+    }
+    p
+  }
+
+  /** `-key=value` command-line overlay (Parameters::loadCommandLine);
+    * `-stopper.word=x` appends a stopword like the reference's dotted
+    * path form.
+    */
+  def overlay(p: Params, args: Seq[String]): Params =
+    args.foldLeft(p) { (acc, a) =>
+      val s = a.stripPrefix("-")
+      val i = s.indexOf('=')
+      require(i > 0, s"command-line parameter must be -key=value: $a")
+      val (k, v) = (s.substring(0, i), s.substring(i + 1))
+      k match {
+        case "index" | "server" => acc.copy(indexPaths = acc.indexPaths :+ v)
+        case "query" => acc.copy(queries = acc.queries :+ QuerySpec(None, v))
+        case "count" => acc.copy(count = v.toInt)
+        case "rule" => acc.copy(rule = Some(v))
+        case "baseline" => acc.copy(baseline = Some(v))
+        case "stopper.word" => acc.copy(stopwords = acc.stopwords + v)
+        case "runID" => acc.copy(runID = v)
+        case "trecFormat" => acc.copy(trecFormat = v == "true" || v == "1")
+        case "queryOffset" => acc.copy(queryOffset = v.toInt)
+        case "fbDocs" => acc.copy(fbDocs = v.toInt)
+        case "fbTerms" => acc.copy(fbTerms = v.toInt)
+        case "fbOrigWeight" => acc.copy(fbOrigWeight = v.toDouble)
+        case _ => acc
+      }
+    }
+
+  /** The `-rule`/`-baseline` pair → engine scoring rule. Baseline values
+    * are `(tfidf|okapi)[,k:v]*` (reference: IndriRunQuery.cpp usage;
+    * QueryEnvironment::setBaseline) — same comma/colon shape as rule
+    * strings with the method leading.
+    */
+  def scoringSpec(p: Params): String = p.baseline match {
+    case Some(b) =>
+      val parts = b.split(",", 2)
+      val m = parts(0).trim match {
+        case "tfidf" => "tfidf"
+        case "okapi" => "okapi"
+        case other => throw new IllegalArgumentException(
+          s"unknown baseline '$other' (tfidf|okapi)")
+      }
+      if (parts.length > 1) s"method:$m,${parts(1)}" else s"method:$m"
+    case None => p.rule.getOrElse("method:dirichlet")
+  }
+
+  // ------------------------------------------------------------------
+  // environment assembly
+  // ------------------------------------------------------------------
+
+  /** Open every `<index>` path and federate (addIndex semantics). The
+    * stored handles are kernel-only views (postings = null), the same
+    * shape Bench queries stored repositories with.
+    */
+  def openEnvironment(spark: SparkSession, p: Params,
+                      analyzer: Analyzer): Engine = {
+    require(p.indexPaths.nonEmpty, "no <index> elements in parameters")
+    val members = p.indexPaths.map { dir =>
+      val st = SegmentStore.open(spark, dir)
+      InvertedIndex(null, st.dictionary, st.doclens, st.stats, st.segments,
+        st.fieldExtents, numBuckets = st.numBuckets, segmentsBucketed = true)
+    }
+    val idx = if (members.size == 1) members.head else Federation.combine(members)
+    environmentFor(spark, idx, p, analyzer)
+  }
+
+  /** Same assembly over an already-built index (tests / the driver
+    * contract, where the repository lives in memory).
+    */
+  def environmentFor(spark: SparkSession, idx: InvertedIndex, p: Params,
+                     analyzer: Analyzer): Engine = {
+    val az = analyzer.copy(stopwords = analyzer.stopwords ++ p.stopwords)
+    new Engine(spark, idx, az, ScoringRule.parse(scoringSpec(p)))
+  }
+
+  // ------------------------------------------------------------------
+  // execution
+  // ------------------------------------------------------------------
+
+  /** Run every query: numbering is `<number>` when present else
+    * queryOffset + position — the reference numbers from the OFFSET
+    * itself, not offset+1, despite its own usage text
+    * (runquery/IndriRunQuery.cpp:671 `queryOffset + int(i)`; the doc
+    * string says "one less than the starting query number").
+    * Plain queries batch through runQueries (one shared stats round —
+    * the QueryThread pool analogue); working-set, relevance-feedback
+    * (feedbackDocno → RM over exactly those docs) and blind-feedback
+    * (fbDocs) queries run individually like the reference's per-thread
+    * paths.
+    */
+  def execute(engine: Engine, p: Params): Seq[(String, DataFrame)] = {
+    val spark = engine.spark
+    import spark.implicits._
+    // docno strings resolve through metadata when attached, else they
+    // must be numeric ids (reference working sets/feedback sets name
+    // documents by DOCNO metadata)
+    def resolveDocs(docnos: Seq[String]): Seq[Long] =
+      scala.util.Try(docnos.map(_.toLong)).getOrElse(
+        engine.documentIDsFromMetadata("docno", docnos)
+          .collect().map(_.getLong(0)).toSeq)
+
+    val numbered = p.queries.zipWithIndex.map { case (q, i) =>
+      (i, q.number.getOrElse((p.queryOffset + i).toString), q)
+    }
+    val plain = numbered.filter { case (_, _, q) =>
+      q.workingSet.isEmpty && q.feedbackDocs.isEmpty && p.fbDocs == 0
+    }
+    val batched: Map[Int, DataFrame] =
+      if (plain.isEmpty) Map.empty
+      else engine.runQueries(plain.map(_._3.text), p.count)
+        .zip(plain).map { case ((_, df), (i, _, _)) => i -> df }.toMap
+    numbered.map { case (i, num, q) =>
+      val df = batched.getOrElse(i, {
+        if (q.workingSet.nonEmpty)
+          engine.runQuery(q.text, p.count, resolveDocs(q.workingSet).toDF("docId"))
+        else if (q.feedbackDocs.nonEmpty) {
+          // true relevance feedback: RM over EXACTLY the named docs
+          // (reference: relFBDocs replace the retrieval as the feedback
+          // set, runquery/IndriRunQuery.cpp:385-400)
+          val top = resolveDocs(q.feedbackDocs).map(_ -> 0.0)
+          val rm = RelevanceModel.Params(fbDocs = top.size,
+            fbTerms = p.fbTerms, fbOrigWeight = p.fbOrigWeight)
+          val probs = RelevanceModel.rm1FromResults(engine, top, rm)
+            .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+          engine.runQuery(
+            RelevanceModel.expandedQuery(q.text, probs, rm), p.count)
+        } else {
+          val rm = RelevanceModel.Params(fbDocs = p.fbDocs,
+            fbTerms = p.fbTerms, fbOrigWeight = p.fbOrigWeight)
+          RelevanceModel.runRm3(engine, q.text, p.count, rm)
+        }
+      })
+      num -> df
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // presentation
+  // ------------------------------------------------------------------
+
+  /** C++ default-ostream double formatting (what the reference streams
+    * into every output line): %g semantics at precision 6 — trailing
+    * zeros trimmed, two-digit exponent. Pinned against g++-generated
+    * golden vectors in RunQuerySpec.
+    */
+  def cppDouble(v: Double): String = {
+    if (v.isNaN) return "nan"
+    if (v.isInfinite) return if (v > 0) "inf" else "-inf"
+    val s = String.format(java.util.Locale.ROOT, "%g", Double.box(v))
+    val ei = s.indexOf('e')
+    val (mant0, exp) = if (ei < 0) (s, "") else (s.substring(0, ei), s.substring(ei))
+    val mant =
+      if (!mant0.contains('.')) mant0
+      else mant0.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    mant + exp
+  }
+
+  /** TREC-scorable result lines: `number Q0 docno rank score runID`
+    * (reference: IndriRunQuery.cpp:459-466); the non-TREC default is
+    * `score\tdocno\tbegin\tend` (:475-480; whole-document results carry
+    * the default extent begin=0, end=0 —
+    * include/indri/ScoredExtentResult.hpp:52-53). `docno` resolves
+    * through the docno metadata
+    * attribute when the engine carries a metadata table, else the docId.
+    * `fixedPrecision` switches score text to %.Nf — the cross-engine-
+    * deterministic form the driver oracle uses (C++ %g formatting is
+    * covered separately by the golden-vector spec).
+    */
+  def trecLines(engine: Engine, number: String, results: DataFrame,
+                p: Params, fixedPrecision: Option[Int] = None): DataFrame = {
+    val ranked = results
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("docId").asc)))
+    val withName = scala.util.Try(
+      engine.documentMetadata(ranked.select("docId"), Seq("docno"))).toOption match {
+      case Some(meta) =>
+        ranked.join(meta, Seq("docId"), "left")
+          .withColumn("docno",
+            coalesce(col("docno"), col("docId").cast("string")))
+      case None => ranked.withColumn("docno", col("docId").cast("string"))
+    }
+    val scoreTxt = fixedPrecision match {
+      case Some(n) => format_string(s"%.${n}f", round(col("score"), n))
+      case None => udf((d: Double) => cppDouble(d)).apply(col("score"))
+    }
+    val line =
+      if (p.trecFormat)
+        concat_ws(" ", lit(number), lit("Q0"), col("docno"),
+          col("rank").cast("string"), scoreTxt, lit(p.runID))
+      else
+        concat_ws("\t", scoreTxt, col("docno"), lit("0"), lit("0"))
+    withName.select(lit(number).as("query_number"), col("rank"),
+      col("docId"), line.as("line"))
+      .orderBy(col("rank"))
+  }
+
+  /** parse file + overlay args + open + run + print — the `main` shape */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: RunQuery <param.xml> [-key=value ...]")
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(args.head)), "UTF-8")
+    val p = overlay(parseParams(xml), args.tail.toSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-runquery")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    val engine = openEnvironment(spark, p, Analyzer())
+    for ((num, df) <- execute(engine, p);
+         row <- trecLines(engine, num, df, p).collect())
+      println(row.getString(3))
+    spark.stop()
+  }
+}

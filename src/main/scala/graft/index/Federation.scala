@@ -88,9 +88,13 @@ object Federation {
       else if (base == 0L) df
       else df.withColumn("docId", col("docId") + lit(base))
 
-    val postings = members.zip(bases).map { case ((ix, _), b) =>
-      shiftDoc(ix.postings, b)
-    }.reduce(_ unionByName _)
+    // stored handles open with postings = null (DAAT-kernel-only view);
+    // a federation of such members stays kernel-only the same way
+    val postings =
+      if (members.exists(_._1.postings == null)) null
+      else members.zip(bases).map { case ((ix, _), b) =>
+        shiftDoc(ix.postings, b)
+      }.reduce(_ unionByName _)
     val doclens = members.zip(bases).map { case ((ix, _), b) =>
       shiftDoc(ix.doclens, b)
     }.reduce(_ unionByName _)

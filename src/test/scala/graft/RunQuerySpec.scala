@@ -1,0 +1,210 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.apps.RunQuery
+import graft.corpus.CorpusSynthesizer
+import graft.index.{IndexBuilder, IndexConfig, SegmentStore}
+import graft.search.{Engine, ScoringRule}
+
+/** The IndriRunQuery application surface: parameter-file parsing,
+  * command-line overlays, baseline translation, query numbering (the
+  * reference's offset quirk), execution parity with direct Engine
+  * calls, C++ score formatting, and TREC line shape.
+  */
+class RunQuerySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val cfg = IndexConfig(blockSize = 32, numBuckets = 4)
+  private lazy val docsDf = {
+    val corpus = CorpusSynthesizer.corpus(spark, 300, seed = 3L)
+    IndexBuilder.assignDocIds(corpus, Seq("repo", "path", "commit"))
+      .select("docId", "content").cache()
+  }
+  private lazy val idx = IndexBuilder.build(docsDf, cfg)
+
+  test("parseParams covers the reference parameter surface; overlay appends") {
+    val xml =
+      """<parameters>
+        |  <index>/tmp/repoA</index>
+        |  <index>/tmp/repoB</index>
+        |  <query>return license</query>
+        |  <query><number>Q7</number><text>#combine(def val)</text></query>
+        |  <query>
+        |    <text>class</text>
+        |    <workingSetDocno>3</workingSetDocno>
+        |    <workingSetDocno>9</workingSetDocno>
+        |    <feedbackDocno>4</feedbackDocno>
+        |  </query>
+        |  <count>25</count>
+        |  <rule>method:dirichlet,mu:1000</rule>
+        |  <stopper><word>the</word><word>of</word></stopper>
+        |  <runID>graft1</runID>
+        |  <trecFormat>true</trecFormat>
+        |  <queryOffset>150</queryOffset>
+        |  <fbDocs>5</fbDocs><fbTerms>12</fbTerms><fbOrigWeight>0.7</fbOrigWeight>
+        |</parameters>""".stripMargin
+    val p = RunQuery.parseParams(xml)
+    assert(p.indexPaths == Seq("/tmp/repoA", "/tmp/repoB"))
+    assert(p.queries.map(_.text) ==
+      Seq("return license", "#combine(def val)", "class"))
+    assert(p.queries(1).number.contains("Q7"))
+    assert(p.queries(2).workingSet == Seq("3", "9"))
+    assert(p.queries(2).feedbackDocs == Seq("4"))
+    assert(p.count == 25 && p.rule.contains("method:dirichlet,mu:1000"))
+    assert(p.stopwords == Set("the", "of"))
+    assert(p.runID == "graft1" && p.trecFormat && p.queryOffset == 150)
+    assert(p.fbDocs == 5 && p.fbTerms == 12 && p.fbOrigWeight == 0.7)
+
+    val o = RunQuery.overlay(p, Seq("-count=5", "-stopper.word=and",
+      "-query=val var", "-runID=other", "-trecFormat=0"))
+    assert(o.count == 5 && o.stopwords == Set("the", "of", "and"))
+    assert(o.queries.last.text == "val var" && o.runID == "other" && !o.trecFormat)
+  }
+
+  test("baseline translates to scoring rules like QueryEnvironment::setBaseline") {
+    val p = RunQuery.Params()
+    assert(RunQuery.scoringSpec(p.copy(baseline = Some("tfidf,k1:1.0,b:0.3")))
+      == "method:tfidf,k1:1.0,b:0.3")
+    assert(RunQuery.scoringSpec(p.copy(baseline = Some("okapi"))) == "method:okapi")
+    assert(RunQuery.scoringSpec(p.copy(rule = Some("method:jm"))) == "method:jm")
+    assert(RunQuery.scoringSpec(p) == "method:dirichlet")
+    intercept[IllegalArgumentException] {
+      RunQuery.scoringSpec(p.copy(baseline = Some("bm25f")))
+    }
+  }
+
+  test("cppDouble matches g++ ostream << double golden vectors") {
+    // goldens generated with g++ (default std::stringstream formatting),
+    // the exact stream the reference prints scores through
+    val golden = Seq(
+      -13.511243 -> "-13.5112", -4.230873 -> "-4.23087", 0.5 -> "0.5",
+      -0.000123456 -> "-0.000123456", 1e6 -> "1e+06", 123456.789 -> "123457",
+      -1234567.0 -> "-1.23457e+06", 0.0001234567 -> "0.000123457",
+      -25.0 -> "-25", 100.0 -> "100", -9.999999 -> "-10",
+      3.141592653589793 -> "3.14159", -0.1 -> "-0.1", 7.0 -> "7",
+      -19.874561 -> "-19.8746", 0.123456789 -> "0.123457",
+      -2.000001 -> "-2", 1e-7 -> "1e-07", -123.4 -> "-123.4",
+      55.5555555 -> "55.5556", -31.622776 -> "-31.6228",
+      0.999999999 -> "1", -1e-5 -> "-1e-05", 2.5e-5 -> "2.5e-05",
+      -0.0 -> "-0")
+    for ((v, want) <- golden)
+      assert(RunQuery.cppDouble(v) == want, s"cppDouble($v)")
+  }
+
+  test("execute == direct engine calls; numbering uses the offset quirk") {
+    val xml =
+      """<parameters>
+        |  <query>#combine(return license)</query>
+        |  <query><number>Q7</number><text>#combine(def val)</text></query>
+        |  <query><text>#combine(class import)</text>
+        |    <workingSetDocno>3</workingSetDocno><workingSetDocno>9</workingSetDocno>
+        |    <workingSetDocno>17</workingSetDocno><workingSetDocno>40</workingSetDocno>
+        |  </query>
+        |  <count>15</count>
+        |  <rule>method:dirichlet,mu:1000</rule>
+        |  <queryOffset>150</queryOffset>
+        |</parameters>""".stripMargin
+    val p = RunQuery.parseParams(xml)
+    val eng = RunQuery.environmentFor(spark, idx, p, Analyzer())
+    val out = RunQuery.execute(eng, p)
+    // reference numbers offset + 0-based position (IndriRunQuery.cpp:671)
+    assert(out.map(_._1) == Seq("150", "Q7", "152"))
+
+    val direct = new Engine(spark, idx, Analyzer(),
+      ScoringRule.parse("method:dirichlet,mu:1000"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(out(0)._2) == rows(direct.runQuery("#combine(return license)", 15)))
+    assert(rows(out(1)._2) == rows(direct.runQuery("#combine(def val)", 15)))
+    val ws = Seq(3L, 9L, 17L, 40L).toDF("docId")
+    assert(rows(out(2)._2) ==
+      rows(direct.runQuery("#combine(class import)", 15, ws)))
+
+    // stopper words null the query term like setStopwords
+    val stopped = RunQuery.execute(
+      RunQuery.environmentFor(spark, idx,
+        p.copy(stopwords = Set("license"), queries = p.queries.take(1)), Analyzer()),
+      p.copy(stopwords = Set("license"), queries = p.queries.take(1)))
+    val direct2 = new Engine(spark, idx,
+      Analyzer(stopwords = Set("license")),
+      ScoringRule.parse("method:dirichlet,mu:1000"))
+    assert(rows(stopped.head._2) ==
+      rows(direct2.runQuery("#combine(return license)", 15)))
+  }
+
+  test("fbDocs routes through RM3 blind feedback") {
+    val xml =
+      """<parameters>
+        |  <query>#combine(return license)</query>
+        |  <count>10</count><rule>method:dirichlet</rule>
+        |  <fbDocs>5</fbDocs><fbTerms>8</fbTerms><fbOrigWeight>0.6</fbOrigWeight>
+        |</parameters>""".stripMargin
+    val p = RunQuery.parseParams(xml)
+    val eng = RunQuery.environmentFor(spark, idx, p, Analyzer())
+    val got = RunQuery.execute(eng, p).head._2.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.search.RelevanceModel.runRm3(
+      new Engine(spark, idx, Analyzer(), ScoringRule.parse("method:dirichlet")),
+      "#combine(return license)", 10,
+      graft.search.RelevanceModel.Params(fbDocs = 5, fbTerms = 8, fbOrigWeight = 0.6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("TREC lines carry number Q0 docno rank score runID; docno from metadata") {
+    val p = RunQuery.Params(trecFormat = true, runID = "graftRun", count = 5,
+      rule = Some("method:okapi"))
+    val eng = RunQuery.environmentFor(spark, idx, p, Analyzer())
+    eng.setMetadata(docsDf.select(col("docId"),
+      concat(lit("D"), col("docId")).as("docno")))
+    val res = eng.runQuery("#combine(return license)", 5)
+    val lines = RunQuery.trecLines(eng, "151", res, p).collect()
+    assert(lines.length == 5)
+    val scores = res.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    lines.zipWithIndex.foreach { case (row, i) =>
+      val (docId, score) = scores(i)
+      assert(row.getString(0) == "151" && row.getInt(1) == i + 1)
+      assert(row.getString(3) ==
+        s"151 Q0 D$docId ${i + 1} ${RunQuery.cppDouble(score)} graftRun")
+    }
+    // non-TREC default: score \t docno \t 0 \t 0
+    val plain = RunQuery.trecLines(eng, "151", res, p.copy(trecFormat = false))
+      .collect().head
+    assert(plain.getString(3) ==
+      s"${RunQuery.cppDouble(scores.head._2)}\tD${scores.head._1}\t0\t0")
+    // without metadata, docno falls back to the docId
+    val bare = RunQuery.environmentFor(spark, idx, p, Analyzer())
+    val l0 = RunQuery.trecLines(bare, "1", res, p).collect().head
+    assert(l0.getString(3).startsWith(s"1 Q0 ${scores.head._1} 1 "))
+  }
+
+  test("openEnvironment federates stored repositories (kernel-only view)") {
+    val d1 = java.nio.file.Files.createTempDirectory("rq-repo1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("rq-repo2").toString
+    SegmentStore.writeAll(
+      IndexBuilder.build(docsDf.where(col("docId") <= 150), cfg), d1, cfg)
+    SegmentStore.writeAll(
+      IndexBuilder.build(
+        docsDf.where(col("docId") > 150).withColumn("docId", col("docId") - 150),
+        cfg), d2, cfg)
+    val xml =
+      s"""<parameters>
+         |  <index>$d1</index>
+         |  <index>$d2</index>
+         |  <query>#combine(return license def)</query>
+         |  <count>20</count>
+         |  <baseline>okapi</baseline>
+         |</parameters>""".stripMargin
+    val p = RunQuery.parseParams(xml)
+    val eng = RunQuery.openEnvironment(spark, p, Analyzer())
+    val got = RunQuery.execute(eng, p).head._2.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val whole = new Engine(spark, idx, Analyzer(), ScoringRule(method = "okapi"))
+    assert(got == whole.runQuery("#combine(return license def)", 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(got.exists(_._1 <= 150) && got.exists(_._1 > 150))
+  }
+}

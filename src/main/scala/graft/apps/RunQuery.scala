@@ -53,59 +53,36 @@ object RunQuery {
   // parameter parsing
   // ------------------------------------------------------------------
 
-  /** Parse an indri `<parameters>` XML document. Repeated elements
-    * accumulate in order, exactly like the reference Parameters tree.
+  /** Parse an indri `<parameters>` XML document into the typed app
+    * params — the reference app's typed reads off the [[ParamTree]].
+    * Repeated elements accumulate in order.
     */
-  def parseParams(xml: String): Params = {
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    val doc = dbf.newDocumentBuilder()
-      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
-    val root = doc.getDocumentElement
-    require(root.getNodeName == "parameters",
-      s"expected <parameters> root, got <${root.getNodeName}>")
+  def parseParams(xml: String): Params = fromTree(ParamTree.parseXml(xml))
 
-    def children(n: org.w3c.dom.Node): Seq[org.w3c.dom.Element] = {
-      val l = n.getChildNodes
-      (0 until l.getLength).map(l.item).collect {
-        case e: org.w3c.dom.Element => e
-      }
-    }
-    def text(e: org.w3c.dom.Element): String = e.getTextContent.trim
-
-    var p = Params()
-    for (e <- children(root)) e.getNodeName match {
-      case "index" | "server" => p = p.copy(indexPaths = p.indexPaths :+ text(e))
-      case "query" =>
-        val kids = children(e)
-        val byName = kids.groupBy(_.getNodeName)
-        val q =
-          if (kids.isEmpty) QuerySpec(None, text(e))
-          else QuerySpec(
-            number = byName.get("number").map(n => text(n.head)),
-            // bare text fallback when no <text> child — reference
-            // push_queue reads the element value itself
-            text = byName.get("text").map(n => text(n.head)).getOrElse(text(e)),
-            workingSet = byName.getOrElse("workingSetDocno", Nil).map(text),
-            feedbackDocs = byName.getOrElse("feedbackDocno", Nil).map(text))
-        p = p.copy(queries = p.queries :+ q)
-      case "count" => p = p.copy(count = text(e).toInt)
-      case "rule" => p = p.copy(rule = Some(text(e)))
-      case "baseline" => p = p.copy(baseline = Some(text(e)))
-      case "stopper" =>
-        p = p.copy(stopwords = p.stopwords ++
-          children(e).filter(_.getNodeName == "word").map(text))
-      case "runID" => p = p.copy(runID = text(e))
-      case "trecFormat" =>
-        p = p.copy(trecFormat = text(e) == "true" || text(e) == "1")
-      case "queryOffset" => p = p.copy(queryOffset = text(e).toInt)
-      case "fbDocs" => p = p.copy(fbDocs = text(e).toInt)
-      case "fbTerms" => p = p.copy(fbTerms = text(e).toInt)
-      case "fbOrigWeight" => p = p.copy(fbOrigWeight = text(e).toDouble)
-      case _ => // memory/threads/etc: execution knobs Spark owns
-    }
-    p
-  }
+  def fromTree(t: ParamTree): Params = Params(
+    indexPaths = t.kids.collect {
+      case (n, v) if n == "index" || n == "server" => v.value
+    },
+    queries = t.all("query").map { q =>
+      if (q.kids.isEmpty) QuerySpec(None, q.value)
+      else QuerySpec(
+        number = q.first("number").map(_.value),
+        // bare text fallback when no <text> child — reference
+        // push_queue reads the element value itself
+        text = q.first("text").map(_.value).getOrElse(q.value),
+        workingSet = q.all("workingSetDocno").map(_.value),
+        feedbackDocs = q.all("feedbackDocno").map(_.value))
+    },
+    count = t.getInt("count", 1000),
+    rule = t.getOpt("rule"),
+    baseline = t.getOpt("baseline"),
+    stopwords = t.list("stopper.word").toSet,
+    runID = t.get("runID", "indri"),
+    trecFormat = t.getBool("trecFormat", default = false),
+    queryOffset = t.getInt("queryOffset", 0),
+    fbDocs = t.getInt("fbDocs", 0),
+    fbTerms = t.getInt("fbTerms", 10),
+    fbOrigWeight = t.getDouble("fbOrigWeight", 0.5))
 
   /** `-key=value` command-line overlay (Parameters::loadCommandLine);
     * `-stopper.word=x` appends a stopword like the reference's dotted

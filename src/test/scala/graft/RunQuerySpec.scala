@@ -64,6 +64,39 @@ class RunQuerySpec extends AnyFunSuite {
     assert(o.queries.last.text == "val var" && o.runID == "other" && !o.trecFormat)
   }
 
+  test("ParamTree: ordered multi-map reads + dotted command-line overlay") {
+    import graft.apps.ParamTree
+    val t = ParamTree.parseXml(
+      """<parameters>
+        |  <corpus><path>/a</path><class>trectext</class></corpus>
+        |  <corpus><path>/b</path></corpus>
+        |  <field><name>title</name><numeric>false</numeric></field>
+        |  <stopper><word>the</word></stopper>
+        |  <count>10</count>
+        |</parameters>""".stripMargin)
+    // repeated complex elements accumulate in document order
+    assert(t.all("corpus").flatMap(_.getOpt("path")) == Seq("/a", "/b"))
+    // dotted list read walks EVERY matching branch
+    assert(t.list("corpus.path") == Seq("/a", "/b"))
+    assert(t.list("stopper.word") == Seq("the"))
+    // scalar reads: last occurrence wins (loadCommandLine override shape)
+    val o = ParamTree.overlay(t,
+      Seq("-count=99", "-stopper.word=of", "-corpus.path=/c",
+        "-newblock.inner=x"))
+    assert(o.getInt("count", 1) == 99)
+    // leaf appends; intermediate path elements reuse the LAST block —
+    // so -corpus.path extends corpus[/b], not corpus[/a]
+    assert(o.list("stopper.word") == Seq("the", "of"))
+    assert(o.all("corpus").flatMap(_.all("path")).map(_.value)
+      == Seq("/a", "/b", "/c"))
+    assert(o.all("corpus")(1).list("path") == Seq("/b", "/c"))
+    // absent intermediate blocks are created
+    assert(o.get("newblock.inner", "") == "x")
+    // typed defaults
+    assert(t.getBool("trecFormat", default = false) == false)
+    assert(t.get("field.name", "") == "title")
+  }
+
   test("baseline translates to scoring rules like QueryEnvironment::setBaseline") {
     val p = RunQuery.Params()
     assert(RunQuery.scoringSpec(p.copy(baseline = Some("tfidf,k1:1.0,b:0.3")))

@@ -564,6 +564,53 @@ object SparkEntry {
         .orderBy(col("query_number"), col("rk"))
     }),
 
+    "q_buildindex" -> ((s, dir) => {
+      // the IndriBuildIndex → IndriRunQuery lifecycle end-to-end ON
+      // DISK: a corpus parquet of (repo, path, commit, content) rows →
+      // build params XML → BuildIndex.run (dense docIds over
+      // (repo,path,commit), segment tables + docno metadata persisted,
+      // resumable) → RunQuery opens the STORED repository, attaches the
+      // persisted metadata, and prints TREC lines through the DAAT
+      // kernel. path = %08d of doc_id makes the (repo,path,commit)
+      // ordering monotone in doc_id, so the app's assigned docId is
+      // row_number() OVER (ORDER BY doc_id) in the oracle, and docno =
+      // 'r0/'||path||'@c0' is rebuildable text on both engines.
+      import graft.apps.{BuildIndex, RunQuery}
+      val corpusTmp = java.nio.file.Files.createTempDirectory("graft-bi-c").toString
+      val repoTmp = java.nio.file.Files.createTempDirectory("graft-bi-r").toString
+      documents(s, dir).select(
+        lit("r0").as("repo"),
+        format_string("%08d", col("doc_id")).as("path"),
+        lit("c0").as("commit"),
+        col("text").as("content"))
+        .write.mode("overwrite").parquet(corpusTmp)
+      val bp = BuildIndex.parseParams(
+        s"""<parameters>
+           |  <index>$repoTmp</index>
+           |  <corpus><path>$corpusTmp</path><class>parquet</class></corpus>
+           |  <memory>500M</memory>
+           |</parameters>""".stripMargin)
+      BuildIndex.run(s, bp, cfg)
+      val rp = RunQuery.parseParams(
+        s"""<parameters>
+           |  <index>$repoTmp</index>
+           |  <query>${BmTerms.mkString(" ")}</query>
+           |  <count>15</count>
+           |  <baseline>okapi</baseline>
+           |  <runID>graft</runID>
+           |  <trecFormat>true</trecFormat>
+           |</parameters>""".stripMargin)
+      val eng = RunQuery.openEnvironment(s, rp, cfg.analyzer)
+      RunQuery.execute(eng, rp).map { case (num, df) =>
+        RunQuery.trecLines(eng, num,
+          df.select(col("docId"), round(col("score"), 6).as("score")),
+          rp, fixedPrecision = Some(6))
+      }.reduce(_ unionByName _)
+        .select(col("query_number"), col("rank").cast(LongType).as("rk"),
+          col("docId").as("doc_id"), col("line"))
+        .orderBy(col("rk"))
+    }),
+
     "q_federated" -> ((s, dir) => {
       // the same flat BM25 bag through a TWO-repository federation
       // (addIndex): global stats sum across members, docIds rebase onto
@@ -1704,6 +1751,35 @@ object SparkEntry {
          |  query_number || ' Q0 D' || doc_id::VARCHAR || ' ' || rk::VARCHAR ||
          |  ' ' || printf('%.6f', score) || ' graft' AS line
          |FROM u ORDER BY query_number, rk""".stripMargin,
+    "q_buildindex" ->
+      s"""$DTok, ids AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS new_id,
+         |         'r0/' || printf('%08d', doc_id) || '@c0' AS docno
+         |  FROM documents
+         |), st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |), r AS (
+         |  SELECT ids.new_id, ids.docno,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC, ids.new_id) AS rk,
+         |    round(s, 6) AS score
+         |  FROM sc JOIN ids USING(doc_id)
+         |)
+         |SELECT '0' AS query_number, rk, new_id AS doc_id,
+         |  '0 Q0 ' || docno || ' ' || rk::VARCHAR || ' ' ||
+         |  printf('%.6f', score) || ' graft' AS line
+         |FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin,
+
     "q_bm25_daat" -> bm25Sql(BmTerms, 20),
 
     // tfidf: score = (tw·idf·k1)·tf / (tf + k1(1−b) + k1·b/avgdl·dl),

@@ -698,8 +698,20 @@ object Stemmers {
 final case class Analyzer(
     mode: String = "indri",
     stopwords: Set[String] = Set.empty,
-    stemmer: Stemmer = NoStemmer
+    stemmer: Stemmer = NoStemmer,
+    normalize: Boolean = true
 ) extends Serializable {
+
+  /** `<normalize>false</normalize>` drops the whole normalization step —
+    * dot/apostrophe removal AND case folding (reference:
+    * src/Repository.cpp:144-149 skips both NormalizationTransformation
+    * and UTF8CaseNormalizationTransformation). Length capping, stopping
+    * and stemming still apply, and empty tokens still null out.
+    */
+  private def normalized(term: String): String =
+    if (normalize) Normalizer.normalize(term)
+    else if (term == null || term.isEmpty) null
+    else term
 
   /** Max indexable term length (reference: src/MemoryIndex.cpp:566-570,
     * Keyfile MAX_KEY_LENGTH=512 ⇒ terms with length ≥ 511 are nulled).
@@ -715,7 +727,7 @@ final case class Analyzer(
     val out = new Array[String](raw.length)
     var i = 0
     while (i < raw.length) {
-      var t = Normalizer.normalize(raw(i))
+      var t = normalized(raw(i))
       if (t != null && t.length > maxTermLength) t = null
       if (t != null && stopwords.contains(t)) t = null
       if (t != null) t = stemmer.stem(t)
@@ -738,7 +750,7 @@ final case class Analyzer(
         val out = new Array[String](raw.length)
         var i = 0
         while (i < raw.length) {
-          var t = Normalizer.normalize(raw(i))
+          var t = normalized(raw(i))
           if (t != null && t.length > maxTermLength) t = null
           if (t != null && stopwords.contains(t)) t = null
           if (t != null) t = stemmer.stem(t)
@@ -762,7 +774,7 @@ final case class Analyzer(
     * Returns null for terms that stop out / normalize to empty.
     */
   def processTerm(term: String): String = {
-    var t = Normalizer.normalize(term)
+    var t = normalized(term)
     if (t != null && t.length > maxTermLength) t = null
     if (t != null && stopwords.contains(t)) t = null
     if (t != null) t = stemmer.stem(t)

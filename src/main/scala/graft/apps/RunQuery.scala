@@ -135,7 +135,11 @@ object RunQuery {
 
   /** Open every `<index>` path and federate (addIndex semantics). The
     * stored handles are kernel-only views (postings = null), the same
-    * shape Bench queries stored repositories with.
+    * shape Bench queries stored repositories with. Repositories built by
+    * [[BuildIndex]] carry a metadata side table (docno + configured
+    * fields); when every member has one, it attaches — rebased onto the
+    * federation's documentBase offsets — so TREC lines print real
+    * docnos and workingSet/feedback docnos resolve.
     */
   def openEnvironment(spark: SparkSession, p: Params,
                       analyzer: Analyzer): Engine = {
@@ -146,7 +150,17 @@ object RunQuery {
         st.fieldExtents, numBuckets = st.numBuckets, segmentsBucketed = true)
     }
     val idx = if (members.size == 1) members.head else Federation.combine(members)
-    environmentFor(spark, idx, p, analyzer)
+    val eng = environmentFor(spark, idx, p, analyzer)
+    val metas = p.indexPaths.map(BuildIndex.openMetadata(spark, _))
+    if (metas.forall(_.isDefined)) {
+      val rebased =
+        if (members.size == 1) metas.head.get
+        else Federation.derivedBases(members).zip(metas).map { case (b, m) =>
+          m.get.withColumn("docId", col("docId") + lit(b))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      eng.setMetadata(rebased)
+    }
+    eng
   }
 
   /** Same assembly over an already-built index (tests / the driver

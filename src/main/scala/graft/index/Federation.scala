@@ -48,6 +48,25 @@ object Federation {
   def combine(indexes: Seq[InvertedIndex], documentBases: Seq[Long]): InvertedIndex =
     combineWithBases(indexes, Some(documentBases))
 
+  /** The documentBase `combine(indexes)` derives for each member — for
+    * rebasing per-member side tables (metadata) onto the federation's
+    * global id space. Mirrors combineWithBases' scanLeft: each base is
+    * past the previous non-empty member's max docId; zero-doc members
+    * contribute nothing and inherit the running base.
+    */
+  def derivedBases(indexes: Seq[InvertedIndex]): Seq[Long] = {
+    var acc = 0L
+    indexes.map { ix =>
+      if (ix.stats.totalDocs == 0) acc
+      else {
+        val r = ix.doclens.agg(min(col("docId")), max(col("docId"))).head()
+        val base = acc
+        acc = acc + r.getLong(1) + (if (r.getLong(0) >= 1L) 0L else 1L)
+        base
+      }
+    }
+  }
+
   private def combineWithBases(indexes0: Seq[InvertedIndex],
                                bases0: Option[Seq[Long]]): InvertedIndex = {
     require(indexes0.nonEmpty, "federation needs at least one member index")

@@ -30,13 +30,17 @@ final case class IndexConfig(
     topdocsMinDf: Long = 1000L,
     topdocsFraction: Double = 0.01,
     storePositions: Boolean = true,
-    fields: Seq[FieldSpec] = Nil
+    fields: Seq[FieldSpec] = Nil,
+    // <normalize>false</normalize> = index mixed-case, keep dots and
+    // apostrophes (reference: src/Repository.cpp:144-149)
+    normalize: Boolean = true
 ) {
   def analyzer: Analyzer =
-    Analyzer(analyzerMode, stopwords, graft.analysis.Stemmers.byName(stemmerName))
+    Analyzer(analyzerMode, stopwords,
+      graft.analysis.Stemmers.byName(stemmerName), normalize)
   /** stable fingerprint for resume checks */
   def fingerprint: String = {
-    val s = s"$analyzerMode|${stopwords.toSeq.sorted.mkString(",")}|$stemmerName|$blockSize|$numBuckets|$topdocsMinDf|$topdocsFraction|$storePositions|${fields.map(f => s"${f.name}:${f.parse}").mkString(",")}"
+    val s = s"$analyzerMode|${stopwords.toSeq.sorted.mkString(",")}|$stemmerName|$blockSize|$numBuckets|$topdocsMinDf|$topdocsFraction|$storePositions|${fields.map(f => s"${f.name}:${f.parse}").mkString(",")}|$normalize"
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -611,6 +611,35 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    "q_runquery_nexi" -> ((s, dir) => {
+      // IndriRunQuery with <type>nexi</type>: the CAS query routes
+      // through the NEXI grammar and the default (non-TREC) output
+      // lines print the scored EXTENTS — score\tdocno\tbegin\tend
+      // (reference: IndriRunQuery.cpp:475-480, ScoredExtentResult
+      // begin/end; queryType="nexi" in the usage block). Ranks ride
+      // the rounded score with (docId, begin) tiebreaks; docno falls
+      // back to the docId (no metadata attached).
+      import graft.apps.RunQuery
+      val xml =
+        """<parameters>
+          |  <query><number>N1</number><type>nexi</type>
+          |    <text>//head[about(., data merge)]</text></query>
+          |  <count>1000000</count>
+          |  <rule>method:dirichlet</rule>
+          |</parameters>""".stripMargin
+      val p = RunQuery.parseParams(xml)
+      fieldEngine(s, dir) // force the shared field-index build
+      val eng = RunQuery.environmentFor(s, fieldIndexCache.get(dir), p, cfg.analyzer)
+      val (num, df) = RunQuery.execute(eng, p).head
+      RunQuery.trecLines(eng, num,
+        df.select(col("docId"), col("begin"), col("end"),
+          round(col("score"), 6).as("score")),
+        p, fixedPrecision = Some(6))
+        .select(col("query_number"), col("rank").cast(LongType).as("rk"),
+          col("docId").as("doc_id"), col("line"))
+        .orderBy(col("rk"))
+    }),
+
     "q_federated" -> ((s, dir) => {
       // the same flat BM25 bag through a TWO-repository federation
       // (addIndex): global stats sum across members, docIds rebase onto
@@ -2177,6 +2206,33 @@ object SparkEntry {
          |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    "q_runquery_nexi" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge')
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS tfd,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS tfm
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |), sc AS (
+         |  SELECT t.doc_id, 0 AS b, least(10, dl.doclen) AS e,
+         |    round(0.5 * ln((t.tfd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0))
+         |        + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
+         |  FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |), r AS (
+         |  SELECT doc_id, b, e, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id, b) AS rk FROM sc
+         |)
+         |SELECT 'N1' AS query_number, rk, doc_id,
+         |  printf('%.6f', score) || chr(9) || doc_id::VARCHAR || chr(9) ||
+         |  b::VARCHAR || chr(9) || e::VARCHAR AS line
+         |FROM r ORDER BY rk""".stripMargin,
 
     // two-level shrinkage with a rule on lead (weight .3 absolute) and
     // recursive down-mixing, closed-form per doc:

@@ -27,13 +27,17 @@ import graft.search.{Engine, RelevanceModel, ScoringRule}
 object RunQuery {
 
   /** one parsed `<query>` element (reference: push_queue,
-    * runquery/IndriRunQuery.cpp:657-690)
+    * runquery/IndriRunQuery.cpp:657-690). `queryType` is the
+    * `<type>indri|nexi</type>` child — nexi routes through the NEXI
+    * grammar and returns scored extents (reference: IndriRunQuery.cpp
+    * usage block; QueryEnvironment parses NEXI when queryType="nexi").
     */
   final case class QuerySpec(
       number: Option[String],
       text: String,
       workingSet: Seq[String] = Nil,
-      feedbackDocs: Seq[String] = Nil)
+      feedbackDocs: Seq[String] = Nil,
+      queryType: String = "indri")
 
   final case class Params(
       indexPaths: Seq[String] = Nil,
@@ -71,7 +75,12 @@ object RunQuery {
         // push_queue reads the element value itself
         text = q.first("text").map(_.value).getOrElse(q.value),
         workingSet = q.all("workingSetDocno").map(_.value),
-        feedbackDocs = q.all("feedbackDocno").map(_.value))
+        feedbackDocs = q.all("feedbackDocno").map(_.value),
+        queryType = q.get("type", "indri") match {
+          case t @ ("indri" | "nexi") => t
+          case other => throw new IllegalArgumentException(
+            s"unknown query type '$other' (indri|nexi)")
+        })
     },
     count = t.getInt("count", 1000),
     rule = t.getOpt("rule"),
@@ -202,7 +211,8 @@ object RunQuery {
       (i, q.number.getOrElse((p.queryOffset + i).toString), q)
     }
     val plain = numbered.filter { case (_, _, q) =>
-      q.workingSet.isEmpty && q.feedbackDocs.isEmpty && p.fbDocs == 0
+      q.queryType == "indri" &&
+        q.workingSet.isEmpty && q.feedbackDocs.isEmpty && p.fbDocs == 0
     }
     val batched: Map[Int, DataFrame] =
       if (plain.isEmpty) Map.empty
@@ -210,7 +220,11 @@ object RunQuery {
         .zip(plain).map { case ((_, df), (i, _, _)) => i -> df }.toMap
     numbered.map { case (i, num, q) =>
       val df = batched.getOrElse(i, {
-        if (q.workingSet.nonEmpty)
+        if (q.queryType == "nexi")
+          // scored extents (docId, begin, end, score) — the extent
+          // bounds ride into the output lines
+          engine.runNexi(q.text, p.count)
+        else if (q.workingSet.nonEmpty)
           engine.runQuery(q.text, p.count, resolveDocs(q.workingSet).toDF("docId"))
         else if (q.feedbackDocs.nonEmpty) {
           // true relevance feedback: RM over EXACTLY the named docs
@@ -267,10 +281,15 @@ object RunQuery {
     */
   def trecLines(engine: Engine, number: String, results: DataFrame,
                 p: Params, fixedPrecision: Option[Int] = None): DataFrame = {
+    // extent results (NEXI / passage queries) carry begin/end columns:
+    // they tiebreak the ranking and print in the non-TREC line
+    val hasExtents = results.columns.contains("begin")
+    val order =
+      if (hasExtents) Seq(col("score").desc, col("docId").asc, col("begin").asc)
+      else Seq(col("score").desc, col("docId").asc)
     val ranked = results
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("docId").asc)))
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
     val withName = scala.util.Try(
       engine.documentMetadata(ranked.select("docId"), Seq("docno"))).toOption match {
       case Some(meta) =>
@@ -283,12 +302,15 @@ object RunQuery {
       case Some(n) => format_string(s"%.${n}f", round(col("score"), n))
       case None => udf((d: Double) => cppDouble(d)).apply(col("score"))
     }
+    val (beginTxt, endTxt) =
+      if (hasExtents) (col("begin").cast("string"), col("end").cast("string"))
+      else (lit("0"), lit("0"))
     val line =
       if (p.trecFormat)
         concat_ws(" ", lit(number), lit("Q0"), col("docno"),
           col("rank").cast("string"), scoreTxt, lit(p.runID))
       else
-        concat_ws("\t", scoreTxt, col("docno"), lit("0"), lit("0"))
+        concat_ws("\t", scoreTxt, col("docno"), beginTxt, endTxt)
     withName.select(lit(number).as("query_number"), col("rank"),
       col("docId"), line.as("line"))
       .orderBy(col("rank"))

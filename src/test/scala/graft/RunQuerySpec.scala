@@ -168,6 +168,37 @@ class RunQuerySpec extends AnyFunSuite {
       rows(direct2.runQuery("#combine(return license)", 15)))
   }
 
+  test("query type=nexi routes through the NEXI grammar; extents print") {
+    val xml =
+      """<parameters>
+        |  <query><number>N1</number><type>nexi</type>
+        |    <text>return license</text></query>
+        |  <query><type>indri</type><text>#combine(return license)</text></query>
+        |  <count>10</count><rule>method:dirichlet</rule>
+        |</parameters>""".stripMargin
+    val p = RunQuery.parseParams(xml)
+    assert(p.queries.map(_.queryType) == Seq("nexi", "indri"))
+    intercept[IllegalArgumentException](RunQuery.parseParams(
+      "<parameters><query><type>sql</type><text>x</text></query></parameters>"))
+    val eng = RunQuery.environmentFor(spark, idx, p, Analyzer())
+    val out = RunQuery.execute(eng, p)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("docId", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // CO NEXI 'return license' ≡ #combine(return license): same engine,
+    // same ranking (reference: nexilang.g CO path → CombineNode)
+    assert(rows(out(0)._2) == rows(eng.runNexi("return license", 10)))
+    assert(rows(out(0)._2) == rows(out(1)._2))
+
+    // extent results carry begin/end into the default output line and
+    // tiebreak the ranking (ScoredExtentResult begin/end)
+    val extents = Seq((5L, 2, 7, -1.5), (5L, 0, 3, -1.5), (9L, 1, 4, -0.5))
+      .toDF("docId", "begin", "end", "score")
+    val lines = RunQuery.trecLines(eng, "N1", extents, p.copy(trecFormat = false))
+      .select("line").collect().map(_.getString(0))
+    assert(lines.toSeq == Seq("-0.5\t9\t1\t4", "-1.5\t5\t0\t3", "-1.5\t5\t2\t7"))
+  }
+
   test("fbDocs routes through RM3 blind feedback") {
     val xml =
       """<parameters>

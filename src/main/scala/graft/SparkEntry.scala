@@ -181,6 +181,37 @@ object SparkEntry {
 
   private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 256, numBuckets = 8)
 
+  /** One on-disk repository per sf dir, built through the BuildIndex
+    * APPLICATION lifecycle (corpus parquet → param XML → build + write +
+    * docno metadata). path = %08d of doc_id keeps the (repo,path,commit)
+    * ordering monotone in doc_id, so the dense assigned docId equals
+    * row_number() OVER (ORDER BY doc_id) in the DuckDB oracles, and
+    * docno = 'r0/'||path||'@c0' is rebuildable text on both engines.
+    * Shared by every dumpindex/runquery-over-stored-repo driver query.
+    */
+  private val storedRepoCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storedRepo(s: SparkSession, dir: String): String =
+    storedRepoCache.computeIfAbsent(dir, _ => {
+      import graft.apps.BuildIndex
+      val corpusTmp = java.nio.file.Files.createTempDirectory("graft-bi-c").toString
+      val repoTmp = java.nio.file.Files.createTempDirectory("graft-bi-r").toString
+      documents(s, dir).select(
+        lit("r0").as("repo"),
+        format_string("%08d", col("doc_id")).as("path"),
+        lit("c0").as("commit"),
+        col("text").as("content"))
+        .write.mode("overwrite").parquet(corpusTmp)
+      val bp = BuildIndex.parseParams(
+        s"""<parameters>
+           |  <index>$repoTmp</index>
+           |  <corpus><path>$corpusTmp</path><class>parquet</class></corpus>
+           |  <memory>500M</memory>
+           |</parameters>""".stripMargin)
+      BuildIndex.run(s, bp, cfg)
+      repoTmp
+    })
+
   // one index build per sf dir per JVM: Verify/Bench run ~40 queries
   // against the same corpus — rebuilding per query would dominate wall
   // time. Cached DataFrames are persisted (MEMORY_AND_DISK default).
@@ -575,22 +606,8 @@ object SparkEntry {
       // ordering monotone in doc_id, so the app's assigned docId is
       // row_number() OVER (ORDER BY doc_id) in the oracle, and docno =
       // 'r0/'||path||'@c0' is rebuildable text on both engines.
-      import graft.apps.{BuildIndex, RunQuery}
-      val corpusTmp = java.nio.file.Files.createTempDirectory("graft-bi-c").toString
-      val repoTmp = java.nio.file.Files.createTempDirectory("graft-bi-r").toString
-      documents(s, dir).select(
-        lit("r0").as("repo"),
-        format_string("%08d", col("doc_id")).as("path"),
-        lit("c0").as("commit"),
-        col("text").as("content"))
-        .write.mode("overwrite").parquet(corpusTmp)
-      val bp = BuildIndex.parseParams(
-        s"""<parameters>
-           |  <index>$repoTmp</index>
-           |  <corpus><path>$corpusTmp</path><class>parquet</class></corpus>
-           |  <memory>500M</memory>
-           |</parameters>""".stripMargin)
-      BuildIndex.run(s, bp, cfg)
+      import graft.apps.RunQuery
+      val repoTmp = storedRepo(s, dir)
       val rp = RunQuery.parseParams(
         s"""<parameters>
            |  <index>$repoTmp</index>
@@ -609,6 +626,30 @@ object SparkEntry {
         .select(col("query_number"), col("rank").cast(LongType).as("rk"),
           col("docId").as("doc_id"), col("line"))
         .orderBy(col("rk"))
+    }),
+
+    "q_dumpindex" -> ((s, dir) => {
+      // dumpindex `tp merge` over the STORED repository: only that
+      // term's segment blocks decode (the term filter lands on the
+      // bucketed segments scan before the decode flatMap), the argument
+      // stems through the repository's recorded chain, and positions
+      // round-trip the delta+varint codec
+      import graft.apps.DumpIndex
+      DumpIndex.command(s, storedRepo(s, dir), "tp", Seq("merge"))
+        .select(col("docId").as("doc_id"), col("tf"),
+          explode(col("positions")).as("p"))
+        .select(col("doc_id"), col("tf"), col("p").cast(LongType).as("pos"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_dumpindex_dn" -> ((s, dir) => {
+      // dumpindex `dn` — docno metadata of stored docIds (and the
+      // reverse `di` lookup round-trips them, asserted in DumpIndexSpec)
+      import graft.apps.DumpIndex
+      DumpIndex.command(s, storedRepo(s, dir), "dn",
+        (1L to 25L).map(_.toString))
+        .select(col("docId").as("doc_id"), col("docno"))
+        .orderBy("doc_id")
     }),
 
     "q_runquery_nexi" -> ((s, dir) => {
@@ -2206,6 +2247,27 @@ object SparkEntry {
          |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    "q_dumpindex" ->
+      s"""$DTok, ids AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS new_id
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok
+         |  WHERE term = 'merge' GROUP BY doc_id
+         |)
+         |SELECT ids.new_id AS doc_id, p.tf, (t.pos - 1)::BIGINT AS pos
+         |FROM tok t JOIN p USING(doc_id) JOIN ids USING(doc_id)
+         |WHERE t.term = 'merge' ORDER BY doc_id, pos""".stripMargin,
+
+    "q_dumpindex_dn" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS new_id,
+         |         'r0/' || printf('%08d', doc_id) || '@c0' AS docno
+         |  FROM documents
+         |)
+         |SELECT new_id AS doc_id, docno FROM ids
+         |WHERE new_id BETWEEN 1 AND 25 ORDER BY doc_id""".stripMargin,
 
     "q_runquery_nexi" ->
       s"""$DTok, st AS (

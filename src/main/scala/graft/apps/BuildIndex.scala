@@ -3,6 +3,7 @@ package graft.apps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.analysis.Analyzer
 import graft.index.{FieldSpec, IndexBuilder, IndexConfig, InvertedIndex, SegmentStore}
 
 /** The IndriBuildIndex application surface (reference:
@@ -180,6 +181,7 @@ object BuildIndex {
       IndexBuilder.assignDocIdsScalableCached(withSha, Seq("repo", "path", "commit"))
     val idx = IndexBuilder.build(docs.select(col("docId"), col("content")), cfg)
     SegmentStore.writeAll(idx, p.repoPath, cfg)
+    writeChain(p.repoPath, cfg)
     docs.select(
       col("docId") +:
         docno(col("repo"), col("path"), col("commit")).as("docno") +:
@@ -191,6 +193,44 @@ object BuildIndex {
   }
 
   def metadataDir(repoPath: String): String = s"$repoPath/metadata"
+
+  private def chainFile(repoPath: String) =
+    java.nio.file.Paths.get(repoPath, "analysis.properties")
+
+  /** Persist the analysis chain in the repository, like the reference
+    * manifest (Repository::save writes the parameters — stemmer,
+    * stopper, normalize — so QueryEnvironment reopens with the SAME
+    * chain the documents were indexed with, src/Repository.cpp:
+    * _copyParameters/save).
+    */
+  def writeChain(repoPath: String, cfg: IndexConfig): Unit = {
+    val lines = Seq(s"mode=${cfg.analyzerMode}",
+      s"stemmer=${cfg.stemmerName}", s"normalize=${cfg.normalize}") ++
+      cfg.stopwords.toSeq.sorted.map(w => s"stopword=$w")
+    java.nio.file.Files.writeString(chainFile(repoPath),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  /** The analyzer a repository was built with, when the repo records
+    * its chain. Openers prefer this over a caller-supplied analyzer —
+    * querying through a different chain than the index's is always a
+    * bug (terms would stem/stop differently than the postings).
+    */
+  def storedAnalyzer(repoPath: String): Option[Analyzer] = {
+    val f = chainFile(repoPath)
+    if (!java.nio.file.Files.exists(f)) return None
+    val kvs = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(f)).asScala
+      .filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+    def one(k: String, d: String) = kvs.collectFirst { case (`k`, v) => v }.getOrElse(d)
+    Some(Analyzer(
+      mode = one("mode", "indri"),
+      stopwords = kvs.collect { case ("stopword", w) => w }.toSet,
+      stemmer = graft.analysis.Stemmers.byName(one("stemmer", "none")),
+      normalize = one("normalize", "true") == "true"))
+  }
 
   /** metadata table of a stored repository, when the repo has one */
   def openMetadata(spark: SparkSession, repoPath: String): Option[DataFrame] =

@@ -159,7 +159,15 @@ object RunQuery {
         st.fieldExtents, numBuckets = st.numBuckets, segmentsBucketed = true)
     }
     val idx = if (members.size == 1) members.head else Federation.combine(members)
-    val eng = environmentFor(spark, idx, p, analyzer)
+    // repositories record their analysis chain (BuildIndex.writeChain):
+    // when every member agrees, query through THAT chain — stemming or
+    // stopping queries differently than the postings is always wrong
+    val chains = p.indexPaths.flatMap(BuildIndex.storedAnalyzer)
+    val az =
+      if (chains.size == p.indexPaths.size && chains.distinct.size == 1)
+        chains.head
+      else analyzer
+    val eng = environmentFor(spark, idx, p, az)
     val metas = p.indexPaths.map(BuildIndex.openMetadata(spark, _))
     if (metas.forall(_.isDefined)) {
       val rebased =

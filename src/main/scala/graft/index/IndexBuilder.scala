@@ -442,6 +442,33 @@ object IndexBuilder {
     }
   }
 
+  /** Decode segment blocks back to posting rows (term, docId, tf,
+    * positions, doclen) — the inspection surface over a STORED
+    * repository (dumpindex t/tp/dv, reference: dumpindex/dumpindex.cpp
+    * print_term_positions / print_document_vector). The term filter
+    * lands on the segments scan BEFORE the decode flatMap, so parquet
+    * row groups of other terms never decompress; pass a block
+    * predicate (e.g. firstDoc/lastDoc bounds) the same way via
+    * `blockFilter`. Decode itself is map-side only — no shuffle.
+    */
+  def decodePostings(segments: DataFrame, terms: Seq[String] = Nil,
+                     blockFilter: Column = lit(true)): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val sel = (if (terms.isEmpty) segments
+               else segments.where(col("term").isin(terms: _*)))
+      .where(blockFilter)
+      .select("term", "bucket", "firstDoc", "lastDoc", "numDocs", "maxTf",
+        "minDl", "docsDelta", "tfs", "dls", "positionsDelta")
+    sel.as[SegmentBlock].flatMap { b =>
+      val (ds, tfs, dls, pos) = decodeBlock(b)
+      ds.indices.map { i =>
+        (b.term, ds(i), tfs(i),
+          if (pos.nonEmpty) pos(i).toSeq else Seq.empty[Int], dls(i))
+      }
+    }.toDF("term", "docId", "tf", "positions", "doclen")
+  }
+
   /** Decode a segment block back to (docId, tf, doclen, positions). */
   def decodeBlock(b: SegmentBlock): (Array[Long], Array[Int], Array[Int], Array[Array[Int]]) = {
     val docs = BlockCodec.decodeDeltas(b.docsDelta, b.numDocs)

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.apps.{BuildIndex, DumpIndex}
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Engine, QueryParser, ScoringRule}
+
+/** The dumpindex application surface over a STORED repository: every
+  * command must agree with the in-memory index the repository was built
+  * from — term postings (stemmed through the repo's recorded chain,
+  * stopwords empty out), field extents, expression list/counts,
+  * document vectors, vocabulary, stats, and both metadata lookups.
+  */
+class DumpIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // tiny tagged corpus: head fields, krovetz-stemmable words, a stopword
+  private lazy val corpusRows = (1 to 40).map { i =>
+    val extra = ("merges " * (i % 3)) + ("stacks " * (i % 2))
+    ("r1", f"p$i%04d", "c1",
+      s"<head>merge data block$i</head> the $extra data merge")
+  }
+
+  private lazy val repoDir: String = {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-di-c").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft-di-r").toString
+    corpusRows.toDF("repo", "path", "commit", "content")
+      .write.mode("overwrite").parquet(corpusDir)
+    val p = BuildIndex.parseParams(
+      s"""<parameters>
+         |  <index>$rDir</index>
+         |  <corpus><path>$corpusDir</path></corpus>
+         |  <field><name>head</name></field>
+         |  <stemmer><name>krovetz</name></stemmer>
+         |  <stopper><word>the</word></stopper>
+         |</parameters>""".stripMargin)
+    BuildIndex.run(spark, p, IndexConfig(blockSize = 16, numBuckets = 4))
+    rDir
+  }
+
+  private lazy val cfg = IndexConfig(blockSize = 16, numBuckets = 4,
+    stemmerName = "krovetz", stopwords = Set("the"),
+    fields = Seq(graft.index.FieldSpec("head")))
+  private lazy val memIdx = IndexBuilder.buildFromCorpus(
+    corpusRows.toDF("repo", "path", "commit", "content"), cfg)
+
+  test("t/tp decode the stored blocks; argument stems through the chain") {
+    val tp = DumpIndex.command(spark, repoDir, "tp", Seq("merge"))
+      .select("docId", "tf", "positions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSeq
+    val mem = memIdx.postings.where(col("term") === "merge")
+      .select("docId", "tf", "positions").orderBy("docId").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Int](2))).toSeq
+    assert(tp == mem && tp.nonEmpty)
+    // 'Merges' normalizes + kstems to the same entry as 'merge'
+    val stemmed = DumpIndex.command(spark, repoDir, "t", Seq("Merges"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(stemmed == tp.map(t => (t._1, t._2)))
+    // stopwords dump an empty list, like a term the chain nulls out
+    assert(DumpIndex.command(spark, repoDir, "t", Seq("the")).isEmpty)
+  }
+
+  test("fp dumps the stored field extents") {
+    val fp = DumpIndex.command(spark, repoDir, "fp", Seq("head"))
+      .select("docId", "begin", "end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mem = memIdx.fieldExtents.where(col("field") === "head")
+      .select("docId", "begin", "end").orderBy("docId", "begin").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong)).toSeq
+    assert(fp == mem && fp.size == 40)
+  }
+
+  test("e/x/dx evaluate expressions; only the expression's terms decode") {
+    val eng = new Engine(spark, memIdx, cfg.analyzer, ScoringRule(method = "okapi"))
+    val e = DumpIndex.command(spark, repoDir, "e", Seq("#od1(data merge)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mem = eng.expressionList("#od1(data merge)")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong)).toSeq
+    assert(e == mem && e.nonEmpty)
+    assert(DumpIndex.command(spark, repoDir, "x", Seq("#od1(data merge)"))
+      .head().getLong(0) == eng.expressionCount("#od1(data merge)"))
+    assert(DumpIndex.command(spark, repoDir, "dx", Seq("#od1(data merge)"))
+      .head().getLong(0) == eng.documentExpressionCount("#od1(data merge)"))
+    // the pruning precondition: term leaves are enumerable (no wildcard)
+    assert(QueryParser.termLeaves("#od1(data merge)").contains(Seq("data", "merge")))
+    assert(QueryParser.termLeaves("dat*").isEmpty)
+    assert(QueryParser.termLeaves("#any:head").contains(Nil))
+  }
+
+  test("dv rebuilds a document vector from block-pruned decode") {
+    val dv = DumpIndex.command(spark, repoDir, "dv", Seq("7"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val mem = memIdx.postings.where(col("docId") === 7)
+      .select(col("docId"), explode(col("positions")).as("pos"), col("term"))
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(dv == mem && dv.nonEmpty)
+  }
+
+  test("v and s dump the stored dictionary and corpus stats") {
+    val v = DumpIndex.command(spark, repoDir, "v", Seq())
+    assert(v.count() == memIdx.dictionary.count())
+    val s = DumpIndex.command(spark, repoDir, "s", Seq()).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) ==
+      (memIdx.stats.totalDocs, memIdx.stats.totalTerms, memIdx.stats.uniqueTerms))
+  }
+
+  test("di and dn round-trip docno metadata; dt refuses with the contract") {
+    val dn = DumpIndex.command(spark, repoDir, "dn", Seq("3"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(dn.length == 1 && dn.head._1 == 3L && dn.head._2.startsWith("r1/"))
+    val di = DumpIndex.command(spark, repoDir, "di", Seq("docno", dn.head._2))
+      .as[Long].collect()
+    assert(di.toSeq == Seq(3L))
+    val err = intercept[UnsupportedOperationException](
+      DumpIndex.command(spark, repoDir, "dt", Seq("3")))
+    assert(err.getMessage.contains("corpus"))
+    intercept[IllegalArgumentException](
+      DumpIndex.command(spark, repoDir, "bogus", Seq()))
+  }
+}

@@ -212,6 +212,35 @@ object SparkEntry {
       repoTmp
     })
 
+  /** storedRepo with a makeprior-installed prior "mp": docno → log
+    * prior for every 3rd document, fed through the FULL makeprior chain
+    * (text input file → docno resolution → install under
+    * `<repo>/prior/mp`) so q_makeprior exercises the application
+    * surface end-to-end (reference: makeprior/makeprior.cpp)
+    */
+  private val priorRepoCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def priorRepo(s: SparkSession, dir: String): String =
+    priorRepoCache.computeIfAbsent(dir, _ => {
+      import graft.apps.{BuildIndex, MakePrior}
+      val repo = storedRepo(s, dir)
+      // the repository re-assigns dense docIds; the ORIGINAL doc_id is
+      // the %08d path inside the docno ("r0/00000123@c0") — priors key
+      // off it so the DuckDB oracle works in parquet doc_id space
+      val docnos = s.read.parquet(BuildIndex.metadataDir(repo))
+        .select(col("docno")).collect().map(_.getString(0))
+      val lines = docnos.flatMap { dn =>
+        val origId = dn.substring(dn.indexOf('/') + 1, dn.indexOf('@')).toLong
+        if (origId % 3 == 0)
+          Some(s"$dn ${math.log(1.0 / (1 + origId % 5))}")
+        else None
+      }
+      val f = java.nio.file.Files.createTempFile("graft-mp-in", ".txt")
+      java.nio.file.Files.writeString(f, lines.mkString("\n"))
+      MakePrior.install(s, repo, "mp", MakePrior.readInput(s, f.toString))
+      repo
+    })
+
   // one index build per sf dir per JVM: Verify/Bench run ~40 queries
   // against the same corpus — rebuilding per query would dominate wall
   // time. Cached DataFrames are persisted (MEMORY_AND_DISK default).
@@ -628,6 +657,31 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    "q_makeprior" -> ((s, dir) => {
+      // makeprior → stored prior → RunQuery auto-attach → #prior(mp)
+      // under Dirichlet: every 3rd doc carries ln(1/(1+doc_id%5)), all
+      // others the dense −1e10 default (reference: makeprior/makeprior
+      // .cpp merge_sorted_runs lowProbability; src/PriorNode.cpp)
+      import graft.apps.RunQuery
+      val repo = priorRepo(s, dir)
+      val rp = RunQuery.parseParams(
+        s"""<parameters>
+           |  <index>$repo</index>
+           |  <query>#combine(data #prior(mp))</query>
+           |  <count>20</count>
+           |  <rule>method:dirichlet</rule>
+           |</parameters>""".stripMargin)
+      val eng = RunQuery.openEnvironment(s, rp, cfg.analyzer)
+      val res = RunQuery.execute(eng, rp).head._2
+      // stored docId → original parquet doc_id via the docno metadata
+      val meta = s.read.parquet(graft.apps.BuildIndex.metadataDir(repo))
+        .select(col("docId"),
+          regexp_extract(col("docno"), "/(\\d+)@", 1).cast(LongType).as("doc_id"))
+      res.join(meta, Seq("docId"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_dumpindex" -> ((s, dir) => {
       // dumpindex `tp merge` over the STORED repository: only that
       // term's segment blocks decode (the term filter lands on the
@@ -850,6 +904,41 @@ object SparkEntry {
         graft.search.RelevanceModel.Params(fbDocs = 10, fbTerms = 10))
         .select(col("term"), round(col("weight"), 6).as("weight"))
         .orderBy(col("weight").desc, col("term").asc)
+    }),
+
+    "q_rmodel_grams" -> ((s, dir) => {
+      // rmodel application core: BIGRAM relevance model from the top-10
+      // BM25 docs (reference: rmodel/rmodel.cpp, RelevanceModel
+      // _countGrams/_scoreGrams maxGrams=2, unsmoothed branch). Order on
+      // the rounded weight so cross-engine ULPs can't flip the cut.
+      val eng = engine(s, dir)
+      graft.search.RelevanceModel.gramModel(eng, s"#combine(${BmTerms.mkString(" ")})",
+        graft.search.RelevanceModel.GramParams(documents = 10, maxGrams = 2))
+        .select(col("gram"), col("n").cast(LongType).as("n"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy(col("weight").desc, col("gram").asc)
+        .limit(15)
+    }),
+
+    "q_clarity_app" -> ((s, dir) => {
+      // clarity application surface: SMOOTHED unigram RM (JM λ=0.4 — the
+      // reference default once its comma quirk eats "lambda,0.5") over
+      // the top-5 docs, per-term clarity contributions in bits
+      // (reference: clarity/clarity.cpp printClarity :83-112)
+      val eng = engine(s, dir)
+      val tt = eng.termCount().toDouble
+      val grams = graft.search.RelevanceModel.gramModel(
+        eng, s"#combine(${BmTerms.mkString(" ")})",
+        graft.search.RelevanceModel.GramParams(documents = 5, maxGrams = 1,
+          smoothing = Some(ScoringRule(method = "jm", lambda = 0.4))))
+      grams
+        .join(buildIndex(s, dir).dictionary.select(col("term").as("gram"),
+          col("ctf")), Seq("gram"))
+        .select(col("gram").as("term"), round(col("weight"), 6).as("pwq"),
+          round(col("weight") * log(col("weight") / (col("ctf") / lit(tt)))
+            / lit(math.log(2.0)), 6).as("bits"))
+        .orderBy(col("pwq").desc, col("term").asc)
+        .limit(10)
     }),
 
     "q_od1_phrase" -> ((s, dir) => {
@@ -2013,6 +2102,95 @@ object SparkEntry {
          |)
          |SELECT term, round(weight, 6) AS weight FROM sel""".stripMargin,
 
+    "q_rmodel_grams" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |), fb AS (
+         |  SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 10
+         |), mx AS (
+         |  SELECT max(s) AS m FROM fb
+         |), ex AS (
+         |  SELECT doc_id, exp(s - mx.m) AS e FROM fb CROSS JOIN mx
+         |), post AS (
+         |  SELECT doc_id, e / (SELECT sum(e) FROM ex) AS w FROM ex
+         |), uni AS (
+         |  SELECT doc_id, term AS gram, 1 AS n, count(*) AS c FROM tok
+         |  WHERE doc_id IN (SELECT doc_id FROM post) GROUP BY doc_id, term
+         |), bi AS (
+         |  SELECT t1.doc_id, t1.term || ' ' || t2.term AS gram, 2 AS n, count(*) AS c
+         |  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |  WHERE t1.doc_id IN (SELECT doc_id FROM post)
+         |  GROUP BY t1.doc_id, t1.term || ' ' || t2.term
+         |), g AS (
+         |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+         |), tw AS (
+         |  SELECT g.gram, g.n, sum(post.w * g.c::DOUBLE / dl.doclen) AS weight
+         |  FROM g JOIN post USING(doc_id) JOIN dl USING(doc_id)
+         |  GROUP BY g.gram, g.n HAVING sum(post.w * g.c::DOUBLE / dl.doclen) > 0
+         |)
+         |SELECT gram, n::BIGINT AS n, round(weight, 6) AS weight FROM tw
+         |ORDER BY round(weight, 6) DESC, gram LIMIT 15""".stripMargin,
+
+    "q_clarity_app" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl) AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(BmTerms)} GROUP BY term, doc_id
+         |), ts AS (
+         |  SELECT term, count(*) AS df FROM p GROUP BY term
+         |), sc AS (
+         |  SELECT p.doc_id,
+         |    sum( (ln((st.n - ts.df + 0.5) / (ts.df + 0.5)) * 2.2) * p.tf
+         |         / (p.tf + 0.3 + (0.9 / (st.tt::DOUBLE / st.n)) * dl.doclen) ) AS s
+         |  FROM p JOIN ts USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY p.doc_id
+         |), fb AS (
+         |  SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 5
+         |), mx AS (
+         |  SELECT max(s) AS m FROM fb
+         |), ex AS (
+         |  SELECT doc_id, exp(s - mx.m) AS e FROM fb CROSS JOIN mx
+         |), post AS (
+         |  SELECT doc_id, e / (SELECT sum(e) FROM ex) AS w FROM ex
+         |), cand AS (
+         |  SELECT DISTINCT term FROM tok WHERE doc_id IN (SELECT doc_id FROM post)
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok GROUP BY term
+         |), cnt AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE doc_id IN (SELECT doc_id FROM post) GROUP BY doc_id, term
+         |), tw AS (
+         |  -- exp(ln(·)) mirrors the engine's exp(scoreOccurrence(·))
+         |  -- round-trip; inner associativity matches the Scala factoring
+         |  -- 0.6·(occ/len) + 0.4·(ctf/|C|)
+         |  SELECT cand.term,
+         |    sum(post.w * exp(ln(0.6 * (coalesce(cnt.tf, 0)::DOUBLE / dl.doclen)
+         |                  + 0.4 * (ctf.ctf::DOUBLE / st.tt::DOUBLE)))) AS pwq,
+         |    max(ctf.ctf) AS ctf
+         |  FROM cand CROSS JOIN post
+         |  JOIN dl ON dl.doc_id = post.doc_id
+         |  JOIN ctf ON ctf.term = cand.term
+         |  CROSS JOIN st
+         |  LEFT JOIN cnt ON cnt.doc_id = post.doc_id AND cnt.term = cand.term
+         |  GROUP BY cand.term
+         |)
+         |SELECT term, round(pwq, 6) AS pwq,
+         |  round(pwq * ln(pwq / (ctf::DOUBLE / st.tt::DOUBLE)) / ln(2), 6) AS bits
+         |FROM tw CROSS JOIN st
+         |ORDER BY round(pwq, 6) DESC, term LIMIT 10""".stripMargin,
+
     "q_lm_dirichlet" -> dirichletSql(BmTerms, 20),
     "q_lm_jm" -> jmSql(BmTerms, 20),
 
@@ -2247,6 +2425,31 @@ object SparkEntry {
          |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    "q_makeprior" ->
+      // prior docs = doc_id%3==0 (the installed table); candidates =
+      // prior-table docs ∪ 'data' docs; non-prior candidates carry the
+      // dense −1e10 default and sink far below the top 20
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), ctf AS (
+         |  SELECT count(*) AS ctf FROM tok WHERE term = 'data'
+         |), cand AS (
+         |  SELECT doc_id FROM dl WHERE doc_id % 3 = 0
+         |  UNION
+         |  SELECT doc_id FROM p
+         |), sc AS (
+         |  SELECT cand.doc_id,
+         |    0.5 * ln((coalesce(p.tf, 0) + 2500.0 * ctf.ctf / st.tt) / (dl.doclen + 2500.0))
+         |    + 0.5 * (CASE WHEN cand.doc_id % 3 = 0
+         |             THEN ln(1.0 / (1.0 + cand.doc_id % 5)) ELSE -1e10 END) AS s
+         |  FROM cand JOIN dl USING(doc_id) LEFT JOIN p USING(doc_id)
+         |  CROSS JOIN st CROSS JOIN ctf
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_dumpindex" ->
       s"""$DTok, ids AS (

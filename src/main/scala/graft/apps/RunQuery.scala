@@ -177,6 +177,23 @@ object RunQuery {
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       eng.setMetadata(rebased)
     }
+    // priors installed by MakePrior attach by name; docs outside a
+    // member's table carry the reference lowProbability default, and
+    // federated members rebase like metadata (a prior name present in
+    // SOME members still covers the others through the default)
+    val bases =
+      if (members.size == 1) Seq(0L) else Federation.derivedBases(members)
+    val priorNames = p.indexPaths.flatMap(MakePrior.storedPriors).distinct
+    for (name <- priorNames) {
+      val tables = p.indexPaths.zip(bases).flatMap { case (dir, b) =>
+        if (MakePrior.storedPriors(dir).contains(name))
+          Some(MakePrior.open(spark, dir, name)
+            .withColumn("docId", col("docId") + lit(b)))
+        else None
+      }
+      eng.setPrior(name, tables.reduce(_.unionByName(_)),
+        defaultLog = MakePrior.DefaultLogPrior)
+    }
     eng
   }
 
@@ -264,10 +281,10 @@ object RunQuery {
     * zeros trimmed, two-digit exponent. Pinned against g++-generated
     * golden vectors in RunQuerySpec.
     */
-  def cppDouble(v: Double): String = {
+  def cppDouble(v: Double, precision: Int = 6): String = {
     if (v.isNaN) return "nan"
     if (v.isInfinite) return if (v > 0) "inf" else "-inf"
-    val s = String.format(java.util.Locale.ROOT, "%g", Double.box(v))
+    val s = String.format(java.util.Locale.ROOT, s"%.${precision}g", Double.box(v))
     val ei = s.indexOf('e')
     val (mant0, exp) = if (ei < 0) (s, "") else (s.substring(0, ei), s.substring(ei))
     val mant =

@@ -109,7 +109,24 @@ final case class InvertedIndex(
     topdocs: DataFrame = null // optional (term, docId, tf, length) hot-term
     // lists (buildTopdocs) — when present, WAND seeds its threshold from
     // them (reference: src/WeightedAndNode.cpp:119-186 candidate seeding)
-)
+) {
+
+  /** Positional postings usable over STORED repositories too: a
+    * kernel-only handle (postings == null — SegmentStore.open callers)
+    * decodes segment blocks on demand, so the whole belief/raw-extent
+    * surface (windows, priors, RM, document vectors) serves from disk
+    * exactly like the reference DiskIndex iterators
+    * (src/DiskDocListIterator.cpp). Pass `terms` whenever they are
+    * known: the typed decode flatMap blocks Catalyst predicate
+    * pushdown, so the term filter must land on the segments scan BEFORE
+    * the decode — IndexBuilder.decodePostings puts it there.
+    */
+  def postingsView(terms: Seq[String] = Nil): DataFrame =
+    if (postings != null) {
+      if (terms.isEmpty) postings
+      else postings.where(org.apache.spark.sql.functions.col("term").isin(terms: _*))
+    } else IndexBuilder.decodePostings(segments, terms)
+}
 
 final case class CorpusStats(totalDocs: Long, totalTerms: Long, uniqueTerms: Long) {
   /** avgdl = contextSize / documentCount — global, includes null slots

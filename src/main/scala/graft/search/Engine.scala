@@ -204,8 +204,7 @@ final class Engine(
   // ------------------------------------------------------------------
 
   private def termRaw(term: String): RawResult = {
-    val df = index.postings
-      .where(col("term") === term)
+    val df = index.postingsView(Seq(term))
       .select(
         col("docId"),
         col("positions").as("begins"),
@@ -1310,7 +1309,7 @@ final class Engine(
         odByChild.keys.map(i => phraseKey(i) -> Seq(i))
     val plainDf =
       if (livePlain.isEmpty) None
-      else Some(index.postings.where(col("term").isin(livePlain: _*))
+      else Some(index.postingsView(livePlain)
         .select(col("docId"), col("term"), col("positions")))
     val phraseDfs = odByChild.toSeq.sortBy(_._1).map { case (i, od) =>
       evaluateRaw(od).df.select(col("docId"), lit(phraseKey(i)).as("term"),
@@ -2239,8 +2238,7 @@ final class Engine(
       processed.zipWithIndex.filter(_._1 != null).groupBy(_._1)
         .map { case (t, xs) => t -> xs.map(_._2) }
 
-    val perDoc = index.postings
-      .where(col("term").isin(live: _*))
+    val perDoc = index.postingsView(live)
       .groupBy("docId")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("tp"),
         first(col("doclen")).as("doclen"))
@@ -2504,7 +2502,7 @@ final class Engine(
     */
   def documentVectors(docIds: DataFrame): DataFrame = {
     val ids = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
-    notDeleted(index.postings).join(ids, Seq("docId"), "left_semi")
+    notDeleted(index.postingsView()).join(ids, Seq("docId"), "left_semi")
       .select(col("docId"), col("term"), explode(col("positions")).as("pos"))
       .select(col("docId"), col("pos"), col("term"))
   }

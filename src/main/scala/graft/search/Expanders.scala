@@ -33,7 +33,7 @@ object Expanders {
     val bcScores = spark.sparkContext.broadcast(scoreMap)
     val colLen = engine.index.stats.totalTerms.toDouble
     val sUdf = udf { (d: Long) => math.exp(bcScores.value(d)) }
-    engine.index.postings
+    engine.index.postingsView()
       .where(col("docId").isin(fb.map(_._1): _*) && col("tf") >= 2)
       .where(col("term").rlike("^[a-zA-Z0-9]+$"))
       .join(engine.index.dictionary.select(col("term"), col("ctf")), "term")
@@ -72,7 +72,7 @@ object Expanders {
     val fb = top.take(p.fbDocs).map(_._1)
     val n = engine.index.stats.totalDocs.toDouble
     val avgdl = engine.index.stats.avgDocLength
-    engine.index.postings
+    engine.index.postingsView()
       .where(col("docId").isin(fb: _*))
       .where(col("term").rlike("^[a-zA-Z0-9]+$"))
       .join(engine.index.dictionary.select(col("term"), col("df")), "term")

@@ -63,7 +63,7 @@ object RelevanceModel {
     val w = posterior(top).toMap
     val bcW = spark.sparkContext.broadcast(w)
     val wUdf = udf { (docId: Long) => bcW.value(docId) }
-    engine.index.postings
+    engine.index.postingsView()
       .where(col("docId").isin(w.keys.toSeq: _*))
       .where(col("term").rlike("^[a-zA-Z0-9]+$")) // isValidWord
       .select(col("term"),
@@ -88,6 +88,166 @@ object RelevanceModel {
     val probs = rm1(engine, query, p).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
     engine.runQuery(expandedQuery(query, probs, p), k)
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram relevance models (the rmodel application surface)
+  // ------------------------------------------------------------------
+
+  /** rmodel/clarity-shaped RM configuration (reference:
+    * rmodel/rmodel.cpp:109-121, clarity/clarity.cpp:139-151):
+    * `documents` feedback docs, grams of 1..`maxGrams` words, optional
+    * smoothing rule — when set, gram scores are
+    * exp(scoreOccurrence(occ, doclen)) under that rule with the gram's
+    * COLLECTION frequency as background (reference:
+    * src/RelevanceModel.cpp:182-232); when empty, the plain
+    * occurrences/contextLength branch (the rmodel app always passes "").
+    */
+  final case class GramParams(documents: Int = 10, maxGrams: Int = 1,
+                              smoothing: Option[ScoringRule] = None)
+
+  /** the reference's isValidWord: every char alphanumeric
+    * (src/RelevanceModel.cpp:84-97, C locale → ASCII)
+    */
+  private def isValidWord(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        return false
+      i += 1
+    }
+    s.nonEmpty
+  }
+
+  /** Consecutive-position n-gram counts over the docs' forward vectors:
+    * one row per (docId, gram) with gram = space-joined stems, n ∈
+    * [1, maxGrams]. A gram is valid iff all constituent stems are
+    * alphanumeric AND the positions are consecutive — a stopped (null)
+    * slot or invalid stem breaks every longer gram through it, exactly
+    * the reference's OOV break (src/RelevanceModel.cpp:100-157: a gram
+    * containing positions[k]==0 or !isValidWord is skipped, and larger
+    * n-grams starting at the same point break out).
+    *
+    * `onlyGrams`, when set, counts just those grams (broadcast probe set —
+    * the background-statistics pass over the full corpus stays one scan
+    * with bounded output instead of shuffling every corpus gram).
+    */
+  private[graft] def gramCounts(engine: Engine, ids: DataFrame, maxGrams: Int,
+                                onlyGrams: Option[Set[String]] = None): DataFrame = {
+    val spark = engine.spark
+    import spark.implicits._
+    val probe = onlyGrams.map(spark.sparkContext.broadcast(_))
+    engine.documentVectors(ids)
+      .select(col("docId"), col("pos").cast(IntegerType), col("term"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: Long, it: Iterator[(Long, Int, String)]) =>
+        val toks = it.map(r => (r._2, r._3)).toArray.sortInPlaceBy(_._1)
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        val keep = probe.map(_.value)
+        var i = 0
+        while (i < toks.length) {
+          if (isValidWord(toks(i)._2)) {
+            val sb = new java.lang.StringBuilder(toks(i)._2)
+            var n = 1
+            var ok = true
+            while (n <= maxGrams && ok) {
+              if (n > 1) {
+                val j = i + n - 1
+                // strictly increasing positions: the last-slot check
+                // implies every intermediate slot is present too
+                ok = j < toks.length && toks(j)._1 == toks(i)._1 + (n - 1) &&
+                  isValidWord(toks(j)._2)
+                if (ok) sb.append(' ').append(toks(j)._2)
+              }
+              if (ok) {
+                val g = sb.toString
+                if (keep.forall(_.contains(g)))
+                  counts.update(g, counts.getOrElse(g, 0L) + 1L)
+              }
+              n += 1
+            }
+          }
+          i += 1
+        }
+        counts.iterator.map { case (g, c) => (doc, g, c) }
+      }.toDF("docId", "gram", "count")
+  }
+
+  /** n-gram relevance model from the top `documents` results of `query`
+    * (the rmodel application core — reference: rmodel/rmodel.cpp,
+    * src/RelevanceModel.cpp generate/_countGrams/_scoreGrams).
+    * Returns (gram, n, weight) sorted weight desc, gram asc.
+    */
+  def gramModel(engine: Engine, query: String, p: GramParams): DataFrame = {
+    val top = engine.runQuery(query, p.documents)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    gramModelFromResults(engine, top, p)
+  }
+
+  def gramModelFromResults(engine: Engine, top: Seq[(Long, Double)],
+                           p: GramParams): DataFrame = {
+    val spark = engine.spark
+    import spark.implicits._
+    if (top.isEmpty)
+      return Seq.empty[(String, Int, Double)].toDF("gram", "n", "weight")
+    val post = posterior(top)
+    val ids = post.map(_._1).toDF("docId")
+    val counts = gramCounts(engine, ids, p.maxGrams)
+      .withColumn("n", (size(split(col("gram"), " "))).cast(IntegerType))
+    val postDf = post.toDF("docId", "w")
+    p.smoothing match {
+      case None =>
+        // occurrences / contextLength, matching docs only (a zero
+        // occurrence contributes zero) — reference RelevanceModel.cpp:228
+        counts
+          .join(broadcast(postDf), Seq("docId"))
+          .join(engine.index.doclens, Seq("docId"))
+          .select(col("gram"), col("n"),
+            (col("w") * col("count").cast(DoubleType) / col("length")).as("ws"))
+          .groupBy("gram", "n").agg(sum(col("ws")).as("weight"))
+          .where(col("weight") > 0.0)
+          .orderBy(col("weight").desc, col("gram").asc)
+      case Some(rule) =>
+        // smoothed: EVERY feedback doc contributes
+        // exp(scoreOccurrence(occ, doclen)) — zero-occurrence docs add
+        // background mass (reference: RelevanceModel.cpp:209-232; the
+        // factory call passes documentOccurrences=0, documentCount=0,
+        // :201 — LM rules ignore them, mirrored verbatim)
+        val tt = engine.termCount().toDouble
+        val candidates = counts.select("gram", "n").distinct()
+        // background: unigrams from the dictionary (stemCount), longer
+        // grams from ONE corpus pass counting just the candidate grams
+        // (the reference runs an #1() query per gram, :195-203 — same
+        // counts, one scan instead of G network evaluations)
+        val uniBg = engine.index.dictionary
+          .select(col("term").as("gram"), col("ctf").cast(DoubleType).as("bg"))
+        val bg = if (p.maxGrams <= 1) uniBg else {
+          val cand = candidates.where(col("n") > 1)
+            .select("gram").as[String].collect().toSet
+          val multiBg = gramCounts(engine,
+            engine.index.doclens.select("docId"), p.maxGrams, Some(cand))
+            .groupBy("gram").agg(sum("count").cast(DoubleType).as("bg"))
+          uniBg.unionByName(multiBg)
+        }
+        // the feedback docs with posteriors and lengths (bounded rows)
+        val docs = broadcast(postDf.join(engine.index.doclens, Seq("docId")))
+        val scoreUdf = udf { (occ: Double, len: Int, bgCtf: Double) =>
+          math.exp(Scorers.forTerm(rule, bgCtf, tt, 0, 0L)
+            .scoreOccurrence(occ, len))
+        }
+        candidates
+          .join(bg, Seq("gram"), "left").na.fill(0.0, Seq("bg"))
+          .crossJoin(docs)
+          .join(counts.select("docId", "gram", "count"), Seq("docId", "gram"), "left")
+          .na.fill(0L, Seq("count"))
+          .select(col("gram"), col("n"),
+            (col("w") * scoreUdf(col("count").cast(DoubleType), col("length"),
+              col("bg"))).as("ws"))
+          .groupBy("gram", "n").agg(sum(col("ws")).as("weight"))
+          .orderBy(col("weight").desc, col("gram").asc)
+    }
   }
 
   /** Per-term clarity contributions: for each of the top fbTerms RM1

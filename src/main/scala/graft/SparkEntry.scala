@@ -1695,6 +1695,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_pagerank_ranks" -> ((s, dir) => {
+      // the pagerank APPLICATION tail: raw scores → integer ranks 1..10
+      // ("Metzler's rawToInt", src/PageRank.cpp:276-301) → the
+      // _intToProb log-probability priors that feed makeprior
+      // (pagerank.cpp writeRanks/writePriors). Same harvested graph as
+      // q_pagerank_harvest.
+      val web = webDocs(s, dir)
+      val resolved = HarvestLinks.resolve(
+        HarvestLinks.conflate(HarvestLinks.harvest(web), webRedirects(s, dir)),
+        web.select(col("url"), col("doc_id")))
+      val edges = resolved.select(col("src_doc").as("src"), col("dst_doc").as("dst"))
+        .distinct()
+      val pr = graft.pipeline.PageRank.compute(web.select(col("doc_id")), edges)
+      val prob = udf((r: Int) => graft.pipeline.PageRank.IntToProb(r))
+      graft.pipeline.PageRank.toIntRanks(pr)
+        .select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"),
+          col("rank").cast(LongType).as("pr_rank"),
+          round(prob(col("rank")), 6).as("prior"))
+        .orderBy("doc_id")
+    }),
+
     "q_meta_lookup" -> ((s, dir) => {
       // documentIDsFromMetadata → documentMetadata through the Engine
       // facade (reference: include/indri/QueryEnvironment.hpp:221-257)
@@ -3327,6 +3348,53 @@ object SparkEntry {
          |pr0 AS (SELECT id, $base AS pr FROM nd),
          |$prs
          |SELECT id, round(pr, 6) AS pr FROM pr10 ORDER BY id""".stripMargin
+    },
+
+    "q_pagerank_ranks" -> {
+      val base = "(SELECT 0.3 / count(*) FROM documents)"
+      val prs = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT nd.id, 0.7 * coalesce(s.acc, 0) + $base AS pr
+           |  FROM nd LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.pr / od.outdeg) AS acc
+           |    FROM e JOIN od USING(src) JOIN pr${i - 1} p ON p.id = e.src
+           |    GROUP BY e.dst
+           |  ) s ON s.id = nd.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      // rawToInt bins: B = (N+1)^(1/10); b10 = max(1, int(B−1)) (the
+      // engine's clamp for the reference's <2^10-doc UB), b_r =
+      // ceil(B·b_{r+1}); rank r takes rows (Σb_10..r+1, Σb_10..r]
+      val binCtes = (
+        "bb AS (SELECT power((SELECT count(*) FROM documents) + 1.0, 0.1) AS bv)" +:
+        "b10 AS (SELECT greatest(1, floor((SELECT bv FROM bb) - 1))::BIGINT AS b)" +:
+        (9 to 2 by -1).map(r =>
+          s"b$r AS (SELECT ceil((SELECT bv FROM bb) * (SELECT b FROM b${r + 1}))::BIGINT AS b)")
+      ).mkString(",\n")
+      val whenChain = (10 to 2 by -1).map { r =>
+        val cum = (10 to r by -1).map(k => s"(SELECT b FROM b$k)").mkString(" + ")
+        s"WHEN rn <= ($cum) THEN $r"
+      }.mkString(" ")
+      val probs = Seq("2.21916e-10", "5.61952e-10", "1.94786e-9", "3.62742e-9",
+        "1.00745e-8", "1.97616e-8", "3.46944e-8", "4.39146e-8", "1.74226e-7",
+        "2.28983e-7")
+      val probCase = probs.zipWithIndex.map { case (p, i) =>
+        s"WHEN ${i + 1} THEN ln($p)" }.mkString(" ")
+      s"""$WebCte,
+         |e AS (SELECT DISTINCT src_doc AS src, dst_doc AS dst FROM lr),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nd AS (SELECT doc_id AS id FROM documents),
+         |pr0 AS (SELECT id, $base AS pr FROM nd),
+         |$prs,
+         |$binCtes,
+         |ranked AS (
+         |  SELECT id, pr, row_number() OVER (ORDER BY round(pr, 6) DESC, id) AS rn
+         |  FROM pr10
+         |),
+         |binned AS (SELECT id, pr, CASE $whenChain ELSE 1 END AS r FROM ranked)
+         |SELECT id AS doc_id, round(pr, 6) AS pr, r::BIGINT AS pr_rank,
+         |  round(CASE r $probCase END, 6) AS prior
+         |FROM binned ORDER BY doc_id""".stripMargin
     },
 
     "q_meta_lookup" ->

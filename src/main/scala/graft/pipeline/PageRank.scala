@@ -43,4 +43,56 @@ object PageRank {
     eCached.unpersist(false)
     pr
   }
+
+  /** log-probability per integer rank 1..10 — the pagerank application's
+    * prior table (reference: src/PageRank.cpp:25-36 `_intToProb`; index 0
+    * aliases index 1 and is unreachable here because ranks floor at 1).
+    */
+  val IntToProb: Array[Double] = Array(
+    2.21916e-10, 2.21916e-10, 5.61952e-10, 1.94786e-9, 3.62742e-9,
+    1.00745e-8, 1.97616e-8, 3.46944e-8, 4.39146e-8, 1.74226e-7,
+    2.28983e-7).map(math.log)
+
+  /** Integer page ranks 1..maxPr from raw scores — "Metzler's
+    * rawToInt.pl" (reference: src/PageRank.cpp:276-301 `_raw2int`):
+    * scores sort descending, B = (N+1)^(1/maxPr), the top int(B−1) docs
+    * take rank maxPr, the next ceil(B·prev) take maxPr−1, …, rank 1
+    * absorbs the tail. Two defined deviations from the reference:
+    * the first bin clamps to ≥1 (the reference leaves int_val
+    * UNINITIALIZED when int(B−1)==0, i.e. for corpora under 2^maxPr−1
+    * docs — undefined behavior we replace with the smallest defined
+    * bin), and ties order by (rounded score desc, id asc) (the
+    * reference's std::sort on equal floats is unspecified).
+    *
+    * The global row_number is a total order over scores — inherent to
+    * the binning (the reference sorts the whole corpus too). At
+    * 100 TB the same bins come from range-partitioned sort + partition
+    * row-count offsets; corpus-sized rank tables here are bounded by
+    * the PageRank output, which is one row per document.
+    */
+  def toIntRanks(scores: DataFrame, maxPr: Int = 10): DataFrame = {
+    val idCol = scores.columns(0)
+    val prCol = scores.columns(1)
+    val n = scores.count()
+    val b0 = math.pow(n + 1.0, 1.0 / maxPr)
+    var binSize = math.max(1L, (b0 - 1.0).toLong)
+    val bounds = Seq.newBuilder[(Long, Int)] // (cumulative upper bound, rank)
+    var cum = 0L
+    var r = maxPr
+    while (r >= 2) {
+      cum += binSize
+      bounds += ((cum, r))
+      binSize = math.ceil(b0 * binSize).toLong
+      r -= 1
+    }
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .orderBy(round(col(prCol), 6).desc, col(idCol).asc))
+    val bs = bounds.result()
+    val rankCol =
+      if (bs.isEmpty) lit(1)
+      else bs.tail.foldLeft(when(rn <= bs.head._1, bs.head._2)) {
+        case (acc, (up, rk)) => acc.when(rn <= up, rk)
+      }.otherwise(1)
+    scores.select(col(idCol), col(prCol), rankCol.as("rank"))
+  }
 }

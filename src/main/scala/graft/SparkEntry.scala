@@ -241,6 +241,54 @@ object SparkEntry {
       repo
     })
 
+  /** A stored repo over the CONSTRUCTED corpus
+    * `lang || ' marker<d> tail words here'` (token spans constant:
+    * lang[0,2) marker<d>[3,10) tail[11,15) words[16,21) here[22,26)),
+    * then ModifyFieldsApp surgery from an offset-annotations TSV for
+    * every EVEN doc: mk=[3,10) numeric d (exact token), tl=[11,21)
+    * (two tokens), sub=[16,26) with parentid→mk, rd=[5,14) (midpoint
+    * rounding on both edges → tokens [1,3)). Exercises file parse →
+    * docno resolution → byte→token conversion → rewriteFields; the
+    * oracle is the hand-derived constant extent table.
+    */
+  private val mfRepoCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mfRepo(s: SparkSession, dir: String): String =
+    mfRepoCache.computeIfAbsent(dir, _ => {
+      import graft.apps.{BuildIndex, ModifyFieldsApp}
+      val corpusTmp = java.nio.file.Files.createTempDirectory("graft-mf-c").toString
+      val repoTmp = java.nio.file.Files.createTempDirectory("graft-mf-r").toString
+      documents(s, dir).select(
+        lit("r0").as("repo"),
+        format_string("%08d", col("doc_id")).as("path"),
+        lit("c0").as("commit"),
+        concat(col("lang"), lit(" marker"), (col("doc_id") % 10).cast("string"),
+          lit(" tail words here")).as("content"))
+        .write.mode("overwrite").parquet(corpusTmp)
+      BuildIndex.run(s, BuildIndex.Params(repoPath = repoTmp,
+        corpusPaths = Seq(corpusTmp)), cfg)
+      val ids = documents(s, dir).select(col("doc_id"))
+        .where(col("doc_id") % 2 === 0).collect().map(_.getLong(0)).sorted
+      val lines = ids.flatMap { d =>
+        val dn = f"r0/$d%08d@c0"
+        Seq(
+          s"$dn\tTAG\t${d * 10 + 1}\tmk\t3\t7\t${d % 10}\t0",
+          s"$dn\tTAG\t${d * 10 + 2}\ttl\t11\t10\t0\t0",
+          s"$dn\tTAG\t${d * 10 + 3}\tsub\t16\t10\t0\t${d * 10 + 1}",
+          s"$dn\tTAG\t${d * 10 + 4}\trd\t5\t9\t0\t0")
+      }
+      val tsv = java.nio.file.Files.createTempFile("graft-mf-ann", ".tsv")
+      java.nio.file.Files.writeString(tsv, lines.mkString("\n"))
+      ModifyFieldsApp.run(s, ModifyFieldsApp.Params(
+        indexPath = repoTmp, corpus = corpusTmp, annotations = tsv.toString,
+        addFields = Seq(ModifyFieldsApp.FieldAdd("mk", numeric = true),
+          ModifyFieldsApp.FieldAdd("tl", numeric = false),
+          ModifyFieldsApp.FieldAdd("sub", numeric = false),
+          ModifyFieldsApp.FieldAdd("rd", numeric = false))),
+        BuildIndex.storedAnalyzer(repoTmp).get)
+      repoTmp
+    })
+
   // one index build per sf dir per JVM: Verify/Bench run ~40 queries
   // against the same corpus — rebuilding per query would dominate wall
   // time. Cached DataFrames are persisted (MEMORY_AND_DISK default).
@@ -680,6 +728,25 @@ object SparkEntry {
       res.join(meta, Seq("docId"))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_modifyfields" -> ((s, dir) => {
+      // the modifyfields APPLICATION chain (reference: modifyfields/
+      // ModifyFields.cpp + src/OffsetAnnotationAnnotator.cpp): offset
+      // annotations in byte space → token-extent field surgery on a
+      // stored repository; see mfRepo for the fixture's constant spans
+      val repo = mfRepo(s, dir)
+      val meta = s.read.parquet(graft.apps.BuildIndex.metadataDir(repo))
+        .select(col("docId"),
+          regexp_extract(col("docno"), "/(\\d+)@", 1).cast(LongType).as("doc_id"))
+      s.read.parquet(s"$repo/fields")
+        .join(meta, Seq("docId"))
+        .select(col("doc_id"), col("field"),
+          col("begin").as("fbegin"), col("end").as("fend"),
+          col("number"), col("ordinal"),
+          col("parentField").as("parent_field"),
+          col("parentOrdinal").as("parent_ordinal"))
+        .orderBy("doc_id", "field")
     }),
 
     "q_dumpindex" -> ((s, dir) => {
@@ -2446,6 +2513,24 @@ object SparkEntry {
          |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    "q_modifyfields" ->
+      // the hand-derived constant token extents of the mfRepo fixture
+      // (mk exact token, tl two tokens, sub with parent link, rd with
+      // midpoint rounding on both edges)
+      """WITH e AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |rows_ AS (
+        |  SELECT doc_id, 'mk' AS field, 1 AS fbegin, 2 AS fend,
+        |    (doc_id % 10)::BIGINT AS number, 1 AS ordinal,
+        |    NULL::VARCHAR AS parent_field, 0 AS parent_ordinal FROM e
+        |  UNION ALL
+        |  SELECT doc_id, 'rd', 1, 3, 0::BIGINT, 1, NULL::VARCHAR, 0 FROM e
+        |  UNION ALL
+        |  SELECT doc_id, 'sub', 3, 5, 0::BIGINT, 1, 'mk', 1 FROM e
+        |  UNION ALL
+        |  SELECT doc_id, 'tl', 2, 4, 0::BIGINT, 1, NULL::VARCHAR, 0 FROM e
+        |)
+        |SELECT * FROM rows_ ORDER BY doc_id, field""".stripMargin,
 
     "q_makeprior" ->
       // prior docs = doc_id%3==0 (the installed table); candidates =

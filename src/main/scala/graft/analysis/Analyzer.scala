@@ -781,6 +781,31 @@ final case class Analyzer(
     t
   }
 
+  /** Char span [begin, end) of every raw token slot — one entry per
+    * position of analyze(text), in this analyzer's token space. The
+    * ParsedDocument.positions analogue the offset-annotation converter
+    * needs (reference: include/indri/ParsedDocument.hpp:40).
+    */
+  def tokenOffsets(text: String): (Array[Int], Array[Int]) = mode match {
+    case "simple" =>
+      if (text == null) return (Array.empty, Array.empty)
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val es = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val n = text.length
+      var i = 0
+      while (i < n) {
+        if (isTok(lower(text.charAt(i)))) {
+          val st = i
+          while (i < n && isTok(lower(text.charAt(i)))) i += 1
+          bs += st; es += i
+        } else i += 1
+      }
+      (bs.toArray, es.toArray)
+    case _ =>
+      val (_, b, e) = Tokenizer.tokenizeWithOffsets(text)
+      (b, e)
+  }
+
   private def simpleTokens(text: String): Array[String] = {
     if (text == null) return Array.empty
     val out = new ArrayBufferCompat

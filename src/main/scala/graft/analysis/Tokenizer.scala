@@ -39,6 +39,25 @@ object Tokenizer {
 
   def tokenize(text: String): Array[String] = scan(text, null)
 
+  /** Tokenize AND record each token's char span [begin, end) in the
+    * source text — the reference's ParsedDocument.positions
+    * (TermExtent byte offsets, include/indri/ParsedDocument.hpp:40;
+    * char==byte for the ASCII corpora this engine targets). The
+    * OffsetAnnotationAnnotator analogue converts annotation byte
+    * extents to token positions against these spans.
+    */
+  def tokenizeWithOffsets(text: String): (Array[String], Array[Int], Array[Int]) = {
+    val offs = new ArrayBuffer[Int](32)
+    val toks = scan(text, null, offs)
+    val begins = new Array[Int](toks.length)
+    val ends = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      begins(i) = offs(2 * i); ends(i) = offs(2 * i + 1); i += 1
+    }
+    (toks, begins, ends)
+  }
+
   /** Tokenize AND record tag events as token-position extents — the
     * TagEvent path of the reference lexer (reference:
     * src/TextTokenizer.l:46-48 tag rules; TokenizedDocument tag events).
@@ -51,7 +70,8 @@ object Tokenizer {
     (toks, tags.toArray)
   }
 
-  private def scan(text: String, tagsOut: ArrayBuffer[TagExtent]): Array[String] = {
+  private def scan(text: String, tagsOut: ArrayBuffer[TagExtent],
+                   offsetsOut: ArrayBuffer[Int] = null): Array[String] = {
     if (text == null) return Array.empty
     val out = new ArrayBuffer[String](math.max(8, text.length / 6))
     // open-tag stack entries: (name, tokenBegin, charBegin)
@@ -95,6 +115,7 @@ object Tokenizer {
           i += 1 // zap one char
         } else {
           out += text.substring(i, i + best)
+          if (offsetsOut != null) { offsetsOut += i; offsetsOut += i + best }
           i += best
         }
       }

@@ -1173,6 +1173,21 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "q_arabic" -> ((s, dir) => {
+      // Arabic light10 stemmer surface vs 20k reference-generated golden
+      // vectors (reference: src/Arabic_Stemmer_utf8.cpp arabic_light10
+      // compiled standalone → TSV). Words of only dropped chars stem to
+      // the empty string — surfaced as NULL to match csv null parsing
+      // on both engines.
+      val stemUdf = udf { (w: String) =>
+        val s0 = graft.analysis.ArabicStemmer.stem(w)
+        if (s0.isEmpty) null else s0
+      }
+      goldenWords(s, "arabic_light10_golden.tsv")
+        .select(col("word"), stemUdf(col("word")).as("stem"))
+        .orderBy("word")
+    }),
+
     "q_working_set" -> ((s, dir) => {
       // runQuery against a working set: FilterNode semantics — score only
       // docs in the supplied docId set (reference:
@@ -3011,6 +3026,13 @@ object SparkEntry {
     "q_krovetz" ->
       s"""SELECT word, stem_ref AS stem
          |FROM read_csv('$GoldenDir/kstem_golden.tsv', header=false, delim='\t',
+         |              columns={'word': 'VARCHAR', 'stem_ref': 'VARCHAR'})
+         |ORDER BY word""".stripMargin,
+
+    "q_arabic" ->
+      // empty stem fields parse as NULL (read_csv default nullstr)
+      s"""SELECT word, stem_ref AS stem
+         |FROM read_csv('$GoldenDir/arabic_light10_golden.tsv', header=false, delim='\t',
          |              columns={'word': 'VARCHAR', 'stem_ref': 'VARCHAR'})
          |ORDER BY word""".stripMargin,
 

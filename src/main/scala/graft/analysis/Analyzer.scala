@@ -670,7 +670,11 @@ object ArabicStemmer extends Stemmer {
         k += 1
       }
     }
-    if (w.isEmpty) term else w
+    // a word of only dropped in-range chars (diacritics, tatweel,
+    // 0x63B-0x63F) stems to the EMPTY string — the reference keeps it
+    // (Arabic_Stemmer_utf8 norm2 writes nothing) and the indexer then
+    // nulls the slot; Analyzer.analyze applies that null-out
+    w
   }
 }
 
@@ -731,6 +735,10 @@ final case class Analyzer(
       if (t != null && t.length > maxTermLength) t = null
       if (t != null && stopwords.contains(t)) t = null
       if (t != null) t = stemmer.stem(t)
+      // a stem can come back EMPTY (Arabic norm2 drops diacritic/tatweel
+      // words) — the indexer nulls zero-length words like the reference
+      // (src/MemoryIndex.cpp:557-570), position still counts
+      if (t != null && t.isEmpty) t = null
       out(i) = t
       i += 1
     }
@@ -754,6 +762,7 @@ final case class Analyzer(
           if (t != null && t.length > maxTermLength) t = null
           if (t != null && stopwords.contains(t)) t = null
           if (t != null) t = stemmer.stem(t)
+          if (t != null && t.isEmpty) t = null // empty stems null out
           out(i) = t
           i += 1
         }
@@ -778,6 +787,7 @@ final case class Analyzer(
     if (t != null && t.length > maxTermLength) t = null
     if (t != null && stopwords.contains(t)) t = null
     if (t != null) t = stemmer.stem(t)
+    if (t != null && t.isEmpty) t = null // empty stems null out
     t
   }
 

@@ -1566,9 +1566,21 @@ final class Engine(
         scoreNestedContexts(nq.leafGroups, nq.op, in.leafGroups, in.op,
           nexiExtents(nq.path), nexiExtents(in.path), k)
       case None if nq.tree.isDefined =>
-        // parenthesized clause nesting: leaf beliefs fold via the tree
-        scoreExtentContexts(nq.leafGroups, None, nexiExtents(nq.path),
-          passage = None, k, tree = Some(ScoreTree.from(nq.tree.get)))
+        // parenthesized clause nesting: leaf beliefs fold via the tree.
+        // All-plain-about trees take the term-only scaffold; trees with
+        // numeric / relative-about leaves route through the mixed-clause
+        // scorer with the same fold (round 4 — the grammar's filter rule
+        // mixes leaf kinds at any depth, nexilang.g:312-363)
+        val allPlainLeaves = nq.nexiClauses.forall {
+          case AboutClause(rel, _) => rel.isEmpty
+          case _ => false
+        }
+        if (allPlainLeaves)
+          scoreExtentContexts(nq.leafGroups, None, nexiExtents(nq.path),
+            passage = None, k, tree = Some(ScoreTree.from(nq.tree.get)))
+        else
+          scoreMixedClauses(nq.nexiClauses, None, nexiExtents(nq.path), k,
+            tree = Some(ScoreTree.from(nq.tree.get)))
       case None if hasNumeric(nq) =>
         scoreMixedClauses(nq.nexiClauses, nq.op, nexiExtents(nq.path), k)
       case None =>
@@ -1599,7 +1611,8 @@ final class Engine(
     */
   private def scoreMixedClauses(cls: Seq[NexiParser.NexiClause],
                                 groupOp: Option[String],
-                                extentsByDoc: DataFrame, k: Int): DataFrame = {
+                                extentsByDoc: DataFrame, k: Int,
+                                tree: Option[ScoreTree] = None): DataFrame = {
     import NexiParser.{AboutClause, NumericClause}
     val nGroups = cls.length
     val isOr = groupOp.contains("or")
@@ -1688,6 +1701,7 @@ final class Engine(
     val bcNegs = spark.sparkContext.broadcast(prep.negs)
     val bcNumFns = spark.sparkContext.broadcast(numFnByGroup)
     val bcRel = spark.sparkContext.broadcast(relOfGroup)
+    val bcFold = spark.sparkContext.broadcast(tree.orNull)
     val scoreUdf = udf { (tp: Map[String, Seq[Int]], numx: Seq[Row],
                           relx: Seq[Row], bs: Seq[Int], es: Seq[Int]) =>
       val fs = bcFns.value
@@ -1767,7 +1781,29 @@ final class Engine(
           defined(gi) = true
         }
         val nDef = defined.count(identity)
-        if (nGroups == 1) {
+        val ft = bcFold.value
+        if (ft != null) {
+          // parenthesized nesting: binary and/or fold over the group
+          // beliefs (and → CombineNode ½+½, or → OrNode — identical to
+          // ScoreTree.fold), with the flat path's defined-group
+          // semantics at each node: `or` skips an undefined side, `and`
+          // drops the extent when either side is undefined
+          def foldT(t: ScoreTree): (Double, Boolean) = t match {
+            case ScoreLeaf(g) => (groupScore(g), defined(g))
+            case ScoreBool(or0, l, r) =>
+              val (ls, ld) = foldT(l); val (rs, rd) = foldT(r)
+              if (or0) {
+                if (ld && rd)
+                  (math.log(1.0 - (1.0 - math.exp(ls)) * (1.0 - math.exp(rs))), true)
+                else if (ld) (ls, true)
+                else if (rd) (rs, true)
+                else (0.0, false)
+              } else if (ld && rd) (ls / 2 + rs / 2, true)
+              else (0.0, false)
+          }
+          val (s, d) = foldT(ft)
+          if (d) Some((b, e, s)) else None
+        } else if (nGroups == 1) {
           if (defined(0)) Some((b, e, groupScore(0))) else None
         } else if (isOr) {
           if (nDef == 0) None

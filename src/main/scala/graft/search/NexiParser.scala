@@ -35,16 +35,19 @@ package graft.search
   * documents it). Quoted phrases are split into their terms.
   *
   *  - parenthesized clause nesting: `//f[(c1 or c2) and c3]` → a binary
-  *    and/or ClauseTree over about filters, folded per node (and →
-  *    CombineNode ½+½ mean of logs, or → OrNode; nexilang.g:312-363
-  *    filterParens);
+  *    and/or ClauseTree folded per node (and → CombineNode ½+½ mean of
+  *    logs, or → OrNode; nexilang.g:312-363 filterParens). Leaves mix
+  *    freely — about, relative about, and numeric predicates — exactly
+  *    as the grammar's filter rule allows (round 4);
   *  - paths deeper than 2 fields: `//a//b//c[about(., …)]` → extents of
   *    the last field whose ancestor chain passes the path fields in
   *    order (chained NestedExtentInside, nexilang.g:251-270).
   *
-  * Out of subset (throws): relative about combined with boolean
-  * clauses, numeric/relative leaves inside parenthesized nesting,
-  * quantities/dates beyond integers.
+  * Out of subset (throws): non-plain clauses (relative about, numeric
+  * predicates, parenthesized nesting) inside the TWO-LEVEL
+  * `//a[c1]//b[c2]` form. Single-level clauses are grammar-complete:
+  * arithmetic values are INT64 in the reference too (nexilang.g:523-529
+  * number := NUMBER — FLOAT only lexes as an index term in rawText).
   */
 object NexiParser {
 
@@ -181,12 +184,10 @@ object NexiParser {
         NexiQuery(path, Seq(f1, f2), Some(c))
       case t =>
         // parenthesized nesting: leaves in in-order, folded by the tree
-        val leaves = treeLeaves(t)
-        require(leaves.forall {
-          case AboutClause(None, _) => true; case _ => false
-        }, "parenthesized NEXI nesting supports plain about(., terms) " +
-           s"leaves only in this subset: $clause")
-        NexiQuery(path, leaves, None, tree = Some(t))
+        // (round 4: the grammar's filter rule puts no restriction on the
+        // leaf kinds — about/relative-about/arithmetic mix freely at any
+        // depth, nexilang.g:312-363)
+        NexiQuery(path, treeLeaves(t), None, tree = Some(t))
     }
   }
 

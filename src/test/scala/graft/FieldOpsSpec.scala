@@ -435,6 +435,28 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(math.abs(plainNum((1L, 0, 6)) -
       (0.5 * dir(1, 6, cfA) + 0.5 * dir(1, 6, cfN))) < 1e-9)
 
+    // mixed leaf kinds inside parenthesized nesting (round 4 —
+    // nexilang.g:312-363 places no restriction on the filter kinds at
+    // any depth): (rel or num) and about folds or-first, then halves
+    val cfA2 = eng2.termCount("alpha") / tt
+    val treeMix = eng2.runNexi(
+      "//sec[(about(.//par, beta) or .//n > 5) and about(., alpha)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    assert(treeMix.keySet == Set((1L, 0, 6), (2L, 2, 4)))
+    assert(math.abs(treeMix((1L, 0, 6)) - (orWant1 / 2 + dir(1, 6, cfA2) / 2)) < 1e-9)
+    // doc2's sec: the rel side is undefined (no contained par) so the
+    // or keeps only the numeric branch; the and then halves with alpha
+    assert(math.abs(treeMix((2L, 2, 4)) -
+      (dir(0, 2, cfN) / 2 + dir(0, 2, cfA2) / 2)) < 1e-9)
+    // (rel and num) or about: doc2's and-side drops (rel undefined) and
+    // the or degrades to the plain-about belief alone
+    val treeMix2 = eng2.runNexi(
+      "//sec[(about(.//par, beta) and .//n > 5) or about(., alpha)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    assert(math.abs(treeMix2((1L, 0, 6)) - math.log(1 -
+      (1 - math.exp(want1)) * (1 - math.exp(dir(1, 6, cfA2))))) < 1e-9)
+    assert(math.abs(treeMix2((2L, 2, 4)) - dir(0, 2, cfA2)) < 1e-9)
+
     // guard: a relative about as the SECOND filter of a two-level CAS
     // is outside the subset — must throw, not silently score in the
     // outer context

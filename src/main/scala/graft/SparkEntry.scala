@@ -1425,6 +1425,23 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_nexi_nested_mixed" -> ((s, dir) => {
+      // general two-level CAS (round 4 — the grammar reuses the
+      // unrestricted clause rule in the second bracket,
+      // nexilang.g:180-206): //head[about(., data) and .//nchars <
+      // 300]//lead[about(., query)] — the first level mixes a plain
+      // about with a numeric predicate, each lead extent nested in a
+      // head extent adds its own about belief on top
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi("//head[about(., data) and .//nchars < 300]//lead[about(., query)]",
+          1000000)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_paren" -> ((s, dir) => {
       // parenthesized clause nesting (filterParens, nexilang.g:312-363):
       // //head[(about(., data) or about(., merge)) and about(., query)]
@@ -2890,6 +2907,45 @@ object SparkEntry {
          |)
          |SELECT doc_id, 0::BIGINT AS "begin", least(10, doclen)::BIGINT AS "end",
          |  round(ln(1.0 - (1.0 - exp(s0)) * (1.0 - exp(s1))) / 2 + s2 / 2, 6) AS score
+         |FROM gs ORDER BY doc_id, "begin"""".stripMargin,
+
+    // general two-level CAS with a mixed first level: rows = lead
+    // extents [0, least(4, dl)); score = [dir(data|head) +
+    // dir(numeric occ|head)]/2 + dir(query|lead), occ = 1 iff the
+    // whole-doc nchars extent matches AND fits the head (dl ≤ 10)
+    "q_nexi_nested_mixed" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'query') AS cq,
+         |         (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM documents WHERE n_chars < 300) AS cn
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('query','data')
+         |  UNION
+         |  SELECT doc_id FROM documents WHERE n_chars < 300
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'query' AND pos <= 4) AS lq,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS hd
+         |  FROM tok GROUP BY doc_id
+         |), oc AS (
+         |  SELECT d2.doc_id,
+         |    CASE WHEN d2.n_chars < 300 AND dl.doclen <= 10 THEN 1 ELSE 0 END AS occ
+         |  FROM documents d2 JOIN dl ON dl.doc_id = d2.doc_id
+         |), gs AS (
+         |  SELECT c.doc_id, dl.doclen,
+         |    ln((coalesce(t.hd, 0) + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0)) AS s0,
+         |    ln((oc.occ + 2500.0 * (CASE WHEN cf.cn <> 0 THEN cf.cn/st.tt ELSE 1.0/(st.tt*2.0) END)) / (least(10, dl.doclen) + 2500.0)) AS s1,
+         |    ln((coalesce(t.lq, 0) + 2500.0 * cf.cq / st.tt) / (least(4, dl.doclen) + 2500.0)) AS s2
+         |  FROM cand c
+         |  JOIN dl ON dl.doc_id = c.doc_id
+         |  JOIN oc ON oc.doc_id = c.doc_id
+         |  LEFT JOIN tfe t ON t.doc_id = c.doc_id
+         |  CROSS JOIN st CROSS JOIN cf
+         |)
+         |SELECT doc_id, 0::BIGINT AS "begin", least(4, doclen)::BIGINT AS "end",
+         |  round((s0 + s1) / 2 + s2, 6) AS score
          |FROM gs ORDER BY doc_id, "begin"""".stripMargin,
 
     // two-level CAS: s = [½ln(d(data|head)) + ½ln(d(merge|head))]

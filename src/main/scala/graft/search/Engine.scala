@@ -76,6 +76,154 @@ object ScoreTree {
   }
 }
 
+/** Per-extent NEXI clause-belief evaluator shared by the single-level
+  * mixed scorer and the general two-level scorer (round 4). Children
+  * and groups use a GLOBAL numbering so ONE prepLeaves round + ONE
+  * numeric-stats round serve both levels of a two-level query; an
+  * instance scores the group range [gLo, gHi) and folds it with its
+  * level's connector (flat and/or, or a parenthesized ScoreTree whose
+  * leaves are range-local). Top-level and Serializable so broadcast
+  * closures never capture an Engine $outer.
+  *
+  * Undefined-group semantics (the flat path's rules): a relative about
+  * with no contained extent is undefined; `or` skips an undefined side
+  * (noisy-or over the defined ones), `and` drops the extent — at every
+  * fold node. Returns None when the whole clause is undefined.
+  */
+private[search] final class ClauseScorer(
+    fns: Array[TermScoreFunction],
+    termIdx: Map[String, Seq[Int]],
+    childStart: Array[Int],
+    wChild: Array[Double],
+    lens: Array[Int],
+    negs: Array[Boolean],
+    numFnByGroup: Map[Int, TermScoreFunction],
+    relOfGroup: Array[String],
+    gLo: Int, gHi: Int,
+    isOr: Boolean,
+    tree: ScoreTree) extends Serializable {
+
+  /** bag belief of children [firstChild, lastChild) in context [b, e):
+    * children fold in query order (deterministic FP), missing terms
+    * contribute tf = 0, negated children map through ln(1 − e^s)
+    */
+  private def bag(firstChild: Int, lastChild: Int,
+                  tp: Map[String, Seq[Int]], b: Int, e: Int): Double = {
+    val ctx = e - b
+    val tfByChild = new Array[Int](fns.length)
+    if (tp != null) tp.foreach { case (t, ps) =>
+      termIdx.getOrElse(t, Nil).foreach { ci =>
+        if (ci >= firstChild && ci < lastChild) {
+          val len = lens(ci)
+          var c0 = 0
+          ps.foreach { p => if (p >= b && p + len <= e) c0 += 1 }
+          tfByChild(ci) = c0
+        }
+      }
+    }
+    var acc = 0.0
+    var ci = firstChild
+    while (ci < lastChild) {
+      var sc = fns(ci).scoreOccurrence(tfByChild(ci).toDouble, ctx)
+      if (negs(ci)) sc = math.log1p(-math.exp(sc))
+      acc += wChild(ci) * sc
+      ci += 1
+    }
+    acc
+  }
+
+  /** clause belief in context [b, e); numx rows = (globalGroup, begins,
+    * ends) of matching numeric-predicate extents, relx rows = (field,
+    * begins, ends) of relative-about target extents
+    */
+  def score(tp: Map[String, Seq[Int]], numx: Seq[Row], relx: Seq[Row],
+            b: Int, e: Int): Option[Double] = {
+    val n = gHi - gLo
+    val ctx = e - b
+    val groupScore = new Array[Double](n)
+    val defined = new Array[Boolean](n)
+    var g = gLo
+    while (g < gHi) {
+      val li = g - gLo
+      if (relOfGroup(g) == null) {
+        // plain about group (numeric groups add below over the empty
+        // child range) in [b, e)
+        groupScore(li) = bag(childStart(g), childStart(g + 1), tp, b, e)
+        defined(li) = !numFnByGroup.contains(g)
+      } else if (relx != null) {
+        relx.foreach { r =>
+          if (r.getString(0) == relOfGroup(g)) {
+            val sbs = r.getSeq[Int](1); val ses = r.getSeq[Int](2)
+            var best = Double.NegativeInfinity
+            var any = false
+            sbs.indices.foreach { si =>
+              if (sbs(si) >= b && ses(si) <= e) {
+                any = true
+                val s0 = bag(childStart(g), childStart(g + 1), tp, sbs(si), ses(si))
+                if (s0 > best) best = s0
+              }
+            }
+            if (any) { groupScore(li) = best; defined(li) = true }
+          }
+        }
+      }
+      g += 1
+    }
+    // numeric groups: contained matching extents count as occurrences
+    numFnByGroup.foreach { case (gi, fn) =>
+      if (gi >= gLo && gi < gHi) {
+        var occ = 0
+        if (numx != null) numx.foreach { r =>
+          if (r.getInt(0) == gi) {
+            val nb = r.getSeq[Int](1); val ne = r.getSeq[Int](2)
+            nb.indices.foreach { j =>
+              if (nb(j) >= b && ne(j) <= e) occ += 1
+            }
+          }
+        }
+        groupScore(gi - gLo) += 1.0 * fn.scoreOccurrence(occ.toDouble, ctx)
+        defined(gi - gLo) = true
+      }
+    }
+    if (tree != null) {
+      def foldT(t: ScoreTree): (Double, Boolean) = t match {
+        case ScoreLeaf(g0) => (groupScore(g0), defined(g0))
+        case ScoreBool(or0, l, r) =>
+          val (ls, ld) = foldT(l); val (rs, rd) = foldT(r)
+          if (or0) {
+            if (ld && rd)
+              (math.log(1.0 - (1.0 - math.exp(ls)) * (1.0 - math.exp(rs))), true)
+            else if (ld) (ls, true)
+            else if (rd) (rs, true)
+            else (0.0, false)
+          } else if (ld && rd) (ls / 2 + rs / 2, true)
+          else (0.0, false)
+      }
+      val (s, d) = foldT(tree)
+      if (d) Some(s) else None
+    } else if (n == 1) {
+      if (defined(0)) Some(groupScore(0)) else None
+    } else if (isOr) {
+      if (!defined.exists(identity)) None
+      else {
+        var notAny = 1.0; var i = 0
+        while (i < n) {
+          if (defined(i)) notAny *= (1.0 - math.exp(groupScore(i)))
+          i += 1
+        }
+        Some(math.log(1.0 - notAny))
+      }
+    } else {
+      if (defined.exists(d0 => !d0)) None
+      else {
+        var s = 0.0; var i = 0
+        while (i < n) { s += groupScore(i) / n; i += 1 }
+        Some(s)
+      }
+    }
+  }
+}
+
 /** The QueryEnvironment facade (reference:
   * include/indri/QueryEnvironment.hpp:176-346) over Spark DataFrames.
   *
@@ -1551,20 +1699,21 @@ final class Engine(
       q.nexiClauses.exists(_.isInstanceOf[NumericClause])
     nq.inner match {
       case Some(in) =>
-        // EVERY clause at both levels must be a plain about — a relative
-        // filter as the 2nd conjunct would otherwise silently score in
-        // the outer context
-        def allPlain(q: NexiParser.NexiQuery): Boolean =
-          q.nexiClauses.forall {
+        def plainLevel(q: NexiParser.NexiQuery): Boolean =
+          q.tree.isEmpty && !hasNumeric(q) && q.nexiClauses.forall {
             case AboutClause(rel, _) => rel.isEmpty
             case _ => false
           }
-        require(allPlain(nq) && allPlain(in) && !hasNumeric(nq) && !hasNumeric(in)
-          && nq.tree.isEmpty && in.tree.isEmpty,
-          "relative about / numeric predicates / parenthesized nesting " +
-          "inside the two-level CAS form are outside the subset")
-        scoreNestedContexts(nq.leafGroups, nq.op, in.leafGroups, in.op,
-          nexiExtents(nq.path), nexiExtents(in.path), k)
+        if (plainLevel(nq) && plainLevel(in))
+          scoreNestedContexts(nq.leafGroups, nq.op, in.leafGroups, in.op,
+            nexiExtents(nq.path), nexiExtents(in.path), k)
+        else
+          // round 4: non-plain clauses (relative about, numeric
+          // predicates, parenthesized nesting) at either level — the
+          // grammar reuses the unrestricted clause rule in the second
+          // bracket (nexilang.g:180-206), so the two-level form is now
+          // grammar-complete too
+          scoreNestedGeneral(nq, in, nexiExtents(nq.path), nexiExtents(in.path), k)
       case None if nq.tree.isDefined =>
         // parenthesized clause nesting: leaf beliefs fold via the tree.
         // All-plain-about trees take the term-only scaffold; trees with
@@ -1693,136 +1842,15 @@ final class Engine(
           lit(null).cast("array<struct<f:string,sbs:array<int>,ses:array<int>>>"))
       else joined0.join(relxDf, Seq("docId"), "left")
 
-    val bcFns = spark.sparkContext.broadcast(fns)
-    val bcIdx = spark.sparkContext.broadcast(termIdx)
-    val bcStart = spark.sparkContext.broadcast(childStart)
-    val bcW = spark.sparkContext.broadcast(wChild)
-    val bcLens = spark.sparkContext.broadcast(prep.lens)
-    val bcNegs = spark.sparkContext.broadcast(prep.negs)
-    val bcNumFns = spark.sparkContext.broadcast(numFnByGroup)
-    val bcRel = spark.sparkContext.broadcast(relOfGroup)
-    val bcFold = spark.sparkContext.broadcast(tree.orNull)
+    val scorer = new ClauseScorer(fns, termIdx, childStart, wChild,
+      prep.lens, prep.negs, numFnByGroup, relOfGroup,
+      gLo = 0, gHi = nGroups, isOr = isOr, tree = tree.orNull)
+    val bcScorer = spark.sparkContext.broadcast(scorer)
     val scoreUdf = udf { (tp: Map[String, Seq[Int]], numx: Seq[Row],
                           relx: Seq[Row], bs: Seq[Int], es: Seq[Int]) =>
-      val fs = bcFns.value
-      val tIdx = bcIdx.value
-      val start = bcStart.value
-      val wc = bcW.value
-      val lens = bcLens.value
-      val negs = bcNegs.value
-      val nFns = bcNumFns.value
-      val rel = bcRel.value
-      // group bag belief in context [b, e): children fold in child order
-      def bag(firstChild: Int, lastChild: Int, b: Int, e: Int): Double = {
-        val ctx = e - b
-        val tfByChild = new Array[Int](fs.length)
-        if (tp != null) tp.foreach { case (t, ps) =>
-          tIdx.getOrElse(t, Nil).foreach { ci =>
-            if (ci >= firstChild && ci < lastChild) {
-              val len = lens(ci)
-              var c0 = 0
-              ps.foreach { p => if (p >= b && p + len <= e) c0 += 1 }
-              tfByChild(ci) = c0
-            }
-          }
-        }
-        var acc = 0.0
-        var ci = firstChild
-        while (ci < lastChild) {
-          var sc = fs(ci).scoreOccurrence(tfByChild(ci).toDouble, ctx)
-          if (negs(ci)) sc = math.log1p(-math.exp(sc))
-          acc += wc(ci) * sc
-          ci += 1
-        }
-        acc
-      }
+      val sc = bcScorer.value
       bs.indices.flatMap { i =>
-        val b = bs(i); val e = es(i)
-        val ctx = e - b
-        val groupScore = new Array[Double](nGroups)
-        val defined = new Array[Boolean](nGroups)
-        var g = 0
-        while (g < nGroups) {
-          if (rel(g) == null) {
-            // plain about group (numeric groups add below) in [b, e)
-            groupScore(g) = bag(start(g), start(g + 1), b, e)
-            defined(g) = true
-          } else if (relx != null) {
-            relx.foreach { r =>
-              if (r.getString(0) == rel(g)) {
-                val sbs = r.getSeq[Int](1); val ses = r.getSeq[Int](2)
-                var best = Double.NegativeInfinity
-                var any = false
-                sbs.indices.foreach { si =>
-                  if (sbs(si) >= b && ses(si) <= e) {
-                    any = true
-                    val s0 = bag(start(g), start(g + 1), sbs(si), ses(si))
-                    if (s0 > best) best = s0
-                  }
-                }
-                if (any) { groupScore(g) = best; defined(g) = true }
-              }
-            }
-          }
-          g += 1
-        }
-        // numeric groups: contained matching extents count as occurrences
-        nFns.foreach { case (gi, fn) =>
-          var occ = 0
-          if (numx != null) numx.foreach { r =>
-            if (r.getInt(0) == gi) {
-              val nb = r.getSeq[Int](1); val ne = r.getSeq[Int](2)
-              nb.indices.foreach { j =>
-                if (nb(j) >= b && ne(j) <= e) occ += 1
-              }
-            }
-          }
-          groupScore(gi) += 1.0 * fn.scoreOccurrence(occ.toDouble, ctx)
-          defined(gi) = true
-        }
-        val nDef = defined.count(identity)
-        val ft = bcFold.value
-        if (ft != null) {
-          // parenthesized nesting: binary and/or fold over the group
-          // beliefs (and → CombineNode ½+½, or → OrNode — identical to
-          // ScoreTree.fold), with the flat path's defined-group
-          // semantics at each node: `or` skips an undefined side, `and`
-          // drops the extent when either side is undefined
-          def foldT(t: ScoreTree): (Double, Boolean) = t match {
-            case ScoreLeaf(g) => (groupScore(g), defined(g))
-            case ScoreBool(or0, l, r) =>
-              val (ls, ld) = foldT(l); val (rs, rd) = foldT(r)
-              if (or0) {
-                if (ld && rd)
-                  (math.log(1.0 - (1.0 - math.exp(ls)) * (1.0 - math.exp(rs))), true)
-                else if (ld) (ls, true)
-                else if (rd) (rs, true)
-                else (0.0, false)
-              } else if (ld && rd) (ls / 2 + rs / 2, true)
-              else (0.0, false)
-          }
-          val (s, d) = foldT(ft)
-          if (d) Some((b, e, s)) else None
-        } else if (nGroups == 1) {
-          if (defined(0)) Some((b, e, groupScore(0))) else None
-        } else if (isOr) {
-          if (nDef == 0) None
-          else {
-            var notAny = 1.0; var g2 = 0
-            while (g2 < nGroups) {
-              if (defined(g2)) notAny *= (1.0 - math.exp(groupScore(g2)))
-              g2 += 1
-            }
-            Some((b, e, math.log(1.0 - notAny)))
-          }
-        } else {
-          if (nDef < nGroups) None
-          else {
-            var s = 0.0; var g2 = 0
-            while (g2 < nGroups) { s += groupScore(g2) / nGroups; g2 += 1 }
-            Some((b, e, s))
-          }
-        }
+        sc.score(tp, numx, relx, bs(i), es(i)).map(s => (bs(i), es(i), s))
       }
     }
     notDeleted(joined)
@@ -2196,6 +2224,140 @@ final class Engine(
     }
     notDeleted(joined)
       .withColumn("scored", explode(scoreUdf(col("tp"),
+        col("aex.begin"), col("aex.end"), col("bex.begin"), col("bex.end"))))
+      .select(col("docId"), col("scored._1").as("begin"),
+        col("scored._2").as("end"), col("scored._3").as("score"))
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .limit(k)
+  }
+
+  /** General two-level CAS `//a[c1]//b[c2]` (round 4): either level's
+    * clause may be ANY single-level clause form — flat or parenthesized
+    * booleans over about, relative-about and numeric-predicate leaves —
+    * exactly as the grammar reuses the unrestricted clause rule in the
+    * second bracket (reference: nexilang.g:180-206 with clause :=
+    * filter (logical filter)?, filter := about | arithmetic | parens).
+    * ONE prepLeaves round + ONE numeric ContextCount batch serve both
+    * levels (global child/group numbering); each b extent nested in an
+    * a extent scores clause1-over-the-a-extent PLUS
+    * clause2-over-the-b-extent (ContextInclusionAndNode +
+    * ExtentEnforcement, src/ContextInclusionAndNode.cpp:223-261,
+    * src/ExtentEnforcementNode.cpp:48-80), and an undefined clause at
+    * either level (relative about with no contained extent under `and`)
+    * drops the pair.
+    */
+  private def scoreNestedGeneral(outer: NexiParser.NexiQuery,
+                                 inner: NexiParser.NexiQuery,
+                                 aExt: DataFrame, bExt: DataFrame,
+                                 k: Int): DataFrame = {
+    import NexiParser.{AboutClause, NumericClause}
+    val cls = outer.nexiClauses ++ inner.nexiClauses
+    val nA = outer.nexiClauses.length
+    val termChildren: Seq[NexiParser.NexiTerm] = cls.flatMap {
+      case AboutClause(_, ls) => ls
+      case _ => Nil
+    }
+    val prep = prepLeaves(termChildren)
+    val childStart: Array[Int] = cls.scanLeft(0) {
+      case (acc, AboutClause(_, ls)) => acc + ls.length
+      case (acc, _) => acc
+    }.toArray
+    val wChild: Array[Double] = cls.flatMap {
+      case AboutClause(_, ls) => ls.map(_ => 1.0 / ls.length)
+      case _ => Nil
+    }.toArray
+    val relOfGroup: Array[String] = cls.map {
+      case AboutClause(rel, _) => rel.orNull
+      case _ => null
+    }.toArray
+    val numNodes: Seq[(Int, QueryNode)] = cls.zipWithIndex.collect {
+      case (NumericClause(f, "less", v), gi) =>
+        gi -> FieldNumNode("less", f, Long.MinValue, v)
+      case (NumericClause(f, "greater", v), gi) =>
+        gi -> FieldNumNode("greater", f, v, Long.MaxValue)
+      case (NumericClause(f, "equals", v), gi) =>
+        gi -> FieldNumNode("equals", f, v, v)
+    }
+    val numStats = complexStatsBatch(numNodes.map(_._2))
+    val numFnByGroup: Map[Int, TermScoreFunction] = numNodes.map { case (gi, n) =>
+      val (occ, df) = numStats(n)
+      gi -> Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+        df.toDouble, stats.totalDocs)
+    }.toMap
+    val numExt =
+      if (numNodes.isEmpty) null
+      else numNodes.map { case (gi, n) =>
+        evaluateRaw(n).df.select(col("docId"), lit(gi).as("g"),
+          col("begins"), col("ends"))
+      }.reduce(_ unionByName _)
+        .groupBy("docId")
+        .agg(collect_list(struct(col("g"), col("begins"), col("ends"))).as("numx"))
+    // candidate docs: ≥1 about-term occurrence at EITHER level, or ≥1
+    // matching numeric extent — the flat paths' candidate rule over the
+    // union of both levels' leaves
+    val cand = (Option(prep.perDoc), Option(numExt)) match {
+      case (Some(pd), Some(nx)) => pd.join(nx, Seq("docId"), "full_outer")
+        .select(col("docId"), col("tp"), col("numx"))
+      case (Some(pd), None) => pd.withColumn("numx",
+        lit(null).cast("array<struct<g:int,begins:array<int>,ends:array<int>>>"))
+      case (None, Some(nx)) => nx.select(col("docId"),
+        lit(null).cast("map<string,array<int>>").as("tp"), col("numx"))
+      case (None, None) =>
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("docId", LongType), StructField("begin", IntegerType),
+          StructField("end", IntegerType), StructField("score", DoubleType))))
+    }
+    val relFields = relOfGroup.filter(_ != null).distinct.toSeq
+    val relxDf =
+      if (relFields.isEmpty) null
+      else relFields.map { f =>
+        nexiExtents(Seq(f)).select(col("docId"), lit(f).as("f"),
+          transform(col("ex"), s => s("begin")).as("sbs"),
+          transform(col("ex"), s => s("end")).as("ses"))
+      }.reduce(_ unionByName _)
+        .groupBy("docId")
+        .agg(collect_list(struct(col("f"), col("sbs"), col("ses"))).as("relx"))
+    val joined0 = cand
+      .join(aExt.select(col("docId"), col("ex").as("aex")), Seq("docId"), "inner")
+      .join(bExt.select(col("docId"), col("ex").as("bex")), Seq("docId"), "inner")
+    val joined =
+      if (relxDf == null)
+        joined0.withColumn("relx",
+          lit(null).cast("array<struct<f:string,sbs:array<int>,ses:array<int>>>"))
+      else joined0.join(relxDf, Seq("docId"), "left")
+    def treeOf(q: NexiParser.NexiQuery): ScoreTree =
+      q.tree.map(ScoreTree.from).orNull
+    val scorerA = new ClauseScorer(prep.fns, prep.keyIdx, childStart, wChild,
+      prep.lens, prep.negs, numFnByGroup, relOfGroup,
+      gLo = 0, gHi = nA, isOr = outer.op.contains("or"), tree = treeOf(outer))
+    val scorerB = new ClauseScorer(prep.fns, prep.keyIdx, childStart, wChild,
+      prep.lens, prep.negs, numFnByGroup, relOfGroup,
+      gLo = nA, gHi = cls.length, isOr = inner.op.contains("or"),
+      tree = treeOf(inner))
+    val bcA = spark.sparkContext.broadcast(scorerA)
+    val bcB = spark.sparkContext.broadcast(scorerB)
+    val scoreUdf = udf { (tp: Map[String, Seq[Int]], numx: Seq[Row],
+                          relx: Seq[Row],
+                          aBs: Seq[Int], aEs: Seq[Int],
+                          bBs: Seq[Int], bEs: Seq[Int]) =>
+      val sA = bcA.value; val sB = bcB.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      aBs.indices.foreach { ai =>
+        val ab = aBs(ai); val ae = aEs(ai)
+        sA.score(tp, numx, relx, ab, ae).foreach { s1 =>
+          bBs.indices.foreach { bi =>
+            val bb = bBs(bi); val be = bEs(bi)
+            if (bb >= ab && be <= ae)
+              sB.score(tp, numx, relx, bb, be).foreach { s2 =>
+                out += ((bb, be, s1 + s2))
+              }
+          }
+        }
+      }
+      out.toSeq
+    }
+    notDeleted(joined)
+      .withColumn("scored", explode(scoreUdf(col("tp"), col("numx"), col("relx"),
         col("aex.begin"), col("aex.end"), col("bex.begin"), col("bex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))

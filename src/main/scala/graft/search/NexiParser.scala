@@ -43,11 +43,13 @@ package graft.search
   *    the last field whose ancestor chain passes the path fields in
   *    order (chained NestedExtentInside, nexilang.g:251-270).
   *
-  * Out of subset (throws): non-plain clauses (relative about, numeric
-  * predicates, parenthesized nesting) inside the TWO-LEVEL
-  * `//a[c1]//b[c2]` form. Single-level clauses are grammar-complete:
-  * arithmetic values are INT64 in the reference too (nexilang.g:523-529
-  * number := NUMBER — FLOAT only lexes as an index term in rawText).
+  * Round 4: the grammar is COMPLETE — clauses at every position
+  * (single-level and both brackets of the two-level form) accept any
+  * mix of about / relative-about / numeric / parenthesized filters,
+  * exactly the reference's `clause := filter (logical filter)?` with
+  * `filter := about | arithmetic | '(' clause ')'`. Arithmetic values
+  * are INT64 in the reference too (nexilang.g:523-529 number := NUMBER
+  * — FLOAT only lexes as an index term in rawText).
   */
 object NexiParser {
 

@@ -457,12 +457,36 @@ class FieldOpsSpec extends AnyFunSuite {
       (1 - math.exp(want1)) * (1 - math.exp(dir(1, 6, cfA2))))) < 1e-9)
     assert(math.abs(treeMix2((2L, 2, 4)) - dir(0, 2, cfA2)) < 1e-9)
 
-    // guard: a relative about as the SECOND filter of a two-level CAS
-    // is outside the subset — must throw, not silently score in the
-    // outer context
-    intercept[IllegalArgumentException] {
-      eng2.runNexi("//sec[about(., alpha) and about(.//par, beta)]//par[about(., beta)]", 10)
-    }
+    // general two-level CAS (round 4 — nexilang.g:180-206 reuses the
+    // unrestricted clause rule in the second bracket): a relative about
+    // inside the first level scores in ITS level's context, and an
+    // undefined level drops the pair
+    val nestedRel = eng2.runNexi(
+      "//sec[about(., alpha) and about(.//par, beta)]//par[about(., beta)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    // doc1: outer = ½·dir(alpha|sec[0,6)) + ½·[max over par⊆sec of
+    // dir(beta|par)]; inner = dir(beta|par[1,4)). doc2's sec contains
+    // no par → outer undefined → no rows
+    assert(nestedRel.keySet == Set((1L, 1, 4)))
+    assert(math.abs(nestedRel((1L, 1, 4)) -
+      ((dir(1, 6, cfA2) + dir(1, 3, cfB)) / 2 + dir(1, 3, cfB))) < 1e-9)
+    // numeric predicate as the ENTIRE first-level clause
+    val nestedNum = eng2.runNexi("//sec[.//n > 5]//par[about(., beta)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    assert(nestedNum.keySet == Set((1L, 1, 4)))
+    assert(math.abs(nestedNum((1L, 1, 4)) -
+      (dir(1, 6, cfN) + dir(1, 3, cfB))) < 1e-9)
+    // parenthesized mixed tree at the INNER level: doc1's n extent
+    // [5,6) is outside par [1,4) → numeric occ 0 (still defined)
+    val cfG = eng2.termCount("gamma") / tt
+    val nestedTree = eng2.runNexi(
+      "//sec[about(., alpha)]//par[(about(., beta) or .//n > 5) and about(., gamma)]", 10)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    val innerOr = math.log(1 -
+      (1 - math.exp(dir(1, 3, cfB))) * (1 - math.exp(dir(0, 3, cfN))))
+    assert(nestedTree.keySet == Set((1L, 1, 4)))
+    assert(math.abs(nestedTree((1L, 1, 4)) -
+      (dir(1, 6, cfA2) + (innerOr / 2 + dir(1, 3, cfG) / 2))) < 1e-9)
 
     // guard: CO negation under okapi/tfidf baseline → #not over a
     // positive log?-space score would be NaN; rejected like the

@@ -46,6 +46,14 @@ object SparkEntry {
     * thresholds — the oracle set is exactly the planted pairs.
     */
   private val PlantOffset = 1000000L
+
+  // built ANN indexes per sf dir (build-once / query-many, like the
+  // inverted-index caches): repeated driver reps measure probe latency
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+  private val lshIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.LshIndex]()
+
   private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
     emb.union(emb.where(col("vec_id") % 17 === 0)
@@ -1613,30 +1621,51 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // banded hyperplane LSH ANN (scale path). Oracled via planted exact
+      // banded hyperplane LSH ANN (scale path) over a BUILT index
+      // (build-once / query-many — the banded projection persists per
+      // dir like every other index here). Oracled via planted exact
       // duplicates: for each planted query (vec_id >= 1000000) the LSH
       // top-1 must be its source vector — guaranteed found (identical
       // vectors share every band bucket) and guaranteed rank 1 (cosine
       // 1.0 vs natural max ≈0.60), so brute-force SQL is a sound oracle.
-      val emb = plantedEmbeddings(s, dir)
-      Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64, k = 5,
-        bands = 8, rowsPerBand = 6)
+      val idx = lshIndexCache.computeIfAbsent(dir, _ =>
+        Similarity.buildLsh(plantedEmbeddings(s, dir), "vec_id", "embedding",
+          dim = 64, bands = 8, rowsPerBand = 6))
+      Similarity.lshSearch(idx, k = 5)
         .where(col("qid") >= PlantOffset && col("rk") === 1)
         .select(col("qid"), col("nid"), col("sim"))
         .orderBy("qid")
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF ANN (spherical k-means coarse quantizer + probe search).
-      // Same planted-top-1 oracle as the LSH path: an identical query
-      // vector probes its source's cell deterministically, and cosine
-      // 1.0 beats every natural neighbor (max ≈0.60)
-      val emb = plantedEmbeddings(s, dir)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", dim = 64, k = 5,
-        ncells = 16, nProbe = 2)
+      // IVF ANN (spherical k-means coarse quantizer + probe search) over
+      // a BUILT index: ONE corpus-assignment pass persists per dir and
+      // serves both the inverted lists and the query probes. Same
+      // planted-top-1 oracle as the LSH path: an identical query vector
+      // probes its source's cell deterministically, and cosine 1.0
+      // beats every natural neighbor (max ≈0.60)
+      val idx = ivfIndexCache.computeIfAbsent(dir, _ =>
+        Similarity.buildIvf(plantedEmbeddings(s, dir), "vec_id", "embedding",
+          dim = 64, ncells = 16, nProbe = 2))
+      Similarity.ivfSearch(idx, k = 5)
         .where(col("qid") >= PlantOffset && col("rk") === 1)
         .select(col("qid"), col("nid"), col("sim"))
         .orderBy("qid")
+    }),
+
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the SAME cached IVF index as q_ann_ivf: within-cell
+      // cosine pairs ≥ 0.9 → connected components → min-id keeper.
+      // Planted copies are provably co-celled with their source
+      // (identical vectors, deterministic tie-break) and cosine 1.0;
+      // max natural cosine ≈0.60 — dup rows = exactly the planted copies
+      val idx = ivfIndexCache.computeIfAbsent(dir, _ =>
+        Similarity.buildIvf(plantedEmbeddings(s, dir), "vec_id", "embedding",
+          dim = 64, ncells = 16, nProbe = 2))
+      Similarity.semanticDedup(idx, threshold = 0.9)
+        .where(col("is_dup") === 1)
+        .select(col("id").as("vec_id"), col("keeper"))
+        .orderBy("vec_id")
     }),
 
     "q_emb_neardup" -> ((s, dir) => {
@@ -3446,6 +3475,15 @@ object SparkEntry {
 
     "q_ann_lsh" -> PlantedTop1Sql,
     "q_ann_ivf" -> PlantedTop1Sql,
+
+    // SemDeDup dup rows = exactly the planted copies with their source
+    // as keeper: copies are co-celled with probability 1 (identical
+    // vectors), cosine 1.0 ≥ 0.9, and no natural within-cell pair
+    // reaches 0.9 (brute-force max ≈0.60 over ALL pairs — the cell
+    // restriction only shrinks that set)
+    "q_semantic_dedup" ->
+      """SELECT vec_id + 1000000 AS vec_id, vec_id AS keeper
+        |FROM embeddings WHERE vec_id % 17 = 0 ORDER BY 1""".stripMargin,
 
     "q_emb_neardup" ->
       s"""$PlantedCte, pr AS (

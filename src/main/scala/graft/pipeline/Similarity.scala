@@ -131,15 +131,11 @@ object Similarity {
     cands
   }
 
-  /** LSH-bucketed approximate top-k: exact cosine ranking over the banded
-    * candidate set. Recall < 1 by construction for non-identical
-    * neighbors (measured against bruteForceTopK in SimilaritySpec /
-    * BENCH.md); identical vectors are found with probability 1.
+  /** exact-cosine ranking of a candidate pair set: top-k per query by
+    * (sim desc, nid asc) — the shared tail of the LSH one-shot and
+    * index-backed searches
     */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-              bands: Int = 8, rowsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cands = lshCandidates(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
+  private def rankTopK(cands: DataFrame, base: DataFrame, k: Int): DataFrame = {
     val pairs = cands
       .join(base.select(col("id").as("qid"), col("v").as("qv")), "qid")
       .join(base.select(col("id").as("nid"), col("v").as("cv")), "nid")
@@ -149,6 +145,51 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select("qid", "nid", "sim", "rk")
+  }
+
+  /** A built LSH index: the persisted banded projection (band, bucket,
+    * id) plus the persisted vectors — at scale both would be tables
+    * bucketed by (band, bucket) / id; here they persist serialized so
+    * repeated searches pay the bucket join only. `unpersist()` releases
+    * both.
+    */
+  final case class LshIndex(banded: DataFrame, base: DataFrame) {
+    def unpersist(): Unit = { banded.unpersist(); base.unpersist(); () }
+  }
+
+  def buildLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               bands: Int = 8, rowsPerBand: Int = 6, seed: Long = 42L): LshIndex = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).persist(ser)
+    val banded = hyperplaneBands(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
+      .persist(ser)
+    LshIndex(banded, base)
+  }
+
+  /** Search over a built LSH index: bucket-join candidates, exact-cosine
+    * top-k (bit-identical to [[lshTopK]] on the same corpus/knobs).
+    */
+  def lshSearch(index: LshIndex, k: Int): DataFrame = {
+    val a = index.banded.select(col("band"), col("bucket"), col("id").as("qid"))
+    val b = index.banded.select(col("band"), col("bucket"), col("id").as("nid"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    rankTopK(cands, index.base, k)
+  }
+
+  /** LSH-bucketed approximate top-k: exact cosine ranking over the banded
+    * candidate set. Recall < 1 by construction for non-identical
+    * neighbors (measured against bruteForceTopK in SimilaritySpec /
+    * BENCH.md); identical vectors are found with probability 1.
+    * One-shot (self-releasing caches); callers issuing repeated searches
+    * should hold a [[buildLsh]] index instead.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+              bands: Int = 8, rowsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cands = lshCandidates(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
+    rankTopK(cands, base, k)
   }
 
   /** IVF coarse quantizer: spherical k-means (Lloyd's, fixed iteration
@@ -247,18 +288,38 @@ object Similarity {
       .withColumn("cell", element_at(col("probes"), 1))
   }
 
-  /** IVF approximate top-k: corpus partitioned into per-centroid lists;
-    * each query probes its `nProbe` nearest cells and ranks the union by
-    * exact cosine. Query-side cost is ~nProbe/ncells of the corpus; the
-    * inverted lists shard by cell at scale exactly like term postings.
+  /** A built IVF index: driver-side centroids + the persisted
+    * per-vector assignment (id, v, cell, probes). The assignment IS the
+    * inverted-file structure — at scale it would be written as a table
+    * bucketed by cell, exactly like term postings; here it persists
+    * serialized so repeated searches pay probe cost only (the
+    * build-once / query-many split every other index in this engine
+    * uses). `unpersist()` releases it.
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-              ncells: Int = 16, nProbe: Int = 2, iters: Int = 5): DataFrame = {
+  final case class IvfIndex(cents: Array[Array[Double]], assigned: DataFrame) {
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Train the coarse quantizer and assign every corpus vector its cell
+    * plus its `nProbe` nearest probe cells in ONE distributed pass.
+    */
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               ncells: Int = 16, nProbe: Int = 2, iters: Int = 5): IvfIndex = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = ivfCentroids(df, idCol, vecCol, dim, ncells, iters)
-    val corpus = ivfAssignCells(base, cents, nProbe = 1)
+    val assigned = ivfAssignCells(base, cents, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    IvfIndex(cents, assigned)
+  }
+
+  /** Probe search over a built index: every indexed vector queries its
+    * `nProbe` cells and ranks the union by exact cosine. Query-side
+    * cost is ~nProbe/ncells of the corpus per query.
+    */
+  def ivfSearch(index: IvfIndex, k: Int): DataFrame = {
+    val corpus = index.assigned
       .select(col("cell"), col("id").as("nid"), col("v").as("cv"))
-    val queries = ivfAssignCells(base, cents, nProbe = nProbe)
+    val queries = index.assigned
       .select(col("id").as("qid"), col("v").as("qv"), explode(col("probes")).as("cell"))
     val pairs = queries.join(corpus, Seq("cell"))
       .where(col("qid") =!= col("nid"))
@@ -268,6 +329,47 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select("qid", "nid", "sim", "rk")
+  }
+
+  /** IVF approximate top-k: corpus partitioned into per-centroid lists;
+    * each query probes its `nProbe` nearest cells and ranks the union by
+    * exact cosine. One-shot convenience over buildIvf + ivfSearch (the
+    * single corpus-assignment pass serves both the corpus and the query
+    * side — the previous shape assigned twice); callers issuing repeated
+    * searches should hold the IvfIndex instead.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+              ncells: Int = 16, nProbe: Int = 2, iters: Int = 5): DataFrame =
+    ivfSearch(buildIvf(df, idCol, vecCol, dim, ncells, nProbe, iters), k)
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup keyed on
+    * the IVF coarse quantizer — vectors are compared ONLY within their
+    * k-means cell, pairs at/above the cosine threshold form duplicate
+    * groups (connected components via the O(log n) large-star/small-star
+    * pass), and each group keeps its minimum id. Returns
+    * (id, keeper, is_dup) for every indexed vector.
+    *
+    * The within-cell restriction is the scale story: candidate volume is
+    * Σ_cell |cell|² instead of N², cells shard like term postings, and
+    * the same persisted [[IvfIndex]] serves ANN search and dedup.
+    * Identical vectors are provably co-celled (equal cosine to every
+    * centroid, deterministic tie-break), so planted exact duplicates are
+    * found with probability 1 — the oracle anchor.
+    */
+  def semanticDedup(index: IvfIndex, threshold: Double): DataFrame = {
+    val cells = index.assigned.select(col("cell"), col("id"), col("v"))
+    val pairs = cells
+      .join(cells.select(col("cell"), col("id").as("b"), col("v").as("vb")),
+        Seq("cell"))
+      .where(col("id") < col("b"))
+      .select(col("id").as("a"), col("b"),
+        round(cosineCol(col("v"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+    TextPipeline.connectedComponentsStar(
+        index.assigned.select(col("id")), "id", pairs)
+      .withColumn("is_dup", (col("id") =!= col("comp")).cast(IntegerType))
+      .select(col("id"), col("comp").as("keeper"), col("is_dup"))
   }
 
   /** Embedding-cosine near-duplicate detection: undirected pairs (a < b)

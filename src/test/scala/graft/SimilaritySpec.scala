@@ -74,6 +74,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 $recall")
   }
 
+  test("index-backed searches are bit-identical to the one-shot paths") {
+    // buildLsh/lshSearch and buildIvf/ivfSearch persist the banded
+    // projection / cell assignment once (build-once / query-many);
+    // results must equal lshTopK / ivfTopK row for row
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val lshIdx = Similarity.buildLsh(df, "vec_id", "embedding", dim,
+      bands = 8, rowsPerBand = 6)
+    try {
+      val once = rows(Similarity.lshSearch(lshIdx, k = 3))
+      assert(once == rows(Similarity.lshTopK(df, "vec_id", "embedding", dim, k = 3,
+        bands = 8, rowsPerBand = 6)))
+      // a second search over the same index returns the same rows
+      assert(rows(Similarity.lshSearch(lshIdx, k = 3)) == once)
+    } finally lshIdx.unpersist()
+    val ivfIdx = Similarity.buildIvf(df, "vec_id", "embedding", dim,
+      ncells = 12, nProbe = 2)
+    try {
+      val once = rows(Similarity.ivfSearch(ivfIdx, k = 3))
+      assert(once == rows(Similarity.ivfTopK(df, "vec_id", "embedding", dim, k = 3,
+        ncells = 12, nProbe = 2)))
+      assert(rows(Similarity.ivfSearch(ivfIdx, k = 3)) == once)
+    } finally ivfIdx.unpersist()
+  }
+
+  test("SemDeDup: planted exact duplicates dedup to their source within IVF cells") {
+    val idx = Similarity.buildIvf(df, "vec_id", "embedding", dim,
+      ncells = 12, nProbe = 2)
+    try {
+      val rows = Similarity.semanticDedup(idx, threshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val byId = rows.map(t => t._1 -> t).toMap
+      // every vector gets a row; keepers are component minima
+      assert(rows.length == vectors.length)
+      rows.foreach { case (id, keeper, isDup) =>
+        assert(if (isDup == 1) keeper < id else keeper == id)
+      }
+      // exact planted copies are co-celled with probability 1 and must
+      // dedup to their source (ε-near pairs may straddle a cell
+      // boundary — no assertion either way)
+      vectors.collect { case (id, _) if id >= 10000L && id < 20000L => id }
+        .foreach { id =>
+          assert(byId(id) == (id, id - 10000L, 1), s"planted $id: ${byId(id)}")
+          assert(byId(id - 10000L)._3 == 0) // the source is the keeper
+        }
+    } finally idx.unpersist()
+  }
+
   test("cosine is a native codegen expression, bit-identical to the scalar loop") {
     import graft.functions.CosineSimilarity
     // parquet-backed source: a local relation would be constant-folded

@@ -135,10 +135,17 @@ object Similarity {
     * (sim desc, nid asc) — the shared tail of the LSH one-shot and
     * index-backed searches
     */
-  private def rankTopK(cands: DataFrame, base: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(cands: DataFrame, base: DataFrame, k: Int): DataFrame =
+    rankTopKFor(cands, base, base, k)
+
+  /** two-sided variant: query vectors from `qBase`, candidate vectors
+    * from `cBase` (both (id, v))
+    */
+  private def rankTopKFor(cands: DataFrame, qBase: DataFrame,
+                          cBase: DataFrame, k: Int): DataFrame = {
     val pairs = cands
-      .join(base.select(col("id").as("qid"), col("v").as("qv")), "qid")
-      .join(base.select(col("id").as("nid"), col("v").as("cv")), "nid")
+      .join(qBase.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(cBase.select(col("id").as("nid"), col("v").as("cv")), "nid")
       .select(col("qid"), col("nid"),
         round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
@@ -150,10 +157,12 @@ object Similarity {
   /** A built LSH index: the persisted banded projection (band, bucket,
     * id) plus the persisted vectors — at scale both would be tables
     * bucketed by (band, bucket) / id; here they persist serialized so
-    * repeated searches pay the bucket join only. `unpersist()` releases
-    * both.
+    * repeated searches pay the bucket join only. Carries its hashing
+    * knobs so EXTERNAL query sets hash with the identical hyperplanes
+    * ([[lshSearchFor]]). `unpersist()` releases both frames.
     */
-  final case class LshIndex(banded: DataFrame, base: DataFrame) {
+  final case class LshIndex(banded: DataFrame, base: DataFrame, dim: Int,
+                            bands: Int, rowsPerBand: Int, seed: Long) {
     def unpersist(): Unit = { banded.unpersist(); base.unpersist(); () }
   }
 
@@ -163,7 +172,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).persist(ser)
     val banded = hyperplaneBands(df, idCol, vecCol, dim, bands, rowsPerBand, seed)
       .persist(ser)
-    LshIndex(banded, base)
+    LshIndex(banded, base, dim, bands, rowsPerBand, seed)
   }
 
   /** Search over a built LSH index: bucket-join candidates, exact-cosine
@@ -176,6 +185,28 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
     rankTopK(cands, index.base, k)
+  }
+
+  /** Search a built LSH index with an EXTERNAL query set (the serving
+    * shape — query vectors need not be in the corpus): queries hash
+    * through the index's own hyperplanes, bucket-join against the
+    * persisted banded table, exact-cosine top-k against the indexed
+    * vectors. A query identical to an indexed vector finds it with
+    * probability 1 (same sign in every band). Query ids share the
+    * corpus id space for the self-match guard (qid ≠ nid).
+    */
+  def lshSearchFor(index: LshIndex, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val qb = hyperplaneBands(queries, idCol, vecCol, index.dim,
+        index.bands, index.rowsPerBand, index.seed)
+      .select(col("band"), col("bucket"), col("id").as("qid"))
+    val cands = qb
+      .join(index.banded.select(col("band"), col("bucket"), col("id").as("nid")),
+        Seq("band", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    rankTopKFor(cands, qBase, index.base, k)
   }
 
   /** LSH-bucketed approximate top-k: exact cosine ranking over the banded
@@ -322,6 +353,32 @@ object Similarity {
     val queries = index.assigned
       .select(col("id").as("qid"), col("v").as("qv"), explode(col("probes")).as("cell"))
     val pairs = queries.join(corpus, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("qid", "nid", "sim", "rk")
+  }
+
+  /** Search a built IVF index with an EXTERNAL query set (the serving
+    * shape): each query vector is routed to its `nProbe` nearest
+    * centroids on the fly (tiny broadcast, no corpus pass) and ranks
+    * its probed inverted lists by exact cosine. A query identical to an
+    * indexed vector probes that vector's cell deterministically (equal
+    * cosine to every centroid, same tie-break). Query ids share the
+    * corpus id space for the self-match guard (qid ≠ nid).
+    */
+  def ivfSearchFor(index: IvfIndex, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   nProbe: Int = 2): DataFrame = {
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val corpus = index.assigned
+      .select(col("cell"), col("id").as("nid"), col("v").as("cv"))
+    val probed = ivfAssignCells(qBase, index.cents, nProbe)
+      .select(col("id").as("qid"), col("v").as("qv"), explode(col("probes")).as("cell"))
+    val pairs = probed.join(corpus, Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(cosineCol(col("qv"), col("cv")), 6).as("sim"))

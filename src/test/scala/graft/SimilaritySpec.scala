@@ -99,6 +99,30 @@ class SimilaritySpec extends AnyFunSuite {
     } finally ivfIdx.unpersist()
   }
 
+  test("external-query search: held-out identical queries find their indexed source") {
+    // index ONLY the natural vectors; the planted exact copies act as an
+    // external query set (ids offset by 10000, vectors identical) — the
+    // serving shape where queries are not in the corpus
+    val corpus = df.where(col("vec_id") < 10000L)
+    val queries = df.where(col("vec_id") >= 10000L && col("vec_id") < 20000L)
+    val qids = vectors.collect { case (id, _) if id >= 10000L && id < 20000L => id }
+    val lshIdx = Similarity.buildLsh(corpus, "vec_id", "embedding", dim,
+      bands = 8, rowsPerBand = 6)
+    try {
+      val top1 = Similarity.lshSearchFor(lshIdx, queries, "vec_id", "embedding", k = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      qids.foreach(q => assert(top1(q) == q - 10000L, s"lsh query $q → ${top1.get(q)}"))
+    } finally lshIdx.unpersist()
+    val ivfIdx = Similarity.buildIvf(corpus, "vec_id", "embedding", dim,
+      ncells = 12, nProbe = 2)
+    try {
+      val top1 = Similarity.ivfSearchFor(ivfIdx, queries, "vec_id", "embedding",
+        k = 1, nProbe = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      qids.foreach(q => assert(top1(q) == q - 10000L, s"ivf query $q → ${top1.get(q)}"))
+    } finally ivfIdx.unpersist()
+  }
+
   test("SemDeDup: planted exact duplicates dedup to their source within IVF cells") {
     val idx = Similarity.buildIvf(df, "vec_id", "embedding", dim,
       ncells = 12, nProbe = 2)

@@ -220,6 +220,42 @@ object SparkEntry {
       repoTmp
     })
 
+  /** two half-corpus repositories merged offline (dumpindex `m`): the
+    * split at the median doc_id keeps docno order, so the merged
+    * repository's rebased dense ids equal the whole-corpus build's
+    */
+  private val mergedRepoCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergedRepo(s: SparkSession, dir: String): String =
+    mergedRepoCache.computeIfAbsent(dir, _ => {
+      import graft.apps.{BuildIndex, DumpIndex}
+      val docs = documents(s, dir)
+      val n = docs.count()
+      val cut = docs.select("doc_id").orderBy("doc_id")
+        .limit(math.max(1, (n / 2).toInt)).agg(max("doc_id")).head().getLong(0)
+      def half(pred: org.apache.spark.sql.Column): String = {
+        val corpusTmp = java.nio.file.Files.createTempDirectory("graft-mg-c").toString
+        val repoTmp = java.nio.file.Files.createTempDirectory("graft-mg-r").toString
+        docs.where(pred).select(
+          lit("r0").as("repo"),
+          format_string("%08d", col("doc_id")).as("path"),
+          lit("c0").as("commit"),
+          col("text").as("content"))
+          .write.mode("overwrite").parquet(corpusTmp)
+        BuildIndex.run(s, BuildIndex.parseParams(
+          s"""<parameters>
+             |  <index>$repoTmp</index>
+             |  <corpus><path>$corpusTmp</path><class>parquet</class></corpus>
+             |  <memory>500M</memory>
+             |</parameters>""".stripMargin), cfg)
+        repoTmp
+      }
+      val a = half(col("doc_id") <= cut)
+      val b = half(col("doc_id") > cut)
+      val out = java.nio.file.Files.createTempDirectory("graft-mg-m").toString
+      DumpIndex.merge(s, out, Seq(a, b))
+      out
+    })
+
   /** storedRepo with a makeprior-installed prior "mp": docno → log
     * prior for every 3rd document, fed through the FULL makeprior chain
     * (text input file → docno resolution → install under
@@ -765,6 +801,23 @@ object SparkEntry {
       // round-trip the delta+varint codec
       import graft.apps.DumpIndex
       DumpIndex.command(s, storedRepo(s, dir), "tp", Seq("merge"))
+        .select(col("docId").as("doc_id"), col("tf"),
+          explode(col("positions")).as("p"))
+        .select(col("doc_id"), col("tf"), col("p").cast(LongType).as("pos"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_dumpindex_merged" -> ((s, dir) => {
+      // dumpindex `m` end-to-end: the corpus builds as TWO half
+      // repositories (split at the median doc_id, so docno order is
+      // preserved across the halves), merges offline into one repo
+      // (docIds rebase onto the federation bases = the whole-corpus
+      // build's dense ids), and the merged store serves the same
+      // `tp merge` dump — the oracle is q_dumpindex's whole-corpus SQL
+      // verbatim (reference: dumpindex merge_repositories →
+      // IndexWriter k-way merge with docID re-offset)
+      import graft.apps.DumpIndex
+      DumpIndex.command(s, mergedRepo(s, dir), "tp", Seq("merge"))
         .select(col("docId").as("doc_id"), col("tf"),
           explode(col("positions")).as("p"))
         .select(col("doc_id"), col("tf"), col("p").cast(LongType).as("pos"))
@@ -2636,6 +2689,20 @@ object SparkEntry {
          |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_dumpindex" ->
+      s"""$DTok, ids AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS new_id
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok
+         |  WHERE term = 'merge' GROUP BY doc_id
+         |)
+         |SELECT ids.new_id AS doc_id, p.tf, (t.pos - 1)::BIGINT AS pos
+         |FROM tok t JOIN p USING(doc_id) JOIN ids USING(doc_id)
+         |WHERE t.term = 'merge' ORDER BY doc_id, pos""".stripMargin,
+
+    // two half-builds merged offline == the whole-corpus build: same
+    // dense ids (docno-ordered split), same postings — one oracle
+    "q_dumpindex_merged" ->
       s"""$DTok, ids AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS new_id
          |  FROM documents

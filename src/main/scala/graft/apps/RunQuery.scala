@@ -183,6 +183,14 @@ object RunQuery {
     // SOME members still covers the others through the default)
     val bases =
       if (members.size == 1) Seq(0L) else Federation.derivedBases(members)
+    // pending deletes persisted by `dumpindex del` (the reference's
+    // on-disk DeletedDocumentList): every member's list attaches,
+    // rebased like metadata, until a compact releases it
+    val dels = p.indexPaths.zip(bases).flatMap { case (dir, b) =>
+      graft.index.RepositorySurgery.readDeletes(spark, dir)
+        .map(_.withColumn("docId", col("docId") + lit(b)))
+    }
+    if (dels.nonEmpty) eng.deleteDocuments(dels.reduce(_ unionByName _))
     val priorNames = p.indexPaths.flatMap(MakePrior.storedPriors).distinct
     for (name <- priorNames) {
       val tables = p.indexPaths.zip(bases).flatMap { case (dir, b) =>

@@ -54,6 +54,14 @@ object SegmentStore {
     name
   }
 
+  /** drop the registered segments table + refresh path caches after an
+    * in-place rewrite of `dir` (compaction swaps the files underneath)
+    */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${segmentsTableName(dir)}")
+    spark.catalog.refreshByPath(dir)
+  }
+
   def isComplete(dir: String, table: String, fingerprint: String): Boolean = {
     val m = marker(dir, table)
     Files.exists(m) && Files.readString(m).trim == fingerprint
@@ -67,7 +75,9 @@ object SegmentStore {
     * Returns the set of tables actually (re)written.
     */
   def writeAll(index: InvertedIndex, dir: String, cfg: IndexConfig): Set[String] = {
-    val spark = index.postings.sparkSession
+    // segments, not postings: kernel-only handles (federated merges,
+    // stored re-opens) carry postings = null
+    val spark = index.segments.sparkSession
     val fp = cfg.fingerprint
     Files.createDirectories(Paths.get(dir))
     var written = Set.empty[String]
@@ -243,3 +253,115 @@ final case class StoredIndex(
     numBuckets: Int = 0,
     fieldExtents: DataFrame = null
 )
+
+/** Offline repository surgery — the dumpindex mutation verbs
+  * (reference: dumpindex/dumpindex.cpp:516-519 compact/delete/merge
+  * usage rows). Lives beside the store because it owns the directory
+  * layout: `deleted/` is the persisted pending-delete list (the
+  * reference's on-disk DeletedDocumentList), released by compaction.
+  */
+object RepositorySurgery {
+  import org.apache.spark.sql.types.LongType
+
+  /** the persisted pending-delete list, if any deletes are outstanding */
+  def readDeletes(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = Paths.get(dir, "deleted", "_SUCCESS")
+    if (Files.exists(p)) Some(spark.read.parquet(s"$dir/deleted")) else None
+  }
+
+  /** `del docId…`: append to the pending-delete list (reference:
+    * Repository::deleteDocument persists the DeletedDocumentList on
+    * close). Pending deletes are small by design — the query kernel
+    * caps them and compaction releases them — so the list round-trips
+    * through the driver, which also makes the read-modify-write of the
+    * same directory safe (the rewrite's lineage never reads the files
+    * it replaces).
+    */
+  def appendDeletes(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    val existing = readDeletes(spark, dir)
+      .map(_.select(col("docId").cast(LongType)).collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Nil)
+    val all = (existing ++ ids).distinct.sorted
+    import spark.implicits._
+    all.toDF("docId").coalesce(1).write.mode("overwrite").parquet(s"$dir/deleted")
+  }
+
+  /** the stored block size, recovered from the segment layout (a full
+    * block holds exactly blockSize postings, so the max numDocs over
+    * blocks IS the build's blockSize whenever any term filled a block;
+    * small corpora that never filled one get the default — block
+    * boundaries only affect layout, not values)
+    */
+  private def storedBlockSize(st: StoredIndex): Int = {
+    val m = st.segments.agg(max(col("numDocs"))).head().getInt(0)
+    math.max(m, 16)
+  }
+
+  /** `c`: compact the repository in place, releasing the space (and the
+    * postings/doclens/extents rows) of pending-deleted documents —
+    * docIds stay stable, exactly [[IndexBuilder.compactDeletes]]
+    * persisted (CompactSpec: compacted == fresh build of survivors).
+    * Side tables that compaction does not touch (analysis chain,
+    * metadata, priors) carry over; the `deleted/` list is dropped.
+    * The swap goes through sibling directories (write new → retire old
+    * → rename new), so a crash leaves either the old or the new repo
+    * intact on disk.
+    */
+  def compactRepository(spark: SparkSession, dir: String): Unit = {
+    val del = readDeletes(spark, dir)
+    if (del.isEmpty) return // nothing pending — the repo is already compact
+    val st = SegmentStore.open(spark, dir)
+    val idx = InvertedIndex(
+      IndexBuilder.decodePostings(st.segments), st.dictionary, st.doclens,
+      st.stats, st.segments, st.fieldExtents, numBuckets = st.numBuckets,
+      segmentsBucketed = true)
+    val cfg = IndexConfig(blockSize = storedBlockSize(st),
+      numBuckets = math.max(st.numBuckets, 1))
+    val compacted = IndexBuilder.compactDeletes(idx, del.get, cfg)
+    val dirPath = Paths.get(dir).toAbsolutePath
+    val tmp = dirPath.resolveSibling(dirPath.getFileName.toString + ".compact-new")
+    val old = dirPath.resolveSibling(dirPath.getFileName.toString + ".compact-old")
+    rmTree(tmp); rmTree(old)
+    SegmentStore.writeAll(compacted, tmp.toString, cfg)
+    val written = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+      .map(_.getFileName.toString).toSet
+    copyAux(dirPath, tmp, exclude = written + "deleted")
+    Files.move(dirPath, old)
+    Files.move(tmp, dirPath)
+    rmTree(old)
+    // the registered bucketed table (CREATE TABLE IF NOT EXISTS) caches
+    // the OLD file listing — drop it so the next open re-registers over
+    // the swapped-in files, and refresh any path-cached plans
+    SegmentStore.invalidate(spark, dir)
+  }
+
+  /** copy top-level aux entries (chain file, metadata/prior dirs) that a
+    * rebuild does not produce — `only` restricts to named entries,
+    * otherwise everything not excluded and not already present copies
+    */
+  private[graft] def copyAux(from: Path, to: Path,
+                             exclude: Set[String] = Set.empty,
+                             only: Set[String] = null): Unit = {
+    if (!Files.exists(from)) return
+    Files.createDirectories(to)
+    Files.list(from).toArray.map(_.asInstanceOf[Path]).foreach { p =>
+      val name = p.getFileName.toString
+      val wanted = if (only != null) only.contains(name) else !exclude.contains(name)
+      if (wanted && !Files.exists(to.resolve(name))) copyTree(p, to.resolve(name))
+    }
+  }
+
+  private def copyTree(from: Path, to: Path): Unit = {
+    if (Files.isDirectory(from)) {
+      Files.createDirectories(to)
+      Files.list(from).toArray.map(_.asInstanceOf[Path])
+        .foreach(p => copyTree(p, to.resolve(p.getFileName.toString)))
+    } else Files.copy(from, to)
+  }
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

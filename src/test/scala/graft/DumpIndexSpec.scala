@@ -108,6 +108,93 @@ class DumpIndexSpec extends AnyFunSuite {
       (memIdx.stats.totalDocs, memIdx.stats.totalTerms, memIdx.stats.uniqueTerms))
   }
 
+  test("del/c/m/il: deletes persist and bind at query open, compact releases them, merge federates on disk") {
+    import graft.apps.RunQuery
+    import graft.index.RepositorySurgery
+    def buildRepo(rows: Seq[(String, String, String, String)]): String = {
+      val corpusDir = java.nio.file.Files.createTempDirectory("graft-dim-c").toString
+      val rDir = java.nio.file.Files.createTempDirectory("graft-dim-r").toString
+      rows.toDF("repo", "path", "commit", "content")
+        .write.mode("overwrite").parquet(corpusDir)
+      BuildIndex.run(spark, BuildIndex.parseParams(
+        s"""<parameters>
+           |  <index>$rDir</index>
+           |  <corpus><path>$corpusDir</path></corpus>
+           |  <field><name>head</name></field>
+           |  <stemmer><name>krovetz</name></stemmer>
+           |  <stopper><word>the</word></stopper>
+           |</parameters>""".stripMargin),
+        IndexConfig(blockSize = 16, numBuckets = 4))
+      rDir
+    }
+    def postings(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("term"), col("docId"), col("tf").cast("long"),
+          col("positions").cast("array<int>"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Int](3).mkString(","))).toSet
+
+    val dir = buildRepo(corpusRows)
+    // il = the full inverted file
+    assert(postings(DumpIndex.command(spark, dir, "il", Seq())) ==
+      postings(memIdx.postings))
+
+    // del: persists under the repo; DUMP verbs keep the raw lists (the
+    // reference prints the inverted file as stored), QUERY surfaces
+    // consult the DeletedDocumentList at open
+    val qp = RunQuery.parseParams(
+      s"""<parameters><index>$dir</index>
+         |  <query>#combine(merge data)</query>
+         |  <count>50</count><rule>method:dirichlet</rule>
+         |</parameters>""".stripMargin)
+    def queryDocs(): Set[Long] =
+      RunQuery.execute(RunQuery.openEnvironment(spark, qp, graft.analysis.Analyzer()), qp)
+        .head._2.select("docId").collect().map(_.getLong(0)).toSet
+    assert(queryDocs().contains(7L))
+    DumpIndex.command(spark, dir, "del", Seq("7"))
+    assert(RepositorySurgery.readDeletes(spark, dir).get
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(DumpIndex.command(spark, dir, "t", Seq("merge"))
+      .collect().exists(_.getLong(1) == 7L)) // raw dump: still visible
+    assert(!queryDocs().contains(7L)) // query open: deleted
+
+    // c: compaction releases the pending deletes — stable docIds, stats
+    // = surviving corpus, postings = original minus doc 7, metadata and
+    // chain carry over, the deleted/ list is gone
+    DumpIndex.command(spark, dir, "c", Seq())
+    assert(RepositorySurgery.readDeletes(spark, dir).isEmpty)
+    val s = DumpIndex.command(spark, dir, "s", Seq()).head()
+    assert(s.getLong(0) == 39L)
+    assert(postings(DumpIndex.command(spark, dir, "il", Seq())) ==
+      postings(memIdx.postings.where(col("docId") =!= 7)))
+    val dn = DumpIndex.command(spark, dir, "dn", Seq("3")).head()
+    assert(dn.getString(1) == "r1/p0003@c1")
+    assert(graft.apps.BuildIndex.storedAnalyzer(dir).isDefined)
+    assert(queryDocs().nonEmpty && !queryDocs().contains(7L))
+
+    // m: offline merge of two half-repos — docIds rebase onto the
+    // federation bases (halves split in docno order, so the merged ids
+    // equal the whole-corpus build's), metadata rebases, chain copies
+    val dirA = buildRepo(corpusRows.take(20))
+    val dirB = buildRepo(corpusRows.drop(20))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dim-m").toString
+    DumpIndex.command(spark, outDir, "m", Seq(dirA, dirB))
+    val ms = DumpIndex.command(spark, outDir, "s", Seq()).head()
+    assert(ms.getLong(0) == 40L)
+    assert(postings(DumpIndex.command(spark, outDir, "il", Seq())) ==
+      postings(memIdx.postings))
+    assert(DumpIndex.command(spark, outDir, "fp", Seq("head")).count() == 40L)
+    assert(DumpIndex.command(spark, outDir, "dn", Seq("23")).head()
+      .getString(1) == "r1/p0023@c1")
+    assert(graft.apps.BuildIndex.storedAnalyzer(outDir) ==
+      graft.apps.BuildIndex.storedAnalyzer(dirA))
+    // members with pending deletes refuse (compact-first rule)
+    DumpIndex.command(spark, dirA, "del", Seq("1"))
+    val err = intercept[IllegalArgumentException](
+      DumpIndex.command(spark, java.nio.file.Files
+        .createTempDirectory("graft-dim-m2").toString, "m", Seq(dirA, dirB)))
+    assert(err.getMessage.contains("compact"))
+  }
+
   test("di and dn round-trip docno metadata; dt refuses with the contract") {
     val dn = DumpIndex.command(spark, repoDir, "dn", Seq("3"))
       .collect().map(r => (r.getLong(0), r.getString(1)))

@@ -491,6 +491,44 @@ object SparkEntry {
 
   private def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("(", ",", ")")
 
+  /** Greedy non-overlap occurrence fold over a (doc_id, mb, me) match
+    * table — the reference's list-belief counting rule (an extent counts
+    * iff its begin ≥ the last counted extent's end; reference:
+    * src/ListBeliefNode.cpp:58-74, src/ContextCountAccumulator.cpp:84-97).
+    * Encoded as a DuckDB list_reduce whose accumulator reuses the
+    * element struct shape: c = running count, le = last counted end.
+    */
+  private val UwFoldSql =
+    // DuckDB TRAP (v1.0, verified): a list_reduce lambda that returns the
+    // UNCHANGED accumulator from a CASE branch mis-folds under grouped
+    // plans (counts drift per plan shape); the pure-arithmetic update
+    // below is stable. list_sort on the struct list = (begin, end) order.
+    "(list_reduce(list_prepend({'c': 0::BIGINT, 'le': 0::BIGINT}, " +
+      "list_sort(list({'c': mb::BIGINT, 'le': me::BIGINT}))), " +
+      "(acc, m) -> {'c': acc.c + (m.c >= acc.le)::BIGINT, " +
+      "'le': acc.le + (m.c >= acc.le)::BIGINT * (m.le - acc.le)})).c"
+
+  /** #uwN pair matches in the kernel's anchored emission: every pooled
+    * position (either term) anchors a match ending at the FIRST
+    * occurrence of the other term after it when within reach
+    * (reference: src/UnorderedWindowNode.cpp:69-186); d = N−1. The
+    * per-document count applies the greedy non-overlap fold.
+    */
+  private def SdmUwPairSql(x: String, y: String, d: Int) =
+    s"""SELECT doc_id, $UwFoldSql AS u FROM (
+       |    SELECT m.doc_id, m.pos AS mb, m.np + 1 AS me FROM (
+       |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+       |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$y'
+       |      WHERE a.term='$x' GROUP BY a.doc_id, a.pos) m
+       |    WHERE m.np - m.pos <= $d
+       |    UNION ALL
+       |    SELECT m.doc_id, m.pos AS mb, m.np + 1 AS me FROM (
+       |      SELECT a.doc_id, a.pos, min(b.pos) AS np
+       |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$x'
+       |      WHERE a.term='$y' GROUP BY a.doc_id, a.pos) m
+       |    WHERE m.np - m.pos <= $d
+       |  ) GROUP BY doc_id""".stripMargin
+
   /** shared oracle for the boolean NEXI pair: two about() beliefs over
     * the head extent [0, min(10, doclen)), folded by and (combine 1/k)
     * or or (log(1−Π(1−exp)))
@@ -1126,6 +1164,107 @@ object SparkEntry {
       eng.evaluateRaw(QueryParser.parse("data.head")).df
         .select(col("docId").as("doc_id"), size(col("begins")).cast(LongType).as("tf"))
         .orderBy("doc_id")
+    }),
+
+    "q_field_list" -> ((s, dir) => {
+      // data.head,lead — field-LIST restriction: matches inside the
+      // ExtentAnd intersection regions of head [0,10) and lead [0,4),
+      // i.e. the nested lead region (reference: indrilang.g:511-527
+      // qualifiedTerm field_list; src/ExtentAndNode.cpp:33-74)
+      val eng = fieldEngine(s, dir)
+      eng.evaluateRaw(QueryParser.parse("data.head,lead")).df
+        .select(col("docId").as("doc_id"), size(col("begins")).cast(LongType).as("tf"))
+        .orderBy("doc_id")
+    }),
+
+    "q_context_restrict" -> ((s, dir) => {
+      // data.(head) — CONTEXT restriction: the scoring context becomes
+      // the head extents (per-doc length = head length, collection
+      // background = data-in-head / total head length); docs with a head
+      // but no match score fn(0, ctxLen) (reference: indrilang.g:225-257
+      // scoredRaw → RawScorerNode(raw, context_list); builder
+      // src/InferenceNetworkBuilder.cpp:744-780; src/ListBeliefNode.cpp:24-56)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runQuery("data.(head)", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_weight_extent" -> ((s, dir) => {
+      // #weight[head](0.7 data 0.3 merge) — extent restriction on the
+      // WEIGHTED combiner: each head extent scores as its own context
+      // with |w|-normalized child weights (reference: indrilang.g:269
+      // weightedList takes the extentRestriction; ExtentRestrictionNode)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runExtentQuery("#weight[head](0.7 data 0.3 merge)", 20)
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"),
+          col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc, col("begin").asc)
+    }),
+
+    "q_hyphen_query" -> ((s, dir) => {
+      // query-level hyphen compound `hash-scan` ≡ #1(hash scan)
+      // (reference: indrilang.g:587-623 hyphenTerm → ODNode window 1)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runQuery(s"${OdPair._1}-${OdPair._2}", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_twostage_window" -> ((s, dir) => {
+      // two-stage smoothing over a window leaf exercises the reference's
+      // 4-arg list-belief score form: the inner Dirichlet prior comes
+      // from the DOCUMENT's own frequency, not the collection
+      // (reference: include/indri/TwoStageTermScoreFunction.hpp:60-65,
+      // src/ListBeliefNode.cpp:119-127) — and the uw8 counts apply the
+      // greedy non-overlap occurrence scan
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:two,mu:2500,lambda:0.4")
+      eng.runQuery("#combine(#uw8(data merge) query)", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_jm_doclambda" -> ((s, dir) => {
+      // documentLambda-JM over a window: the 4-arg form mixes the
+      // context, document and collection components with
+      // contextLambda = 1 − λc − λd (reference:
+      // include/indri/JelinekMercerTermScoreFunction.hpp:67-71)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:jm,collectionLambda:0.3,documentLambda:0.2")
+      eng.runQuery("#uw8(data merge)", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "q_reformulate_app" -> ((s, dir) => {
+      // the reformulate application surface (reference:
+      // reformulate/ReformulateQuery.cpp): one parameter file driven
+      // through all four generators; rows = (mode, number, text) with
+      // the emitted query text byte-pinned (newlines marked <NL>)
+      import graft.apps.ReformulateApp
+      val xml =
+        """<parameters>
+          |<query><number>n1</number><text>What is the data merge</text></query>
+          |<query>the of a</query>
+          |</parameters>""".stripMargin
+      def rows(mode: String, overlays: Seq[String]): Seq[(String, String, String)] = {
+        val (_, body) = ReformulateApp.run(xml, overlays)
+        val R = "(?s)<query><number>(.*?)</number>\\n<text>(.*?)</text>\\n</query>".r
+        R.findAllMatchIn(body)
+          .map(m => (mode, m.group(1), m.group(2).replace("\n", "<NL>"))).toSeq
+      }
+      val all = rows("combine", Nil) ++
+        rows("sdm", Seq("-genSDM=true")) ++
+        rows("fdmf", Seq("-genFDM=true", "-queryField.name=title", "-queryField.weight=2")) ++
+        rows("cmu", Seq("-genCMUFDM=true", "-weightTitle=3.5"))
+      import s.implicits._
+      all.toDF("mode", "number", "text").orderBy("mode", "number")
     }),
 
     "q_any_field" -> ((s, dir) => {
@@ -3160,6 +3299,142 @@ object SparkEntry {
          |WHERE term = 'data' AND pos <= 10
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // ExtentAnd(head [0,10), lead [0,4)) intersects to the nested lead
+    "q_field_list" ->
+      s"""$DTok
+         |SELECT doc_id, count(*) AS tf FROM tok
+         |WHERE term = 'data' AND pos <= 4
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // data.(head): per-doc length = head length, background =
+    // data-in-head / total head length; every doc with a head extent is
+    // a candidate (zero-match docs score fn(0, ctxLen))
+    "q_context_restrict" ->
+      s"""$DTok, hd AS (
+         |  SELECT doc_id, least(10, doclen) AS ctx FROM dl WHERE doclen > 0
+         |), occ AS (
+         |  SELECT t.doc_id, count(*) AS c FROM tok t JOIN hd ON hd.doc_id = t.doc_id
+         |  WHERE t.term = 'data' AND t.pos <= hd.ctx
+         |  GROUP BY t.doc_id
+         |), st AS (
+         |  SELECT (SELECT coalesce(sum(c), 0) FROM occ)::DOUBLE AS o,
+         |         (SELECT sum(ctx) FROM hd)::DOUBLE AS cs
+         |), sc AS (
+         |  SELECT hd.doc_id,
+         |    ln((coalesce(occ.c, 0) + 2500.0 * (CASE WHEN st.o <> 0 THEN st.o/st.cs ELSE 1.0/(st.cs*2.0) END))
+         |       / (hd.ctx + 2500.0)) AS s
+         |  FROM hd LEFT JOIN occ ON occ.doc_id = hd.doc_id CROSS JOIN st
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // #weight[head](0.7 data 0.3 merge): one scored head extent per
+    // candidate doc (docs containing data or merge anywhere), child
+    // scores with in-extent tf and global collection backgrounds
+    "q_weight_extent" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term='data')::DOUBLE AS cd,
+         |         (SELECT count(*) FROM tok WHERE term='merge')::DOUBLE AS cm
+         |), hd AS (
+         |  SELECT doc_id, least(10, doclen) AS ctx FROM dl WHERE doclen > 0
+         |), tf AS (
+         |  SELECT t.doc_id,
+         |    count(*) FILTER (WHERE t.term='data' AND t.pos <= hd.ctx)  AS td,
+         |    count(*) FILTER (WHERE t.term='merge' AND t.pos <= hd.ctx) AS tm
+         |  FROM tok t JOIN hd ON hd.doc_id = t.doc_id
+         |  WHERE t.term IN ('data','merge') GROUP BY t.doc_id
+         |), sc AS (
+         |  SELECT tf.doc_id, 0::BIGINT AS begin, hd.ctx::BIGINT AS "end",
+         |    0.7 * ln((tf.td + 2500.0*cf.cd/st.tt)/(hd.ctx + 2500.0))
+         |  + 0.3 * ln((tf.tm + 2500.0*cf.cm/st.tt)/(hd.ctx + 2500.0)) AS s
+         |  FROM tf JOIN hd ON hd.doc_id = tf.doc_id CROSS JOIN st CROSS JOIN cf
+         |)
+         |SELECT doc_id, begin, "end", round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id, begin LIMIT 20""".stripMargin,
+
+    // hash-scan ≡ #1(hash scan) under Dirichlet
+    "q_hyphen_query" ->
+      s"""$DTok, m AS (
+         |  SELECT a.doc_id, count(*) AS tf
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = '${OdPair._1}' AND b.term = '${OdPair._2}'
+         |  GROUP BY a.doc_id
+         |), st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt,
+         |         (SELECT coalesce(sum(tf), 0) FROM m)::DOUBLE AS oc
+         |), sc AS (
+         |  SELECT m.doc_id,
+         |    ln((m.tf + 2500.0 * (CASE WHEN st.oc <> 0 THEN st.oc/st.tt ELSE 1.0/(st.tt*2.0) END))
+         |       / (dl.doclen + 2500.0)) AS s
+         |  FROM m JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN st
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // two-stage over #uw8: the window's inner Dirichlet prior is the
+    // DOCUMENT frequency u/dl (4-arg list-belief form), the plain term's
+    // is the collection frequency; uw counts are non-overlap deduped
+    "q_twostage_window" ->
+      s"""$DTok, uw AS (
+         |  ${SdmUwPairSql("data", "merge", 7)}
+         |), st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt,
+         |         (SELECT coalesce(sum(u), 0) FROM uw)::DOUBLE AS uoc,
+         |         (SELECT count(*) FROM tok WHERE term='query')::DOUBLE AS qc
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id FROM uw
+         |    UNION ALL SELECT doc_id FROM tok WHERE term = 'query')
+         |), tq AS (
+         |  SELECT doc_id, count(*) AS t FROM tok WHERE term='query' GROUP BY doc_id
+         |), sc AS (
+         |  SELECT c.doc_id,
+         |    0.5 * ln(0.6*((coalesce(uw.u,0) + 2500.0*(coalesce(uw.u,0)::DOUBLE/dl.doclen))/(dl.doclen + 2500.0))
+         |             + 0.4*(CASE WHEN st.uoc <> 0 THEN st.uoc/st.tt ELSE 1.0/(st.tt*2.0) END))
+         |  + 0.5 * ln(0.6*((coalesce(tq.t,0) + 2500.0*st.qc/st.tt)/(dl.doclen + 2500.0))
+         |             + 0.4*(st.qc/st.tt)) AS s
+         |  FROM cand c JOIN dl ON dl.doc_id = c.doc_id
+         |  LEFT JOIN uw ON uw.doc_id = c.doc_id
+         |  LEFT JOIN tq ON tq.doc_id = c.doc_id
+         |  CROSS JOIN st
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // documentLambda JM over #uw8: ln(ctxλ·u/dl + docλ·u/dl + collλ·cf)
+    "q_jm_doclambda" ->
+      s"""$DTok, uw AS (
+         |  ${SdmUwPairSql("data", "merge", 7)}
+         |), st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt,
+         |         (SELECT coalesce(sum(u), 0) FROM uw)::DOUBLE AS uoc
+         |), sc AS (
+         |  SELECT uw.doc_id,
+         |    ln((1.0::DOUBLE - 0.3 - 0.2) * (uw.u::DOUBLE / dl.doclen)
+         |       + 0.2 * (uw.u::DOUBLE / dl.doclen)
+         |       + 0.3 * (CASE WHEN st.uoc <> 0 THEN st.uoc/st.tt ELSE 1.0/(st.tt*2.0) END)) AS s
+         |  FROM uw JOIN dl ON dl.doc_id = uw.doc_id CROSS JOIN st
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // reformulate app string surface, byte-pinned (newlines as <NL>);
+    // expected strings written out from the reference's generators
+    // (src/ReformulateQuery.cpp) — NOT from the Scala implementation
+    "q_reformulate_app" ->
+      """SELECT * FROM (VALUES
+        |  ('combine', 'n1', '#combine( data merge )'),
+        |  ('combine', '2', 'EMPTYQUERY'),
+        |  ('sdm', 'n1', '#weight( 0.85 #combine(data merge) 0.1 #combine(#1(data merge) ) 0.05 #combine(#uw8(data merge) ))'),
+        |  ('sdm', '2', 'EMPTYQUERY'),
+        |  ('fdmf', 'n1', '#weight( 0.85 #combine(#wsum( 2 data.(title)  )<NL> #wsum( 2 merge.(title)  )<NL> ) 0.1 #combine(#wsum( 2 #1(data merge ).(title)  )<NL>) 0.05 #combine(#wsum( 2 #uw8(data merge ).(title)  )<NL>))'),
+        |  ('fdmf', '2', 'EMPTYQUERY'),
+        |  ('cmu', 'n1', '#weight( 1.0 #combine ( #wsum (1.0 data.(url) 3.5 data.(title) 1.0 data.(body) 1.0 data.(meta) 1.0 data.(alt) 1.0 data.(inlink)) #wsum (1.0 merge.(url) 3.5 merge.(title) 1.0 merge.(body) 1.0 merge.(meta) 1.0 merge.(alt) 1.0 merge.(inlink))  ) 1.0 #weight( 0.85 #combine(data merge ) 0.1 #combine(#1(data merge )<NL>) 0.05 #combine(#uw8(data merge )<NL>)) )'),
+        |  ('cmu', '2', 'EMPTYQUERY')
+        |) AS t(mode, number, text) ORDER BY mode, number""".stripMargin,
+
     "q_any_field" ->
       s"""$DTok
          |SELECT doc_id, 0::BIGINT AS begin, least(10, doclen)::BIGINT AS "end"
@@ -3979,33 +4254,9 @@ object SparkEntry {
          |  WHERE (a.term='data' AND b.term='merge') OR (a.term='merge' AND b.term='query')
          |  GROUP BY a.doc_id
          |), uw1 AS (
-         |  SELECT doc_id, sum(c)::BIGINT AS u FROM (
-         |    SELECT m.doc_id, count(*) AS c FROM (
-         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
-         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='merge'
-         |      WHERE a.term='data' GROUP BY a.doc_id, a.pos) m
-         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
-         |    UNION ALL
-         |    SELECT m.doc_id, count(*) AS c FROM (
-         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
-         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='data'
-         |      WHERE a.term='merge' GROUP BY a.doc_id, a.pos) m
-         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
-         |  ) GROUP BY doc_id
+         |  ${SdmUwPairSql("data", "merge", 7)}
          |), uw2 AS (
-         |  SELECT doc_id, sum(c)::BIGINT AS u FROM (
-         |    SELECT m.doc_id, count(*) AS c FROM (
-         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
-         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='query'
-         |      WHERE a.term='merge' GROUP BY a.doc_id, a.pos) m
-         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
-         |    UNION ALL
-         |    SELECT m.doc_id, count(*) AS c FROM (
-         |      SELECT a.doc_id, a.pos, min(b.pos) AS np
-         |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='merge'
-         |      WHERE a.term='query' GROUP BY a.doc_id, a.pos) m
-         |    WHERE m.np - m.pos <= 7 GROUP BY m.doc_id
-         |  ) GROUP BY doc_id
+         |  ${SdmUwPairSql("merge", "query", 7)}
          |), ws AS (
          |  SELECT (SELECT coalesce(sum(o1),0) FROM od)::DOUBLE AS oc1,
          |         (SELECT coalesce(sum(o2),0) FROM od)::DOUBLE AS oc2,
@@ -4057,8 +4308,11 @@ object SparkEntry {
     // each other term after it is ≤11 positions away — the pooled-scan
     // walk for k=3); children fold in span order (t1t2, t1t2t3, t2t3)
     "q_fdm" -> {
+      // anchored triple matches: extent = (anchor, max(first o1, first
+      // o2) + 1); the per-doc count applies the greedy non-overlap fold
+      // like the kernel (pooled anchors of all three types)
       def uwAnchor(anchor: String, o1: String, o2: String, d: Int) =
-        s"""SELECT m1.doc_id, count(*) AS c
+        s"""SELECT m1.doc_id, m1.pos AS mb, greatest(m1.np1, m2.np2) + 1 AS me
            |    FROM (SELECT a.doc_id, a.pos, min(b.pos) AS np1 FROM tok a
            |          JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$o1'
            |          WHERE a.term='$anchor' GROUP BY a.doc_id, a.pos) m1
@@ -4066,22 +4320,8 @@ object SparkEntry {
            |          JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$o2'
            |          WHERE a.term='$anchor' GROUP BY a.doc_id, a.pos) m2
            |      ON m1.doc_id=m2.doc_id AND m1.pos=m2.pos
-           |    WHERE m1.np1 - m1.pos <= $d AND m2.np2 - m2.pos <= $d
-           |    GROUP BY m1.doc_id""".stripMargin
-      def uwPair(x: String, y: String, d: Int) =
-        s"""SELECT doc_id, sum(c)::BIGINT AS u FROM (
-           |    SELECT m.doc_id, count(*) AS c FROM (
-           |      SELECT a.doc_id, a.pos, min(b.pos) AS np
-           |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$y'
-           |      WHERE a.term='$x' GROUP BY a.doc_id, a.pos) m
-           |    WHERE m.np - m.pos <= $d GROUP BY m.doc_id
-           |    UNION ALL
-           |    SELECT m.doc_id, count(*) AS c FROM (
-           |      SELECT a.doc_id, a.pos, min(b.pos) AS np
-           |      FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos>a.pos AND b.term='$x'
-           |      WHERE a.term='$y' GROUP BY a.doc_id, a.pos) m
-           |    WHERE m.np - m.pos <= $d GROUP BY m.doc_id
-           |  ) GROUP BY doc_id""".stripMargin
+           |    WHERE m1.np1 - m1.pos <= $d AND m2.np2 - m2.pos <= $d""".stripMargin
+      def uwPair(x: String, y: String, d: Int) = SdmUwPairSql(x, y, d)
       // OOV guard exactly as TermScoreFunctionFactory: zero collection
       // occurrences → cf = 1/(2·|C|) (the od/uw TRIPLES can be absent
       // from a small corpus)
@@ -4117,7 +4357,7 @@ object SparkEntry {
          |), uw2 AS (
          |  ${uwPair("merge", "query", 7)}
          |), uw3 AS (
-         |  SELECT doc_id, sum(c)::BIGINT AS u FROM (
+         |  SELECT doc_id, $UwFoldSql AS u FROM (
          |    ${uwAnchor("data", "merge", "query", 11)}
          |    UNION ALL
          |    ${uwAnchor("merge", "data", "query", 11)}

@@ -389,6 +389,14 @@ object Daat {
     def blockLast: Long
     def next(): Unit
     def advanceTo(target: Long): Unit
+    /** leaf score at (tf, dl): term cursors ride the frequency-list
+      * 2-arg score form, window cursors the ListBeliefNode 4-arg form
+      * with documentOccurrences == occurrences (reference:
+      * src/TermFrequencyBeliefNode.cpp vs src/ListBeliefNode.cpp:119-127)
+      * — identical for every rule except two-stage/documentMu smoothing,
+      * whose document components differ on purpose.
+      */
+    def scoreAt(tf: Double, dl: Int): Double
   }
 
   /** Lazy-decoding posting cursor with block skipping: `advanceTo` hops
@@ -408,6 +416,7 @@ object Daat {
     def scoreFn: TermScoreFunction = plan.scoreFn
     def effWeight: Double = plan.effWeight
     def upperBound: Double = plan.upperBound
+    def scoreAt(tf0: Double, dl0: Int): Double = plan.scoreFn.scoreOccurrence(tf0, dl0)
 
     private def ensureDecoded(): Unit = {
       if (docs == null && bi < blocks.length) {
@@ -540,7 +549,10 @@ object Daat {
         }
         val ex = if (ordered) WindowMatcher.ordered(bs, es, width)
                  else WindowMatcher.unordered(bs, es, width)
-        tfc = ex._1.length
+        // the belief occurrence count applies the reference's greedy
+        // non-overlap scan (matches emit in begin order) — bit-identical
+        // to the DataFrame path's dedupCount
+        tfc = WindowMatcher.dedupCount(ex._1, ex._2)
       }
       tfc
     }
@@ -573,13 +585,19 @@ object Daat {
           if (members(i).blockMinDl > dlB) dlB = members(i).blockMinDl
           i += 1
         }
-        val s = scoreFn.scoreOccurrence(tfB.toDouble, dlB)
-        if (lmMode) math.max(effWeight * (s - scoreFn.scoreOccurrence(0.0, dlB)), 0.0)
+        val s = scoreAt(tfB.toDouble, dlB)
+        if (lmMode) math.max(effWeight * (s - scoreAt(0.0, dlB)), 0.0)
         else math.max(effWeight * s, 0.0)
       }
     def next(): Unit = if (!exhausted) align(curDoc + 1)
     def advanceTo(target: Long): Unit =
       if (!exhausted && target > curDoc) align(target)
+    /** windows are ListBeliefNodes: 4-arg score form, document counts
+      * = the window's own (null raw iterator — reference:
+      * src/InferenceNetworkBuilder.cpp:756-780, ListBeliefNode.cpp:119-127)
+      */
+    def scoreAt(tf0: Double, dl0: Int): Double =
+      scoreFn.scoreOccurrence(tf0, dl0, tf0, dl0)
   }
 
   /** Exact structured score of `docId`: leaf scores (real tf when the
@@ -611,9 +629,9 @@ object Daat {
       val c = cursors(i)
       leafScore(i) =
         if (!c.exhausted && c.doc == docId)
-          c.scoreFn.scoreOccurrence(c.tf.toDouble, docDl)
+          c.scoreAt(c.tf.toDouble, docDl)
         else
-          c.scoreFn.scoreOccurrence(0.0, docDl)
+          c.scoreAt(0.0, docDl)
       i += 1
     }
     def eval(t: FoldTree): Double = t match {

@@ -115,8 +115,12 @@ private[search] final class ClauseScorer(
       termIdx.getOrElse(t, Nil).foreach { ci =>
         if (ci >= firstChild && ci < lastChild) {
           val len = lens(ci)
+          // greedy non-overlap count (reference ListBeliefNode rule;
+          // len=1 term matches are never overlapping — identical)
           var c0 = 0
-          ps.foreach { p => if (p >= b && p + len <= e) c0 += 1 }
+          var lastEnd = 0
+          ps.foreach { p =>
+            if (p >= b && p + len <= e && p >= lastEnd) { c0 += 1; lastEnd = p + len } }
           tfByChild(ci) = c0
         }
       }
@@ -176,8 +180,11 @@ private[search] final class ClauseScorer(
         if (numx != null) numx.foreach { r =>
           if (r.getInt(0) == gi) {
             val nb = r.getSeq[Int](1); val ne = r.getSeq[Int](2)
+            var lastEnd = 0
             nb.indices.foreach { j =>
-              if (nb(j) >= b && ne(j) <= e) occ += 1
+              if (nb(j) >= b && ne(j) <= e && nb(j) >= lastEnd) {
+                occ += 1; lastEnd = ne(j)
+              }
             }
           }
         }
@@ -325,8 +332,28 @@ final class Engine(
   private def stats: CorpusStats = index.stats
   private def baseline: Boolean = rule.method == "okapi" || rule.method == "tfidf"
 
-  /** wildcard expansion cap (reference: include/indri/InferenceNetworkBuilder.hpp:64) */
-  val maxWildcardTerms = 100
+  /** wildcard expansion cap, settable like the reference's
+    * QueryEnvironment::setMaxWildcardTerms (reference:
+    * include/indri/InferenceNetworkBuilder.hpp:64 default 100;
+    * src/QueryEnvironment.cpp:1400-1408)
+    */
+  var maxWildcardTerms = 100
+  def setMaxWildcardTerms(n: Int): Unit = maxWildcardTerms = n
+
+  /** single background model: when true, context-restricted scorers
+    * smooth against the PLAIN collection background (the reference's
+    * NoContextCountGraphCopier — stats gathered with the context
+    * stripped) while their foreground counts stay in-context
+    * (reference: src/QueryEnvironment.cpp:953-966,1410-1414;
+    * QueryEnvironment::setSingleBackgroundModel, default false)
+    */
+  private var singleBackground = false
+  def setSingleBackgroundModel(b: Boolean): Unit = singleBackground = b
+
+  /** run a term through the query-side analysis chain (reference:
+    * QueryEnvironment::stemTerm — null when stopped/empty)
+    */
+  def stemTerm(term: String): String = analyzer.processTerm(term)
 
   // ------------------------------------------------------------------
   // stats round
@@ -530,6 +557,68 @@ final class Engine(
           col("ex._2").as("ends"), col("doclen"))
       RawResult(joined)
 
+    case FieldListRestrictNode(child, fields) =>
+      // t.f1,f2 — ExtentInside against the ExtentAnd of the field lists:
+      // child extents contained in an INTERSECTION region of all listed
+      // fields (reference: indrilang.g:511-527; intersection walk
+      // src/ExtentAndNode.cpp:33-74 — touching intersections coalesce.
+      // The reference's >2-field fold leaks each intermediate pass's
+      // final region into the member vector (ExtentAndNode.cpp:73
+      // pushes to `_extents`); we fold the pairwise walk correctly).
+      val c = evalRaw(child)
+      val fx = fieldExtents.where(col("field").isin(fields: _*))
+        .groupBy("docId", "field").agg(
+          sort_array(collect_list(struct(col("begin"), col("end")))).as("fex"))
+        .groupBy("docId").agg(
+          collect_list(struct(col("field"), col("fex"))).as("byField"))
+        .where(size(col("byField")) === fields.distinct.length)
+      val bcFields = fields.distinct
+      val andUdf = udf { (bs: Seq[Int], es: Seq[Int], byField: Seq[Row]) =>
+        // pairwise ExtentAnd fold over the field lists, then containment
+        def and(one: Seq[(Int, Int)], two: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var (i, j) = (0, 0)
+          var cur = (0, 0)
+          while (i < one.length && j < two.length) {
+            val ib = math.max(one(i)._1, two(j)._1)
+            val ie = math.min(one(i)._2, two(j)._2)
+            val ibc = math.min(ib, ie)
+            if (cur._2 < ibc) {
+              if (cur._1 < cur._2) out += cur
+              cur = (ibc, ie)
+            } else cur = (cur._1, ie)
+            if (one(i)._2 == ie) i += 1
+            if (two(j)._2 == ie) j += 1
+          }
+          if (cur._1 != cur._2) out += cur
+          out.toSeq
+        }
+        val m: Map[String, Seq[(Int, Int)]] = byField.map { r =>
+          r.getString(0) -> r.getSeq[Row](1).map(x => (x.getInt(0), x.getInt(1)))
+        }.toMap
+        val lists = bcFields.map(f => m(f).sortBy(identity))
+        val regions = lists.reduce(and)
+        val ob = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val oe = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < bs.length) {
+          var j = 0
+          var in = false
+          while (j < regions.length && !in) {
+            if (bs(i) >= regions(j)._1 && es(i) <= regions(j)._2) in = true
+            j += 1
+          }
+          if (in) { ob += bs(i); oe += es(i) }
+          i += 1
+        }
+        (ob.toArray, oe.toArray)
+      }
+      RawResult(c.df.join(fx, Seq("docId"), "inner")
+        .withColumn("ex", andUdf(col("begins"), col("ends"), col("byField")))
+        .where(size(col("ex._1")) > 0)
+        .select(col("docId"), col("ex._1").as("begins"),
+          col("ex._2").as("ends"), col("doclen")))
+
     case other =>
       throw new IllegalArgumentException(s"not a raw extent node: $other")
   }
@@ -607,8 +696,10 @@ final class Engine(
       // from the batched one-job stats round (complexStatsFor); the
       // per-leaf agg remains as a fallback for direct callers.
       val (occ, df) = cstats.getOrElse(node, {
+        val cnt = udf { (bs: Seq[Int], es: Seq[Int]) =>
+          WindowMatcher.dedupCount(bs, es).toLong }
         val r = raw.df.agg(
-          coalesce(sum(size(col("begins")).cast(LongType)), lit(0L)),
+          coalesce(sum(cnt(col("begins"), col("ends"))), lit(0L)),
           count(lit(1))).head()
         (r.getLong(0).toDouble, r.getLong(1))
       })
@@ -623,6 +714,15 @@ final class Engine(
     */
   private def complexRawLeaves(node: QueryNode): Seq[QueryNode] = node match {
     case _: TermNode => Nil
+    case ContextRestrictNode(child, _) if singleBackground =>
+      // noContext stats: the background comes from the CHILD alone
+      // (term stats ride the dictionary probe; complex children join
+      // the batched round)
+      child match {
+        case _: TermNode => Nil
+        case c => Seq(c)
+      }
+    case c: ContextRestrictNode => Seq(c)
     case r if isRawNode(r) => Seq(r)
     case CombineNode(cs) => cs.flatMap(complexRawLeaves)
     case WeightNode(cs) => cs.flatMap(c => complexRawLeaves(c._2))
@@ -642,23 +742,54 @@ final class Engine(
     */
   private def wsynOcc(children: Seq[(Double, QueryNode)]): DataFrame = {
     val stacked = children.map { case (w, c) =>
-      evaluateRaw(c).df.select(col("docId"),
-        (size(col("begins")).cast(DoubleType) * w).as("wocc"),
-        col("doclen"))
+      evaluateRaw(c).df.select(col("docId"), lit(w).as("w"),
+        col("begins"), col("ends"), col("doclen"))
     }.reduce(_ union _)
+    // the weighted extents pool per document, then the belief count is
+    // the greedy non-overlap scan over the pooled (begin,end) list
+    // accumulating each counted extent's weight (reference: extents
+    // carry weights, src/WeightedExtentOrNode.cpp; count rule
+    // src/ListBeliefNode.cpp:58-74 `count += extents[i].weight`)
+    val woccUdf = udf { (lists: Seq[Row]) =>
+      val all = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      lists.foreach { r =>
+        val w = r.getDouble(0)
+        val bs = r.getSeq[Int](1); val es = r.getSeq[Int](2)
+        var i = 0
+        while (i < bs.length) { all += ((bs(i), es(i), w)); i += 1 }
+      }
+      val sorted = all.sortBy(t => (t._1, t._2))
+      var acc = 0.0
+      var lastEnd = 0
+      sorted.foreach { case (b, e, w) => if (b >= lastEnd) { acc += w; lastEnd = e } }
+      acc
+    }
     stacked.groupBy("docId").agg(
-      sum(col("wocc")).as("wocc"), first(col("doclen")).as("doclen"))
+      collect_list(struct(col("w"), col("begins"), col("ends"))).as("lists"),
+      first(col("doclen")).as("doclen"))
+      .select(col("docId"), woccUdf(col("lists")).as("wocc"), col("doclen"))
   }
 
-  /** 1-row (occ, df) ContextCount aggregate for one complex leaf */
+  /** 1-row (occ, df) ContextCount aggregate for one complex leaf. For a
+    * context-restriction leaf the second slot carries the corpus
+    * CONTEXT SIZE instead of df — the two stats ContextCountAccumulator
+    * registers (reference: src/ContextCountAccumulator.cpp:60-66).
+    */
   private def statsAgg(node: QueryNode): DataFrame = node match {
     case WsynNode(children) =>
       wsynOcc(children).agg(
         coalesce(sum(col("wocc")), lit(0.0)).as("occ"),
         count(lit(1)).as("df"))
+    case ContextRestrictNode(child, contexts) =>
+      contextFrame(child, contexts).agg(
+        coalesce(sum(col("occ").cast(LongType)), lit(0L))
+          .cast(DoubleType).as("occ"),
+        coalesce(sum(col("ctxLen").cast(LongType)), lit(0L)).as("df"))
     case n =>
+      val cnt = udf { (bs: Seq[Int], es: Seq[Int]) =>
+        WindowMatcher.dedupCount(bs, es).toLong }
       evaluateRaw(n).df.agg(
-        coalesce(sum(size(col("begins")).cast(LongType)), lit(0L))
+        coalesce(sum(cnt(col("begins"), col("ends"))), lit(0L))
           .cast(DoubleType).as("occ"),
         count(lit(1)).as("df"))
   }
@@ -689,8 +820,116 @@ final class Engine(
   private def isRawNode(n: QueryNode): Boolean = n match {
     case _: TermNode | _: OdNode | _: UwNode | _: BandNode | _: SynNode |
          _: WsynNode | _: WildcardNode | _: FieldRestrictNode |
+         _: FieldListRestrictNode |
          _: AnyFieldNode | _: FieldNumNode | _: FieldPathNode => true
     case _ => false
+  }
+
+  /** Per-document frame for the context restriction `child.(contexts)`:
+    * one row per document that HAS context extents — the reference
+    * prepares the context iterator independently of the match list, so
+    * a document with context but no match scores fn(0, ctxLen) while a
+    * document with no context at all scores the fn(0, 0) background
+    * (reference: src/ListBeliefNode.cpp:24-56,119-127). Columns:
+    * (docId, occ, ctxLen, rawOcc, doclen) — occ counts matches contained
+    * in a context extent under the reference's non-overlap scan
+    * (_contextOccurrences, src/ListBeliefNode.cpp:58-74; unit-length
+    * term matches never overlap, window matches can), ctxLen sums the
+    * ExtentOr context lengths (overlapping context extents both count,
+    * like the reference's per-extent loop), rawOcc is the UNrestricted
+    * match count that feeds the document-smoothing component.
+    */
+  private def contextFrame(child: QueryNode, contexts: Seq[String]): DataFrame = {
+    val fx = fieldExtents.where(col("field").isin(contexts: _*))
+      .groupBy("docId").agg(
+        sort_array(collect_list(struct(col("begin"), col("end")))).as("fex"),
+        sum(col("end") - col("begin")).cast(IntegerType).as("ctxLen"))
+    val c = evaluateRaw(child).df.select(col("docId"), col("begins"), col("ends"))
+    val countUdf = udf { (bs: Seq[Int], es: Seq[Int], fb: Seq[Int], fe: Seq[Int]) =>
+      if (bs == null) 0
+      else {
+        val order = bs.indices.sortBy(i => (bs(i), es(i)))
+        var n = 0
+        var lastEnd = 0
+        order.foreach { i =>
+          var j = 0
+          var in = false
+          while (j < fb.length && !in) {
+            if (bs(i) >= fb(j) && es(i) <= fe(j)) in = true
+            j += 1
+          }
+          if (in && bs(i) >= lastEnd) { n += 1; lastEnd = es(i) }
+        }
+        n
+      }
+    }
+    fx.join(c, Seq("docId"), "left")
+      .join(index.doclens, Seq("docId"), "inner")
+      .select(col("docId"),
+        countUdf(col("begins"), col("ends"),
+          col("fex.begin"), col("fex.end")).as("occ"),
+        col("ctxLen"),
+        coalesce(size(col("begins")), lit(0)).as("rawOcc"),
+        col("length").as("doclen"))
+  }
+
+  /** Belief of `child.(contexts)` — the scoring context becomes the
+    * context extents: per-document "length" = total context length,
+    * collection background = (matches inside context corpus-wide) /
+    * (total context length corpus-wide), and the raw per-document match
+    * count feeds the document-smoothing component of the 4-arg score
+    * form (reference: builder src/InferenceNetworkBuilder.cpp:744-780;
+    * collection stats src/ContextCountAccumulator.cpp:84-150).
+    */
+  private def scoreContextRestrict(child: QueryNode, contexts: Seq[String],
+                                   termStats: Map[String, TermStats],
+                                   qtf: Int, qtw: Option[Double],
+                                   cstats: Map[QueryNode, (Double, Long)]): Belief = {
+    require(!baseline, "context restriction is rejected in okapi/tfidf baseline " +
+      "mode (reference: src/QueryEnvironment.cpp:912-918) — use an LM rule")
+    val node = ContextRestrictNode(child, contexts)
+    val frame = contextFrame(child, contexts)
+    val sf = if (singleBackground) {
+      // noContext background: the child's PLAIN collection stats with
+      // contextSize = |C| (reference NoContextCountGraphCopier)
+      child match {
+        case TermNode(t) =>
+          val pt = analyzer.processTerm(t)
+          val ts = if (pt == null) TermStats(0, 0)
+                   else termStats.getOrElse(pt, TermStats(0, 0))
+          Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+            ts.df.toDouble, stats.totalDocs, qtf, qtw)
+        case c =>
+          val (occ, df) = cstats.getOrElse(c, {
+            val cnt = udf { (bs: Seq[Int], es: Seq[Int]) =>
+              WindowMatcher.dedupCount(bs, es).toLong }
+            val r = evaluateRaw(c).df.agg(
+              coalesce(sum(cnt(col("begins"), col("ends"))), lit(0L)),
+              count(lit(1))).head()
+            (r.getLong(0).toDouble, r.getLong(1))
+          })
+          Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+            df.toDouble, stats.totalDocs, qtf, qtw)
+      }
+    } else {
+      // (occurrences, contextSize) — from the batched stats round when
+      // available (the df slot carries contextSize for context leaves)
+      val (occTotal, ctxTotal) = cstats.getOrElse(node, {
+        val r = frame.agg(
+          coalesce(sum(col("occ").cast(LongType)), lit(0L)).cast(DoubleType),
+          coalesce(sum(col("ctxLen").cast(LongType)), lit(0L))).head()
+        (r.getDouble(0), r.getLong(1))
+      })
+      Scorers.forTerm(rule, occTotal, ctxTotal.toDouble, 1.0,
+        stats.totalDocs, qtf, qtw)
+    }
+    val scoreUdf = udf { (occ: Int, ctxLen: Int, rawOcc: Int, dl: Int) =>
+      sf.scoreOccurrence(occ.toDouble, ctxLen, rawOcc.toDouble, dl) }
+    Belief(
+      frame.select(col("docId"),
+        scoreUdf(col("occ"), col("ctxLen"), col("rawOcc"), col("doclen")).as("score"),
+        col("doclen")),
+      bg = dl => sf.scoreOccurrence(0.0, 0, 0.0, dl))
   }
 
   /** Raw node + smoothing = ListBeliefNode / TermFrequencyBeliefNode
@@ -714,20 +953,53 @@ final class Engine(
       })
       val sf = Scorers.forTerm(rule, wo, stats.totalTerms.toDouble,
         dfc.toDouble, stats.totalDocs, qtf, qtw)
-      val scoreUdf = udf { (wocc: Double, dl: Int) => sf.scoreOccurrence(wocc, dl) }
+      // ListBeliefNode path → the 4-arg score form (documentOccurrences
+      // = occurrences when no scoring context splits them, reference:
+      // src/ListBeliefNode.cpp:122-126 — _raw is null so
+      // documentOccurrences == occurrences). Identical to the 2-arg
+      // form for every rule except two-stage/documentMu-dirichlet/
+      // documentLambda-JM, whose document components the reference
+      // computes from the document's own counts.
+      val scoreUdf = udf { (wocc: Double, dl: Int) =>
+        sf.scoreOccurrence(wocc, dl, wocc, dl) }
       Belief(
         occ.select(col("docId"), scoreUdf(col("wocc"), col("doclen")).as("score"),
           col("doclen")),
-        bg = dl => sf.scoreOccurrence(0.0, dl))
-    case _ =>
-      val raw = evaluateRaw(node)
-      val sf = scoreFnFor(node, raw, termStats, qtf, qtw, cstats)
+        bg = dl => sf.scoreOccurrence(0.0, dl, 0.0, dl))
+    case ContextRestrictNode(child, contexts) =>
+      scoreContextRestrict(child, contexts, termStats, qtf, qtw, cstats)
+    case t: TermNode =>
+      // plain terms ride the frequency-list path and its 2-arg score
+      // form (reference: FrequencyListCopier replaces simple term
+      // scorers with TermFrequencyBeliefNode, which never passes
+      // document stats — src/TermFrequencyBeliefNode.cpp:60-103)
+      val raw = evaluateRaw(t)
+      val sf = scoreFnFor(t, raw, termStats, qtf, qtw, cstats)
       val scoreUdf = udf { (tf: Int, dl: Int) => sf.scoreOccurrence(tf.toDouble, dl) }
       Belief(
         raw.df.select(col("docId"),
           scoreUdf(size(col("begins")), col("doclen")).as("score"),
           col("doclen")),
         bg = dl => sf.scoreOccurrence(0.0, dl))
+    case _ =>
+      // every other raw node (windows, restrictions, synonyms, paths)
+      // is a ListBeliefNode: the reference always calls the 4-arg
+      // score form there (src/ListBeliefNode.cpp:119-127) with
+      // documentOccurrences == occurrences (null _raw) and
+      // documentLength == the real document length; the occurrence
+      // count applies the greedy non-overlap scan
+      // (WindowMatcher.dedupCount)
+      val raw = evaluateRaw(node)
+      val sf = scoreFnFor(node, raw, termStats, qtf, qtw, cstats)
+      val scoreUdf = udf { (bs: Seq[Int], es: Seq[Int], dl: Int) =>
+        val tf = WindowMatcher.dedupCount(bs, es).toDouble
+        sf.scoreOccurrence(tf, dl, tf, dl)
+      }
+      Belief(
+        raw.df.select(col("docId"),
+          scoreUdf(col("begins"), col("ends"), col("doclen")).as("score"),
+          col("doclen")),
+        bg = dl => sf.scoreOccurrence(0.0, dl, 0.0, dl))
   }
 
   private sealed trait CombineOp
@@ -810,12 +1082,15 @@ final class Engine(
         val qtf = if (pt == null) 1 else qtfs.getOrElse(pt, 1)
         scoreRaw(t, tstats, qtf = qtf, cstats = cstats)
       case r if isRawNode(r) => scoreRaw(r, tstats, cstats = cstats)
+      case cr: ContextRestrictNode => scoreRaw(cr, tstats, cstats = cstats)
       case b => evaluateWith(b, tstats, cstats, root = false)
     }
 
     node match {
       case r if isRawNode(r) =>
         if (baseline) childBelief(r) else childBelief(r)
+
+      case cr: ContextRestrictNode => childBelief(cr)
 
       case CombineNode(children) =>
         val beliefs = children.map(childBelief)
@@ -1260,10 +1535,14 @@ final class Engine(
         // window matches contain every member: dl ≥ max member minDocLen
         val minDl = math.max(
           spec.terms.map(t => tstats.get(t).map(_.minDl).getOrElse(1)).max, 1)
+        // window leaves score through the ListBeliefNode 4-arg form
+        // (docOcc == occ): δ = s₄(tf,dl) − s₄(0,dl) stays ↑tf ↓dl for
+        // every supported rule, so the (occ, minDl) corner still bounds
         val ub =
-          if (baseline) math.max(effW(i) * fn.scoreOccurrence(1e18, 1), 0.0)
+          if (baseline) math.max(effW(i) * fn.scoreOccurrence(1e18, 1, 1e18, 1), 0.0)
           else effW(i) * math.max(
-            fn.scoreOccurrence(occ, minDl) - fn.scoreOccurrence(0.0, minDl), 0.0)
+            fn.scoreOccurrence(occ, minDl, occ, minDl)
+              - fn.scoreOccurrence(0.0, minDl, 0.0, minDl), 0.0)
         (Daat.LeafPlan(spec.terms.mkString(if (spec.ordered) "#od:" else "#uw:", ",", ""),
           spec, fn, effW(i), ub), if (df > 0) minDl else 0)
     }
@@ -1279,7 +1558,14 @@ final class Engine(
     val leafPlans = leaves.map(_._1)
     val baseMax =
       if (baseline) 0.0
-      else Daat.foldWith(tree, li => leafPlans(li).scoreFn.scoreOccurrence(0.0, minDlQuery))
+      else Daat.foldWith(tree, { li =>
+        val lp = leafPlans(li)
+        // term leaves fill in with the frequency-list 2-arg background,
+        // window leaves with the ListBeliefNode 4-arg background — the
+        // same forms the exact scorer and the DataFrame fill-in use
+        if (lp.window == null) lp.scoreFn.scoreOccurrence(0.0, minDlQuery)
+        else lp.scoreFn.scoreOccurrence(0.0, minDlQuery, 0.0, minDlQuery)
+      })
 
     val p = Daat.StructuredPlan(leafPlans, tree, lm = lmMethod, baseMax = baseMax)
     Some(Daat.topKStructured(index, p, k, exhaustive, del))
@@ -1361,13 +1647,39 @@ final class Engine(
     }
     require(!baseline, "extent restriction is rejected in okapi/tfidf baseline mode " +
       "(reference: src/QueryEnvironment.cpp:912-918) — use an LM rule")
-    val childTerms: Seq[String] = er.child match {
-      case TermNode(t) => Seq(t)
-      case CombineNode(cs) if cs.forall(_.isInstanceOf[TermNode]) =>
-        cs.map { case TermNode(t) => t }
+    // flat term bags under any restricted belief op (reference:
+    // indrilang.g — weightedList :269, sumList :285, unweightedList
+    // :296 and notNode :358 all take the extentRestriction): #combine
+    // folds 1/k inside one group, #weight/#wand fold normalized child
+    // weights, #or/#max/#sum/#wsum fold singleton groups through the
+    // matching belief combiner, #not wraps the single child
+    def terms(cs: Seq[QueryNode]): Seq[String] = cs.map {
+      case TermNode(t) => t
       case other => throw new IllegalArgumentException(
         s"extent restriction supports flat term bags, got $other")
     }
+    val (childGroups, groupOp, weights, gweights):
+        (Seq[Seq[String]], Option[String], Option[Seq[Double]], Option[Seq[Double]]) =
+      er.child match {
+        case TermNode(t) => (Seq(Seq(t)), None, None, None)
+        case CombineNode(cs) => (Seq(terms(cs)), None, None, None)
+        case WeightNode(cs) =>
+          val total = cs.map(c => math.abs(c._1)).sum
+          (Seq(terms(cs.map(_._2))), None, Some(cs.map(_._1 / total)), None)
+        case OrQNode(cs) => (terms(cs).map(Seq(_)), Some("or"), None, None)
+        case MaxQNode(cs) => (terms(cs).map(Seq(_)), Some("max"), None, None)
+        case SumNode(cs) =>
+          // #sum = unweighted #wsum (1/k group weights)
+          (terms(cs).map(Seq(_)), Some("wsum"), None,
+            Some(cs.map(_ => 1.0 / cs.size)))
+        case WsumNode(cs) =>
+          val total = cs.map(c => math.abs(c._1)).sum
+          (terms(cs.map(_._2)).map(Seq(_)), Some("wsum"), None,
+            Some(cs.map(_._1 / total)))
+        case NotQNode(c) => (Seq(terms(Seq(c))), Some("not"), None, None)
+        case other => throw new IllegalArgumentException(
+          s"extent restriction supports flat term bags, got $other")
+      }
     val fx = er.passage match {
       case Some(_) => null
       case None =>
@@ -1375,8 +1687,8 @@ final class Engine(
           .groupBy("docId").agg(
             sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
     }
-    scoreExtentContexts(Seq(childTerms.map(NexiParser.PlainTerm)), None, fx,
-      er.passage, k)
+    scoreExtentContexts(childGroups.map(_.map(NexiParser.PlainTerm)), groupOp, fx,
+      er.passage, k, weightsOverride = weights, groupWeights = gweights)
   }
 
   /** Score every extent (or sliding passage) of candidate documents as
@@ -1475,16 +1787,23 @@ final class Engine(
                                   extentsByDoc: DataFrame,
                                   passage: Option[(Int, Int)],
                                   k: Int,
-                                  tree: Option[ScoreTree] = None): DataFrame = {
+                                  tree: Option[ScoreTree] = None,
+                                  weightsOverride: Option[Seq[Double]] = None,
+                                  groupWeights: Option[Seq[Double]] = None): DataFrame = {
     val prep = prepLeaves(childGroups.flatten)
     val fns = prep.fns
     val termIdx = prep.keyIdx
     val groupOf: Array[Int] = childGroups.zipWithIndex
       .flatMap { case (g, gi) => g.map(_ => gi) }.toArray
-    val wChild: Array[Double] = childGroups
-      .flatMap(g => g.map(_ => 1.0 / g.length)).toArray
+    val wChild: Array[Double] = weightsOverride match {
+      case Some(ws) => ws.toArray
+      case None => childGroups.flatMap(g => g.map(_ => 1.0 / g.length)).toArray
+    }
     val nGroups = childGroups.length
     val isOr = groupOp.contains("or")
+    val op: String = groupOp.getOrElse("combine")
+    val gw: Array[Double] = groupWeights
+      .map(_.toArray).getOrElse(Array.fill(nGroups)(1.0 / nGroups))
     if (prep.perDoc == null)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("docId", LongType), StructField("begin", IntegerType),
@@ -1504,6 +1823,8 @@ final class Engine(
         perDoc.join(extentsByDoc, Seq("docId"), "inner")
           .select(col("docId"), col("tp"), col("ex"))
     }
+    val bcGw = spark.sparkContext.broadcast(gw)
+    val bcOp = spark.sparkContext.broadcast(op)
 
     val bcFns = spark.sparkContext.broadcast(fns)
     val bcIdx = spark.sparkContext.broadcast(termIdx)
@@ -1529,9 +1850,13 @@ final class Engine(
           tIdx.getOrElse(t, Nil).foreach { ci =>
             val len = lens(ci)
             var c = 0
+            var lastEnd = 0
             // containment: a match of length `len` at begin p lies in
-            // [b, e) iff p ≥ b ∧ p+len ≤ e (len=1 ⇔ the plain p < e)
-            ps.foreach { p => if (p >= b && p + len <= e) c += 1 }
+            // [b, e) iff p ≥ b ∧ p+len ≤ e (len=1 ⇔ the plain p < e);
+            // counted under the greedy non-overlap scan (reference
+            // ListBeliefNode rule — only phrase matches can overlap)
+            ps.foreach { p =>
+              if (p >= b && p + len <= e && p >= lastEnd) { c += 1; lastEnd = p + len } }
             tfByChild(ci) = c
           }
         }
@@ -1546,17 +1871,32 @@ final class Engine(
         }
         val acc = foldTree match {
           case Some(t) => ScoreTree.fold(t, groupScore)
-          case None =>
-            if (nGroups == 1) groupScore(0)
-            else if (isOr) { // OrNode fold
+          case None => bcOp.value match {
+            case "or" | "combine" if nGroups == 1 => groupScore(0)
+            case "or" => // OrNode fold
               var notAny = 1.0; var g = 0
               while (g < nGroups) { notAny *= (1.0 - math.exp(groupScore(g))); g += 1 }
               math.log(1.0 - notAny)
-            } else { // CombineNode 1/k fold
+            case "max" => // MaxNode fold (reference: src/MaxNode.cpp)
+              var m = Double.NegativeInfinity; var g = 0
+              while (g < nGroups) { if (groupScore(g) > m) m = groupScore(g); g += 1 }
+              m
+            case "wsum" => // WSumNode fold: log(Σ w·exp(s)) with the
+              // |w|-normalized group weights (reference: src/WSumNode.cpp)
               var s = 0.0; var g = 0
-              while (g < nGroups) { s += groupScore(g) / nGroups; g += 1 }
-              s
-            }
+              val w = bcGw.value
+              while (g < nGroups) { s += w(g) * math.exp(groupScore(g)); g += 1 }
+              math.log(s)
+            case "not" => // NotNode over the single group
+              math.log1p(-math.exp(groupScore(0)))
+            case _ =>
+              if (nGroups == 1) groupScore(0)
+              else { // CombineNode 1/k fold
+                var s = 0.0; var g = 0
+                while (g < nGroups) { s += groupScore(g) / nGroups; g += 1 }
+                s
+              }
+          }
         }
         (b, e, acc)
       }
@@ -1580,6 +1920,8 @@ final class Engine(
     case WsynNode(_) => "wsyn"
     case AnyFieldNode(f) => s"any:$f"
     case FieldRestrictNode(_, f) => s"inside:$f"
+    case FieldListRestrictNode(_, fs) => s"inside:${fs.mkString(",")}"
+    case ContextRestrictNode(_, cs) => s"context:${cs.mkString(",")}"
     case FieldNumNode(op, f, _, _) => s"$op:$f"
     case FieldPathNode(op, a, b) => s"$op($a,$b)"
     case CombineNode(_) => "combine"
@@ -1603,6 +1945,8 @@ final class Engine(
     case SynNode(cs) => cs
     case WsynNode(cs) => cs.map(_._2)
     case FieldRestrictNode(c, _) => Seq(c)
+    case FieldListRestrictNode(c, _) => Seq(c)
+    case ContextRestrictNode(c, _) => Seq(c)
     case CombineNode(cs) => cs
     case WeightNode(cs) => cs.map(_._2)
     case WsumNode(cs) => cs.map(_._2)
@@ -1899,8 +2243,11 @@ final class Engine(
         tp.foreach { case (t, ps) =>
           tIdx.getOrElse(t, Nil).foreach { ci =>
             val len = lens(ci)
+            // greedy non-overlap count (reference ListBeliefNode rule)
             var c0 = 0
-            ps.foreach { p => if (p >= b && p + len <= e) c0 += 1 }
+            var lastEnd = 0
+            ps.foreach { p =>
+              if (p >= b && p + len <= e && p >= lastEnd) { c0 += 1; lastEnd = p + len } }
             tfByChild(ci) = c0
           }
         }
@@ -2002,8 +2349,11 @@ final class Engine(
           tIdx.getOrElse(t, Nil).foreach { ci =>
             if (ci >= firstChild && ci < lastChild) {
               val len = lens(ci)
+              // greedy non-overlap count (reference ListBeliefNode rule)
               var c0 = 0
-              ps.foreach { p => if (p >= b && p + len <= e) c0 += 1 }
+              var lastEnd = 0
+              ps.foreach { p =>
+                if (p >= b && p + len <= e && p >= lastEnd) { c0 += 1; lastEnd = p + len } }
               tfByChild(ci) = c0
             }
           }
@@ -2182,8 +2532,11 @@ final class Engine(
           tIdx.getOrElse(t, Nil).foreach { ci =>
             if (ci >= firstChild && ci < lastChild) {
               val len = lens(ci)
+              // greedy non-overlap count (reference ListBeliefNode rule)
               var c0 = 0
-              ps.foreach { p => if (p >= b && p + len <= e) c0 += 1 }
+              var lastEnd = 0
+              ps.foreach { p =>
+                if (p >= b && p + len <= e && p >= lastEnd) { c0 += 1; lastEnd = p + len } }
               tfByChild(ci) = c0
             }
           }
@@ -2600,6 +2953,21 @@ final class Engine(
   def termFieldCount(term: String, field: String): Long =
     expressionCount(s"$term.$field")
 
+  /** stem-keyed stat verbs: this index is stem-keyed (SURVEY §1.9 — the
+    * dictionary stores processed terms), so the stem variants are the
+    * term verbs with the analysis chain already applied by the caller
+    * (reference: QueryEnvironment::stemCount/documentStemCount/
+    * stemFieldCount run the same probes on the stemmed key)
+    */
+  def stemCount(stem: String): Long =
+    index.dictionary.where(col("term") === stem)
+      .select("ctf").as[Long].collect().headOption.getOrElse(0L)
+  def documentStemCount(stem: String): Long =
+    index.dictionary.where(col("term") === stem)
+      .select("df").as[Long].collect().headOption.getOrElse(0L)
+  def stemFieldCount(stem: String, field: String): Long =
+    termFieldCount(stem, field)
+
   /** names of indexed fields (reference: QueryEnvironment::fieldList) */
   def fieldList(): Seq[String] =
     if (index.fieldExtents == null) Nil
@@ -2631,8 +2999,12 @@ final class Engine(
     * `xcount` analogue, reference: dumpindex/dumpindex.cpp:25-53)
     */
   def expressionCount(expr: String): Long = {
+    // the reference counts through a ContextCount graph, which applies
+    // the greedy non-overlap scan (src/ContextCountAccumulator.cpp:84-97)
     val raw = evaluateRaw(QueryParser.parse(expr))
-    val r = raw.df.agg(coalesce(sum(size(col("begins")).cast(LongType)), lit(0L))).head()
+    val cnt = udf { (bs: Seq[Int], es: Seq[Int]) =>
+      WindowMatcher.dedupCount(bs, es).toLong }
+    val r = raw.df.agg(coalesce(sum(cnt(col("begins"), col("ends"))), lit(0L))).head()
     r.getLong(0)
   }
 
@@ -2712,6 +3084,55 @@ final class Engine(
 
 /** Per-document window matching kernels (pure Scala, executor-side). */
 object WindowMatcher {
+
+  /** Greedy non-overlap occurrence count — the occurrence rule every
+    * list-belief count in the reference applies: walk the extents in
+    * begin order and count one iff its begin is ≥ the last counted
+    * extent's end (reference: ListBeliefNode::_documentOccurrences /
+    * _contextOccurrences, src/ListBeliefNode.cpp:58-91, and the
+    * collection-stats side ContextCountAccumulator::evaluate,
+    * src/ContextCountAccumulator.cpp:84-97 — "filter duplicates").
+    * Unit-length term matches never overlap, so this equals the plain
+    * count for term lists; window/synonym matches CAN overlap (e.g.
+    * every #uwN anchor within reach of the others), where the plain
+    * count over-counts. Ties on begin are unspecified in the reference
+    * (std::sort with a begin-only comparator); we order (begin, end)
+    * ascending.
+    */
+  def dedupCount(bs: Seq[Int], es: Seq[Int]): Int = {
+    if (bs == null || bs.isEmpty) return 0
+    var sorted = true
+    var i = 1
+    while (sorted && i < bs.length) {
+      if (bs(i) < bs(i - 1) || (bs(i) == bs(i - 1) && es(i) < es(i - 1))) sorted = false
+      i += 1
+    }
+    var n = 0
+    var lastEnd = 0
+    if (sorted) {
+      i = 0
+      while (i < bs.length) {
+        if (bs(i) >= lastEnd) { n += 1; lastEnd = es(i) }
+        i += 1
+      }
+    } else {
+      val order = bs.indices.sortBy(j => (bs(j), es(j)))
+      order.foreach { j => if (bs(j) >= lastEnd) { n += 1; lastEnd = es(j) } }
+    }
+    n
+  }
+
+  /** array fast path for the kernel (window matches emit in begin order) */
+  def dedupCount(bs: Array[Int], es: Array[Int]): Int = {
+    var n = 0
+    var lastEnd = 0
+    var i = 0
+    while (i < bs.length) {
+      if (bs(i) >= lastEnd) { n += 1; lastEnd = es(i) }
+      i += 1
+    }
+    n
+  }
 
   /** Ordered window (reference: src/OrderedWindowNode.cpp:111-166):
     * outer loop over first child's extents, inner pointers advance

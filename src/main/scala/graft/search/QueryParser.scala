@@ -25,6 +25,29 @@ final case class WildcardNode(prefix: String) extends QueryNode
 /** t.f field restriction — extents of `child` contained in an extent of
   * `field` (reference: indrilang.g:690-743, src/ExtentInsideNode.cpp) */
 final case class FieldRestrictNode(child: QueryNode, field: String) extends QueryNode
+/** t.f1,f2 multi-field restriction — the field list is an ExtentAnd:
+  * the child's extents must lie inside the INTERSECTION regions of the
+  * listed fields' extents (reference: indrilang.g:511-527 qualifiedTerm
+  * → ExtentInside(term, ExtentAnd(field_list)); field_list :773-792;
+  * intersection walk src/ExtentAndNode.cpp:33-74 — pairwise interval
+  * intersections, touching regions coalesced). The >2-field reference
+  * walk leaks each intermediate pass's final region into the member
+  * vector instead of the intermediate (ExtentAndNode.cpp:73 pushes to
+  * `_extents`, not `out`); we fold the pairwise walk correctly rather
+  * than reproduce that defect. */
+final case class FieldListRestrictNode(child: QueryNode, fields: Seq[String]) extends QueryNode
+/** t.(f1,f2) context restriction — matches of `child` are counted
+  * inside the context fields' extents, and the SCORING CONTEXT becomes
+  * those extents: the per-document "length" is the total context-extent
+  * length and the collection background is (occurrences of child within
+  * the context) / (total context length in the corpus)
+  * (reference: indrilang.g:225-257 scoredRaw → RawScorerNode(raw,
+  * context_list), context_list :794-827 = ExtentOr over the fields;
+  * builder src/InferenceNetworkBuilder.cpp:744-780 wraps the match
+  * iterator in ExtentInsideNode(raw, context) and keeps the raw
+  * iterator for the document-smoothing occurrence count; per-document
+  * context length src/ListBeliefNode.cpp:24-56). */
+final case class ContextRestrictNode(child: QueryNode, contexts: Seq[String]) extends QueryNode
 /** #any:f — every extent of field f (reference: indrilang.g:490-527,
   * FieldIteratorNode builder src/InferenceNetworkBuilder.cpp:135-150) */
 final case class AnyFieldNode(field: String) extends QueryNode
@@ -113,6 +136,8 @@ object QueryParser {
       case MaxQNode(cs) => all(cs)
       case NotQNode(c) => walk(c)
       case FieldRestrictNode(c, _) => walk(c)
+      case FieldListRestrictNode(c, _) => walk(c)
+      case ContextRestrictNode(c, _) => walk(c)
       case FilReqNode(f, s) => all(Seq(f, s))
       case FilRejNode(f, s) => all(Seq(f, s))
       case LengthPriorQNode(_, c) => walk(c)
@@ -240,46 +265,176 @@ object QueryParser {
       out.result()
     }
 
+    /** is `n` a raw (extent) node the DOT qualifiers may attach to —
+      * the grammar's unqualifiedTerm alternatives (indrilang.g:528-585)
+      */
+    private def isRawType(n: QueryNode): Boolean = n match {
+      case _: TermNode | _: OdNode | _: UwNode | _: BandNode | _: SynNode |
+           _: WsynNode | _: WildcardNode | _: AnyFieldNode | _: FieldNumNode |
+           _: FieldPathNode | _: FieldRestrictNode | _: FieldListRestrictNode => true
+      case _ => false
+    }
+
+    /** split a DOT suffix into field names; valid iff every comma part
+      * is alphanumeric with at least one letter (fieldNameString,
+      * reference: indrilang.g:625-638)
+      */
+    private def fieldParts(s: String): Option[Seq[String]] = {
+      val parts = s.split(",").toSeq
+      if (parts.nonEmpty && parts.forall(p =>
+          p.nonEmpty && p.forall(_.isLetterOrDigit) && p.exists(_.isLetter)))
+        Some(parts.map(_.toLowerCase))
+      else None
+    }
+
+    private def fieldRestrict(child: QueryNode, spec: String): QueryNode =
+      fieldParts(spec) match {
+        case Some(Seq(one)) => FieldRestrictNode(child, one)
+        case Some(many) => FieldListRestrictNode(child, many)
+        case None =>
+          throw new IllegalArgumentException(s"invalid field list '$spec'")
+      }
+
+    /** `( f1 , f2 )` context list after a trailing DOT
+      * (reference: indrilang.g:794-827). Path contexts `.( .//sec )`
+      * are outside the implemented subset (documented).
+      */
+    private def parseContextList(): Seq[String] = {
+      expect(LParen)
+      val out = Seq.newBuilder[String]
+      var done = false
+      while (!done) {
+        peek match {
+          case Some(Word(w)) =>
+            advance()
+            w.split(",").filter(_.nonEmpty).foreach { f =>
+              require(!f.startsWith("."),
+                "path contexts in a context list are outside the implemented subset")
+              require(f.forall(_.isLetterOrDigit) && f.exists(_.isLetter),
+                s"invalid context field '$f'")
+              out += f.toLowerCase
+            }
+          case Some(RParen) => advance(); done = true
+          case other =>
+            throw new IllegalArgumentException(s"expected context field, got $other")
+        }
+      }
+      val fields = out.result()
+      require(fields.nonEmpty, "empty context list")
+      fields
+    }
+
+    /** postfix DOT qualifiers after a raw node: `.f1,f2` field-list
+      * restriction and/or a trailing `.( f1,f2 )` context list — the
+      * grammar lets BOTH follow any unqualifiedTerm, e.g.
+      * `#1(a b).(title)` or `t.f1.(f2)` (reference: indrilang.g:225-257)
+      */
+    private def attachQualifiers(node: QueryNode): QueryNode = {
+      if (!isRawType(node)) return node
+      peek match {
+        case Some(Word(w)) if w.length > 1 && w.startsWith(".") && !w.startsWith(".//") =>
+          advance()
+          val trailingDot = w.endsWith(".")
+          val core = w.substring(1, if (trailingDot) w.length - 1 else w.length)
+          val restricted = if (core.nonEmpty) fieldRestrict(node, core) else node
+          if (trailingDot) {
+            require(peek.contains(LParen),
+              s"dangling '.' after field restriction in query (expected context list)")
+            ContextRestrictNode(restricted, parseContextList())
+          } else restricted
+        case Some(Word(".")) if { val save = pos; advance();
+            val isCtx = peek.contains(LParen); pos = save; isCtx } =>
+          advance()
+          ContextRestrictNode(node, parseContextList())
+        case _ => node
+      }
+    }
+
+    /** query-level hyphenated compounds `a-b-c` score as exact-adjacency
+      * windows #1(a b c) — matching the document tokenizer, which splits
+      * them into adjacent positions (reference: indrilang.g:587-623
+      * hyphenTerm → ODNode window 1; parts must be alphanumeric)
+      */
+    private def hyphenTerm(w: String): Option[QueryNode] = {
+      if (!w.contains('-') || w.startsWith("-") || w.endsWith("-")) return None
+      val parts = w.split("-").toSeq
+      if (parts.length >= 2 && parts.forall(p => p.nonEmpty && p.forall(_.isLetterOrDigit)))
+        Some(OdNode(1, parts.map(TermNode(_))))
+      else None
+    }
+
+    /** a bare word term with its optional DOT qualifiers:
+      * `t`, `te*`, `a-b`, `t.f1,f2`, `t.(f)`, `t.f.(g)` …
+      */
+    private def wordTerm(w: String): QueryNode = {
+      // trailing dot + '(' → a context list follows
+      if (w.endsWith(".") && w.length > 1 && peek.contains(LParen)) {
+        val base = wordTerm(w.dropRight(1))
+        return ContextRestrictNode(base, parseContextList())
+      }
+      if (w.endsWith("*") && w.length > 1) return WildcardNode(w.dropRight(1))
+      // qualifiedTerm t.f / t.f1,f2 (reference: indrilang.g:690-743,
+      // 511-527); the field names must be alphanumeric — other dots
+      // stay in the term (the analyzer strips them, e.g. "u.s.a.")
+      val dot = w.lastIndexOf('.')
+      if (dot > 0 && dot < w.length - 1) {
+        fieldParts(w.substring(dot + 1)) match {
+          case Some(_) =>
+            return fieldRestrict(wordTerm(w.substring(0, dot)), w.substring(dot + 1))
+          case None => ()
+        }
+      }
+      hyphenTerm(w).getOrElse(TermNode(w))
+    }
+
     def parseNode(): QueryNode = {
       advance() match {
         case Word(w) =>
-          if (w.endsWith("*") && w.length > 1) WildcardNode(w.dropRight(1))
-          else {
-            // qualifiedTerm t.f (reference: indrilang.g:690-743); the
-            // field name must be alphanumeric — other dots stay in the
-            // term (the analyzer strips them, e.g. acronyms "u.s.a.")
-            val dot = w.lastIndexOf('.')
-            if (dot > 0 && dot < w.length - 1 &&
-                w.substring(dot + 1).forall(_.isLetterOrDigit) &&
-                w.substring(dot + 1).exists(_.isLetter))
-              FieldRestrictNode(TermNode(w.substring(0, dot)), w.substring(dot + 1).toLowerCase)
-            else TermNode(w)
-          }
+          val base = wordTerm(w)
+          // a separate `.(f)` token can still follow (e.g. `t .(f)`
+          // never lexes that way, but `<a b>.(f)` leaves the dot word
+          // to attachQualifiers)
+          attachQualifiers(base)
         case Num(v) =>
           // a bare number in term position is a term (e.g. query "42")
           TermNode(if (v == v.toLong) v.toLong.toString else v.toString)
         case Phrase(ws) =>
           if (ws.length == 1) TermNode(ws.head) else OdNode(1, ws.map(TermNode(_)))
         case LAngle =>
-          val kids = parseSequence(stopAtClose = true); expect(RAngle); SynNode(kids)
+          val kids = parseSequence(stopAtClose = true); expect(RAngle)
+          attachQualifiers(SynNode(kids))
         case LBrace =>
-          val kids = parseSequence(stopAtClose = true); expect(RBrace); SynNode(kids)
+          val kids = parseSequence(stopAtClose = true); expect(RBrace)
+          attachQualifiers(SynNode(kids))
         case Op(name, _) if name.startsWith("any:") =>
-          AnyFieldNode(name.stripPrefix("any:"))
-        case Op(name, _) if name.contains("[") && name.endsWith("]") =>
+          attachQualifiers(AnyFieldNode(name.stripPrefix("any:")))
+        case Op(name, num) if name.contains("[") && name.endsWith("]") =>
+          // extent restriction attaches to ANY belief operator with a
+          // child list, not just #combine (reference: indrilang.g —
+          // weightedList :269, sumList :285, unweightedList :296 and
+          // notNode :358 all take an optional extentRestriction)
           val base = name.substring(0, name.indexOf('['))
           val spec = name.substring(name.indexOf('[') + 1, name.length - 1)
-          require(base == "combine", s"extent restriction only on #combine, got #$base")
-          expect(LParen)
-          val kids = parseSequence(stopAtClose = true)
-          expect(RParen)
-          val child = if (kids.length == 1) kids.head else CombineNode(kids)
+          val restrictable = Set("combine", "weight", "wsum", "wand", "sum",
+            "or", "max", "not")
+          require(restrictable(base),
+            s"extent restriction not allowed on #$base (indrilang.g belief ops only)")
+          val child = opBody(base, num)
           if (spec.startsWith("passage")) {
             // passageW:I (reference: FixedPassageNode)
             val Array(w, inc) = spec.stripPrefix("passage").split(":", 2)
             ExtentRestrictNode("", Some((w.toInt, inc.toInt)), child)
           } else ExtentRestrictNode(spec, None, child)
         case Op(name, num) =>
+          val node = opBody(name, num)
+          attachQualifiers(node)
+        case other =>
+          throw new IllegalArgumentException(s"unexpected token $other")
+      }
+    }
+
+    /** `#op( … )` body — shared by the bare and extent-restricted forms */
+    private def opBody(name: String, num: Option[Int]): QueryNode = {
           expect(LParen)
           def fieldArg(): String = advance() match {
             case Word(f) => f.toLowerCase
@@ -331,14 +486,19 @@ object QueryParser {
               val f = fieldArg(); FieldNumNode("between", f, numArg(), numArg())
             case "equals" | "dateequals" =>
               val f = fieldArg(); val v = numArg(); FieldNumNode("equals", f, v, v)
+            case "wildcard" =>
+              // `#wildcard( term )` operator form of `term*`
+              // (reference: indrilang.g:640-649 wildcardOpNode)
+              advance() match {
+                case Word(t) => WildcardNode(t)
+                case other =>
+                  throw new IllegalArgumentException(s"expected wildcard stem, got $other")
+              }
             case other =>
               throw new IllegalArgumentException(s"unsupported operator #$other")
           }
           expect(RParen)
           node
-        case other =>
-          throw new IllegalArgumentException(s"unexpected token $other")
-      }
     }
   }
 
@@ -355,6 +515,8 @@ object QueryParser {
     case WsynNode(cs) => cs.flatMap(c => termLeaves(c._2))
     case WildcardNode(p) => Seq(p)
     case FieldRestrictNode(c, _) => termLeaves(c)
+    case FieldListRestrictNode(c, _) => termLeaves(c)
+    case ContextRestrictNode(c, _) => termLeaves(c)
     case AnyFieldNode(_) => Nil
     case FieldNumNode(_, _, _, _) => Nil
     case FieldPathNode(_, _, _) => Nil

@@ -31,7 +31,11 @@ object Reformulate {
       weightU: String = "0.05",
       stopStructures: Boolean = true,
       liteStop: Boolean = true,
-      fields: Seq[WeightedField] = Nil)
+      fields: Seq[WeightedField] = Nil,
+      // CMU-FDM mixture knobs (reference: src/ReformulateQuery.cpp:177-186)
+      mixtureWeight: String = "1.0",
+      dependencyWeight: String = "1.0",
+      fieldWeights: Map[String, String] = Map.empty)
 
   sealed trait Mode
   case object GenCombine extends Mode
@@ -181,72 +185,93 @@ object Reformulate {
     * expressions the same way with `.(f)` (our parser applies the
     * restriction through [[FieldRestrictNode]] identically)
     */
-  private def fieldWsum(x: String, fields: Seq[WeightedField]): String =
-    fields.map(f => s"${f.weight} $x.${f.field}").mkString("#wsum( ", " ", " )")
+  /** All generator strings below are BYTE-IDENTICAL to the reference's
+    * string building — including its whitespace quirks (trailing spaces
+    * before closing parens, embedded newlines in the weighted-field
+    * forms, the double space in the single-term CMU dependency) and the
+    * `.(field)` CONTEXT-restriction qualifier the weighted-field
+    * variants emit (which the query parser now evaluates with the
+    * reference's context-scoring semantics).
+    */
 
   /** SDM: #weight(wT #combine(terms) wO #combine(adjacent #1 pairs)
-    * wU #combine(adjacent #uw8 pairs))
+    * wU #combine(adjacent #uw8 pairs)); each pair piece carries the
+    * reference's trailing space
     * (reference: ReformulateQuery::generateSDMQuery, src/ReformulateQuery.cpp:144-165)
     */
   def sdm(terms: Seq[String], p: Params = Params()): String = {
     require(terms.nonEmpty, "empty query")
     if (terms.size == 1) return s"#combine(${terms.head})"
     val t = terms.mkString(" ")
-    val ow = terms.sliding(2).map(pr => s"#1(${pr(0)} ${pr(1)})").mkString(" ")
-    val uw = terms.sliding(2).map(pr => s"#uw8(${pr(0)} ${pr(1)})").mkString(" ")
+    val ow = terms.sliding(2).map(pr => s"#1(${pr(0)} ${pr(1)}) ").mkString
+    val uw = terms.sliding(2).map(pr => s"#uw8(${pr(0)} ${pr(1)}) ").mkString
     s"#weight( ${p.weightT} #combine($t) ${p.weightO} #combine($ow) ${p.weightU} #combine($uw))"
   }
 
-  /** weighted-field SDM (reference: src/ReformulateQuery.cpp:102-138) */
+  /** weighted-field SDM — per-unit `#wsum( w x.(f) … )` with the
+    * reference's ` )\n ` / ` )\n` tails
+    * (reference: src/ReformulateQuery.cpp:103-142)
+    */
   def sdmFields(terms: Seq[String], fields: Seq[WeightedField],
                 p: Params = Params()): String = {
     if (fields.isEmpty) return sdm(terms, p)
     require(terms.nonEmpty, "empty query")
     if (terms.size == 1) return s"#combine(${terms.head})"
-    val qT = terms.map(fieldWsum(_, fields)).mkString(" ")
+    def wsum(x: String): String =
+      fields.map(f => s"${f.weight} $x.(${f.field}) ").mkString("#wsum( ", "", "")
+    val qT = terms.map(t => wsum(t) + " )\n ").mkString
     val qO = terms.sliding(2)
-      .map(pr => fieldWsum(s"#1(${pr(0)} ${pr(1)})", fields)).mkString(" ")
+      .map(pr => wsum(s"#1(${pr(0)} ${pr(1)})") + " )\n").mkString
     val qU = terms.sliding(2)
-      .map(pr => fieldWsum(s"#uw8(${pr(0)} ${pr(1)})", fields)).mkString(" ")
+      .map(pr => wsum(s"#uw8(${pr(0)} ${pr(1)})") + " )\n").mkString
     s"#weight( ${p.weightT} #combine($qT) ${p.weightO} #combine($qO) ${p.weightU} #combine($qU))"
   }
 
-  /** FDM: every contiguous span [start..end] (len ≥ 2) contributes
-    * #1(span) and #uw{4·len}(span)
-    * (reference: ReformulateQuery::generateFDMQuery, src/ReformulateQuery.cpp:276-310)
+  /** contiguous spans [start..end], len ≥ 2, in the reference's loop
+    * order (reference: src/ReformulateQuery.cpp:241-243,284-287)
+    */
+  private def fdmSpans(terms: Seq[String]): Seq[Seq[String]] = for {
+    start <- terms.indices.dropRight(1)
+    end <- (start + 1) until terms.size
+  } yield terms.slice(start, end + 1)
+
+  /** FDM: every contiguous span contributes #1(span) and #uw{4·len}
+    * (span); the reference builds each span with a trailing space and a
+    * newline after each window
+    * (reference: ReformulateQuery::generateFDMQuery, src/ReformulateQuery.cpp:273-305)
     */
   def fdm(terms: Seq[String], p: Params = Params()): String = {
     require(terms.nonEmpty, "empty query")
     if (terms.size == 1) return s"#combine(${terms.head})"
-    val t = terms.mkString(" ")
-    val spans = for {
-      start <- terms.indices.dropRight(1)
-      end <- (start + 1) until terms.size
-    } yield terms.slice(start, end + 1)
-    val ow = spans.map(s => s"#1(${s.mkString(" ")})").mkString(" ")
-    val uw = spans.map(s => s"#uw${4 * s.size}(${s.mkString(" ")})").mkString(" ")
+    val t = terms.map(_ + " ").mkString
+    val spans = fdmSpans(terms)
+    val ow = spans.map(s => "#1(" + s.map(_ + " ").mkString + ")\n").mkString
+    val uw = spans.map(s => s"#uw${4 * s.size}(" + s.map(_ + " ").mkString + ")\n").mkString
     s"#weight( ${p.weightT} #combine($t) ${p.weightO} #combine($ow) ${p.weightU} #combine($uw))"
   }
 
-  /** weighted-field FDM (reference: src/ReformulateQuery.cpp:225-270) */
+  /** weighted-field FDM (reference: src/ReformulateQuery.cpp:225-266) */
   def fdmFields(terms: Seq[String], fields: Seq[WeightedField],
                 p: Params = Params()): String = {
     if (fields.isEmpty) return fdm(terms, p)
     require(terms.nonEmpty, "empty query")
     if (terms.size == 1) return s"#combine(${terms.head})"
-    val qT = terms.map(fieldWsum(_, fields)).mkString(" ")
-    val spans = for {
-      start <- terms.indices.dropRight(1)
-      end <- (start + 1) until terms.size
-    } yield terms.slice(start, end + 1)
-    val qO = spans.map(s => fieldWsum(s"#1(${s.mkString(" ")})", fields)).mkString(" ")
+    def wsum(x: String): String =
+      fields.map(f => s"${f.weight} $x.(${f.field}) ").mkString("#wsum( ", "", "")
+    val qT = terms.map(t => wsum(t) + " )\n ").mkString
+    val spans = fdmSpans(terms)
+    val qO = spans
+      .map(s => wsum("#1(" + s.map(_ + " ").mkString + ")") + " )\n").mkString
     val qU = spans
-      .map(s => fieldWsum(s"#uw${4 * s.size}(${s.mkString(" ")})", fields)).mkString(" ")
+      .map(s => wsum(s"#uw${4 * s.size}(" + s.map(_ + " ").mkString + ")") + " )\n")
+      .mkString
     s"#weight( ${p.weightT} #combine($qT) ${p.weightO} #combine($qO) ${p.weightU} #combine($qU))"
   }
 
   /** CMU web-style FDM: per-term six-field #wsum mixture + FDM
-    * dependency model, mixed by #weight
+    * dependency model, mixed by #weight; the mixture uses `#wsum (`
+    * and ` #combine ( ` with the reference's exact spacing, and the
+    * single-term dependency branch keeps its double space
     * (reference: ReformulateQuery::generateCMUFDMQuery, src/ReformulateQuery.cpp:171-221)
     */
   def cmuFdm(terms: Seq[String],
@@ -254,15 +279,18 @@ object Reformulate {
              fieldWeights: Map[String, String] = Map.empty,
              p: Params = Params()): String = {
     require(terms.nonEmpty, "empty query")
-    val fw = Seq("url", "title", "body", "meta", "alt", "inlink")
-      .map(f => WeightedField(f, fieldWeights.getOrElse(f, "1.0")))
-    val mixture = terms.map(fieldWsum(_, fw)).mkString("#combine( ", " ", " )")
+    def w(f: String) = fieldWeights.getOrElse(f, "1.0")
+    val mixture = " #combine ( " + terms.map { tok =>
+      "#wsum (" +
+        Seq("url", "title", "body", "meta", "alt").map(f => s"${w(f)} $tok.($f) ").mkString +
+        s"${w("inlink")} $tok.(inlink)" + ") "
+    }.mkString + " ) "
     val dep =
       if (terms.size < 2) {
         val q = terms.head
-        s"#weight( ${p.weightT} $q ${p.weightO} #1($q) ${p.weightU} #uw4($q) )"
+        s" #weight  ( ${p.weightT} $q ${p.weightO} #1($q) ${p.weightU} #uw4($q) ) "
       } else fdm(terms, p)
-    s"#weight( $mixtureWeight $mixture $dependencyWeight $dep )"
+    s"#weight( $mixtureWeight$mixture$dependencyWeight $dep )"
   }
 
   /** #combine over the terms (the non-SDM default,
@@ -285,7 +313,8 @@ object Reformulate {
     mode match {
       case GenSDM => sdmFields(terms, p.fields, p)
       case GenFDM => fdmFields(terms, p.fields, p)
-      case GenCMUFDM => cmuFdm(terms, p = p)
+      case GenCMUFDM =>
+        cmuFdm(terms, p.mixtureWeight, p.dependencyWeight, p.fieldWeights, p)
       case GenCombine => combine(terms)
     }
   }

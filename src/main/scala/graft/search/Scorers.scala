@@ -12,6 +12,21 @@ trait TermScoreFunction extends Serializable {
     * (= document length for whole-doc scoring).
     */
   def scoreOccurrence(occurrences: Double, contextSize: Int): Double
+  /** the reference's 4-argument form, invoked by the LIST belief path
+    * (windows, field/context restrictions — everything that is not a
+    * plain frequency-list term): `occurrences` counted within the
+    * scored context of length `contextSize`, plus the containing
+    * document's raw occurrence count and length for the
+    * document-level smoothing components
+    * (reference: src/ListBeliefNode.cpp:119-127 always calls this form;
+    * the frequency-list path for plain terms calls the 2-arg form,
+    * src/TermFrequencyBeliefNode.cpp). The default delegates to the
+    * 2-arg form exactly like TFIDFTermScoreFunction
+    * (reference: include/indri/TFIDFTermScoreFunction.hpp:132-134).
+    */
+  def scoreOccurrence(occurrences: Double, contextSize: Int,
+                      documentOccurrences: Double, documentLength: Int): Double =
+    scoreOccurrence(occurrences, contextSize)
   /** upper bound used by max-score/block-max pruning
     * (reference: src/TermFrequencyBeliefNode.cpp:105-135).
     */
@@ -60,13 +75,27 @@ final class TfIdfScoreFunction(
   */
 final class DirichletScoreFunction(
     mu: Double,
-    collectionFrequency: Double
+    collectionFrequency: Double,
+    docmu: Double = -1.0
 ) extends TermScoreFunction {
   private val muTimesCollectionFrequency = mu * collectionFrequency
   def scoreOccurrence(occurrences: Double, contextSize: Int): Double = {
     val seen = (occurrences + muTimesCollectionFrequency) / (contextSize.toDouble + mu)
     math.log(seen)
   }
+  /** two-level Dirichlet when `documentMu` ≥ 0: the extent is smoothed
+    * against the document LM, which is itself Dirichlet-smoothed against
+    * the collection (reference: include/indri/DirichletTermScoreFunction
+    * .hpp:49-65; docmu default −1 = collection-level smoothing only).
+    */
+  override def scoreOccurrence(occurrences: Double, contextSize: Int,
+                               documentOccurrences: Double, documentLength: Int): Double =
+    if (docmu < 0) scoreOccurrence(occurrences, contextSize)
+    else {
+      val seen = (occurrences + docmu * (muTimesCollectionFrequency + documentOccurrences) /
+        (documentLength.toDouble + mu)) / (contextSize.toDouble + docmu)
+      math.log(seen)
+    }
 }
 
 /** Jelinek-Mercer (reference: include/indri/JelinekMercerTermScoreFunction.hpp:40-76).
@@ -79,10 +108,23 @@ final class JelinekMercerScoreFunction(
     documentLambda: Double = 0.0
 ) extends TermScoreFunction {
   private val foregroundLambda = 1 - collectionLambda
+  private val contextLambda = 1 - collectionLambda - documentLambda
   private val collectionComponent = collectionLambda * collectionFrequency
   def scoreOccurrence(occurrences: Double, contextSize: Int): Double = {
     val contextFrequency = if (contextSize != 0) occurrences / contextSize.toDouble else 0.0
     math.log(foregroundLambda * contextFrequency + collectionComponent)
+  }
+  /** list-belief form with the document-level mixture component
+    * (reference: include/indri/JelinekMercerTermScoreFunction.hpp:67-71;
+    * with documentLambda = 0 this equals the 2-arg form).
+    */
+  override def scoreOccurrence(occurrences: Double, contextSize: Int,
+                               documentOccurrences: Double, documentLength: Int): Double = {
+    val contextFrequency = if (contextSize != 0) occurrences / contextSize.toDouble else 0.0
+    val documentFrequency =
+      if (documentLength != 0) documentOccurrences / documentLength.toDouble else 0.0
+    math.log(contextLambda * contextFrequency + documentLambda * documentFrequency +
+      collectionComponent)
   }
 }
 
@@ -100,6 +142,18 @@ final class TwoStageScoreFunction(
     val dirichlet = (occurrences + muTimesCollectionFrequency) / (contextSize.toDouble + mu)
     math.log((1 - lambda) * dirichlet + lambda * collectionFrequency)
   }
+  /** list-belief form: the Dirichlet prior over the scored context comes
+    * from the DOCUMENT's empirical frequency, not the collection
+    * (reference: include/indri/TwoStageTermScoreFunction.hpp:60-65 —
+    * documentFrequency = docOcc/docLen with no zero guard; at document
+    * level docOcc == occurrences and docLen == contextSize).
+    */
+  override def scoreOccurrence(occurrences: Double, contextSize: Int,
+                               documentOccurrences: Double, documentLength: Int): Double = {
+    val documentFrequency = documentOccurrences / documentLength.toDouble
+    val dirichlet = (occurrences + mu * documentFrequency) / (contextSize.toDouble + mu)
+    math.log((1 - lambda) * dirichlet + lambda * collectionFrequency)
+  }
 }
 
 /** Scoring-rule spec, the analogue of the reference's
@@ -113,7 +167,8 @@ final case class ScoringRule(
     k3: Double = 7.0,
     mu: Double = 2500.0,
     lambda: Double = 0.4,
-    documentLambda: Double = 0.0
+    documentLambda: Double = 0.0,
+    documentMu: Double = -1.0
 )
 
 object ScoringRule {
@@ -130,7 +185,8 @@ object ScoringRule {
       k3 = kv.get("k3").map(_.toDouble).getOrElse(base.k3),
       mu = kv.get("mu").map(_.toDouble).getOrElse(base.mu),
       lambda = kv.get("lambda").orElse(kv.get("collectionLambda")).map(_.toDouble).getOrElse(base.lambda),
-      documentLambda = kv.get("documentLambda").map(_.toDouble).getOrElse(base.documentLambda)
+      documentLambda = kv.get("documentLambda").map(_.toDouble).getOrElse(base.documentLambda),
+      documentMu = kv.get("documentMu").map(_.toDouble).getOrElse(base.documentMu)
     )
   }
 }
@@ -178,7 +234,7 @@ object Scorers {
         }
         new TfIdfScoreFunction(idf, avgDocLength, tw, rule.k1, rule.b, okapi = false)
       case "dirichlet" | "d" | "dir" =>
-        new DirichletScoreFunction(rule.mu, collectionFrequency)
+        new DirichletScoreFunction(rule.mu, collectionFrequency, rule.documentMu)
       case "linear" | "jm" | "jelinek-mercer" =>
         new JelinekMercerScoreFunction(collectionFrequency, rule.lambda, rule.documentLambda)
       case "two" | "two-stage" | "twostage" =>

@@ -1,0 +1,303 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index._
+import graft.search._
+
+/** Round-4 indrilang grammar completion + list-belief fidelity:
+  *
+  *  - context restriction `t.(f)` (reference: indrilang.g:225-257,
+  *    context_list :794-827, builder src/InferenceNetworkBuilder
+  *    .cpp:744-780, per-doc context length src/ListBeliefNode.cpp:24-56)
+  *  - field-list restriction `t.f1,f2` = ExtentInside against the
+  *    ExtentAnd intersection regions (indrilang.g:511-527,
+  *    src/ExtentAndNode.cpp:33-74)
+  *  - qualifiers on window nodes (`#1(a b).(sec)`), hyphen compounds
+  *    (`a-b` → #1(a b), indrilang.g:587-623), `#wildcard(t)`
+  *    (indrilang.g:640-649), extent restriction on #weight
+  *    (indrilang.g:269)
+  *  - the ListBeliefNode 4-arg score form for windows (two-stage /
+  *    documentLambda-JM document components,
+  *    include/indri/TwoStageTermScoreFunction.hpp:60-65,
+  *    JelinekMercerTermScoreFunction.hpp:67-71)
+  *  - the greedy non-overlap occurrence scan for BOTH per-document
+  *    counts and collection stats (src/ListBeliefNode.cpp:58-91,
+  *    src/ContextCountAccumulator.cpp:84-97)
+  *
+  * Every expected score is hand-computed from the reference formulas
+  * with the engine's exact double arithmetic.
+  */
+class GrammarCompletionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // fixture: 4 docs, 14 token slots total
+  //   doc1: [qax qbx qax qcx]  sec=[0,3)
+  //   doc2: [qax qbx qbx]
+  //   doc3: [qcx qcx qax qbx]  sec=[0,2)
+  //   doc4: [qax qax qax]
+  private lazy val fixture = {
+    val rows = Seq(
+      (1L, "<sec>qax qbx qax</sec> qcx"),
+      (2L, "qax qbx qbx"),
+      (3L, "<sec>qcx qcx</sec> qax qbx"),
+      (4L, "qax qax qax")
+    ).toDF("docId", "content")
+    val cfg = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec")))
+    (IndexBuilder.build(rows, cfg), cfg)
+  }
+
+  private def engineWith(rule: String) = {
+    val (idx, cfg) = fixture
+    new Engine(spark, idx, cfg.analyzer, ScoringRule.parse(rule))
+  }
+
+  private def results(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  // ------------------------------------------------------------------
+  // parser shapes
+  // ------------------------------------------------------------------
+
+  test("parser: context lists, field lists, combined qualifiers, windows") {
+    assert(QueryParser.parse("qax.(sec)") ==
+      ContextRestrictNode(TermNode("qax"), Seq("sec")))
+    assert(QueryParser.parse("qax.(title,sec)") ==
+      ContextRestrictNode(TermNode("qax"), Seq("title", "sec")))
+    assert(QueryParser.parse("qax.title,body") ==
+      FieldListRestrictNode(TermNode("qax"), Seq("title", "body")))
+    assert(QueryParser.parse("qax.title.(sec)") ==
+      ContextRestrictNode(FieldRestrictNode(TermNode("qax"), "title"), Seq("sec")))
+    assert(QueryParser.parse("#1(qax qbx).(sec)") ==
+      ContextRestrictNode(OdNode(1, Seq(TermNode("qax"), TermNode("qbx"))), Seq("sec")))
+    assert(QueryParser.parse("#1(qax qbx).title") ==
+      FieldRestrictNode(OdNode(1, Seq(TermNode("qax"), TermNode("qbx"))), "title"))
+    assert(QueryParser.parse("<qax qbx>.(sec)") ==
+      ContextRestrictNode(SynNode(Seq(TermNode("qax"), TermNode("qbx"))), Seq("sec")))
+    // acronym dots are NOT field qualifiers (trailing dot, no paren)
+    assert(QueryParser.parse("u.s.a.") == TermNode("u.s.a."))
+  }
+
+  test("parser: hyphen compounds, #wildcard, extent restriction on #weight") {
+    assert(QueryParser.parse("qax-qbx-qcx") ==
+      OdNode(1, Seq(TermNode("qax"), TermNode("qbx"), TermNode("qcx"))))
+    // negative numbers and dangling dashes stay terms
+    assert(QueryParser.parse("-5") == TermNode("-5"))
+    assert(QueryParser.parse("x-") == TermNode("x-"))
+    assert(QueryParser.parse("#wildcard(ret)") == WildcardNode("ret"))
+    QueryParser.parse("#weight[sec]( 0.7 qax 0.3 qbx )") match {
+      case ExtentRestrictNode("sec", None, WeightNode(cs)) =>
+        assert(cs.map(_._1) == Seq(0.7, 0.3))
+      case other => fail(s"unexpected $other")
+    }
+    QueryParser.parse("#not[sec]( qax )") match {
+      case ExtentRestrictNode("sec", None, NotQNode(TermNode("qax"))) => ()
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // context restriction scoring
+  // ------------------------------------------------------------------
+
+  test("t.(f): context extents drive length, background and candidates (dirichlet)") {
+    val eng = engineWith("method:dirichlet")
+    // occurrences of qax inside sec: doc1 → 2 (pos 0,2 in [0,3)),
+    // doc3 → 0 (qax@2 outside [0,2)); corpus context size 3 + 2 = 5
+    val cf = 2.0 / 5.0
+    val mu = 2500.0
+    val exp1 = math.log((2.0 + mu * cf) / (3.0 + mu))
+    val exp3 = math.log((0.0 + mu * cf) / (2.0 + mu))
+    val got = results(eng.runQuery("qax.(sec)", 10))
+    assert(got.keySet == Set(1L, 3L)) // doc2/doc4 have no sec context
+    assert(got(1L) == exp1, s"doc1 ${got(1L)} != $exp1")
+    assert(got(3L) == exp3, s"doc3 ${got(3L)} != $exp3")
+  }
+
+  test("t.(f) under #combine mixes with plain terms; missing-context docs take fn(0,0)") {
+    val eng = engineWith("method:dirichlet")
+    val mu = 2500.0
+    val cfCtx = 2.0 / 5.0      // qax-in-sec / total sec length
+    val cfQcx = 3.0 / 14.0     // plain qcx ctf / |C|
+    def ctxScore(occ: Double, ctxLen: Double) = math.log((occ + mu * cfCtx) / (ctxLen + mu))
+    def qcxScore(tf: Double, dl: Double) = math.log((tf + mu * cfQcx) / (dl + mu))
+    val got = results(eng.runQuery("#combine(qax.(sec) qcx)", 10))
+    // candidates: union — doc1 (both), doc3 (both), doc2 none (no sec, no
+    // qcx → absent entirely), doc4 none
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 0.5 * ctxScore(2.0, 3.0) + 0.5 * qcxScore(1.0, 4.0))
+    assert(got(3L) == 0.5 * ctxScore(0.0, 2.0) + 0.5 * qcxScore(2.0, 4.0))
+  }
+
+  test("setSingleBackgroundModel: in-context foreground, plain-collection background") {
+    // the reference's NoContextCountGraphCopier strips the context from
+    // the STATS pass only (src/QueryEnvironment.cpp:953-966): the
+    // foreground still counts qax inside sec over the sec length, but
+    // the smoothing background becomes ctf(qax)/|C| = 7/14
+    val eng = engineWith("method:dirichlet")
+    eng.setSingleBackgroundModel(true)
+    val cf = 7.0 / 14.0
+    val mu = 2500.0
+    val got = results(eng.runQuery("qax.(sec)", 10))
+    assert(got == Map(
+      1L -> math.log((2.0 + mu * cf) / (3.0 + mu)),
+      3L -> math.log((0.0 + mu * cf) / (2.0 + mu))))
+  }
+
+  // ------------------------------------------------------------------
+  // field-list restriction (ExtentAnd)
+  // ------------------------------------------------------------------
+
+  test("t.f1,f2 keeps matches inside the intersection regions") {
+    val rows = Seq(
+      (1L, "<sec>qdx <b>qex qdx</b></sec> qex"),
+      (2L, "<b>qex</b> <sec>qdx</sec>")
+    ).toDF("docId", "content")
+    val cfg = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("b")))
+    val idx = IndexBuilder.build(rows, cfg)
+    val eng = new Engine(spark, idx, cfg.analyzer, ScoringRule(method = "dirichlet"))
+    // doc1: sec=[0,3), b=[1,3) → intersection [1,3); qex@1 and qdx@2 in;
+    // qdx@0 and qex@3 out. doc2: b=[0,1), sec=[1,2) → disjoint → empty.
+    val qdx = eng.evaluateRaw(QueryParser.parse("qdx.sec,b")).df
+      .select("docId", "begins").as[(Long, Seq[Int])].collect().toMap
+    assert(qdx.keySet == Set(1L) && qdx(1L) == Seq(2))
+    val qex = eng.evaluateRaw(QueryParser.parse("qex.sec,b")).df
+      .select("docId", "begins").as[(Long, Seq[Int])].collect().toMap
+    assert(qex.keySet == Set(1L) && qex(1L) == Seq(1))
+  }
+
+  // ------------------------------------------------------------------
+  // 4-arg list-belief form: two-stage + documentLambda JM over windows
+  // ------------------------------------------------------------------
+
+  test("two-stage windows use the document-frequency Dirichlet prior (4-arg form)") {
+    val eng = engineWith("method:two,mu:2500,lambda:0.4")
+    val mu = 2500.0
+    val lambda = 0.4
+    val cfW = 3.0 / 14.0   // od1(qax qbx): one match in each of docs 1,2,3
+    val cfQ = 3.0 / 14.0   // qcx ctf 3
+    // window leaf: ListBeliefNode 4-arg — documentFrequency = tf/dl
+    def winScore(tf: Double, dl: Int): Double = {
+      val documentFrequency = tf / dl.toDouble
+      val dirichlet = (tf + mu * documentFrequency) / (dl.toDouble + mu)
+      math.log((1 - lambda) * dirichlet + lambda * cfW)
+    }
+    // plain term: frequency-list 2-arg — collection prior
+    def termScore(tf: Double, dl: Int): Double = {
+      val dirichlet = (tf + mu * cfQ) / (dl.toDouble + mu)
+      math.log((1 - lambda) * dirichlet + lambda * cfQ)
+    }
+    val expected = Map(
+      1L -> (0.5 * winScore(1.0, 4) + 0.5 * termScore(1.0, 4)),
+      2L -> (0.5 * winScore(1.0, 3) + 0.5 * termScore(0.0, 3)),
+      3L -> (0.5 * winScore(1.0, 4) + 0.5 * termScore(2.0, 4)))
+    for (useDaat <- Seq(true, false)) {
+      val got = results(eng.runQuery("#combine(#1(qax qbx) qcx)", 10, useDaat = useDaat))
+      assert(got == expected, s"useDaat=$useDaat: $got != $expected")
+    }
+  }
+
+  test("documentLambda JM windows mix the document component (4-arg form)") {
+    val eng = engineWith("method:jm,collectionLambda:0.3,documentLambda:0.2")
+    val collectionLambda = 0.3
+    val documentLambda = 0.2
+    val contextLambda = 1 - collectionLambda - documentLambda
+    val cfW = 3.0 / 14.0
+    def winScore(tf: Double, dl: Int): Double =
+      math.log(contextLambda * (tf / dl.toDouble) + documentLambda * (tf / dl.toDouble) +
+        collectionLambda * cfW)
+    val expected = Map(
+      1L -> winScore(1.0, 4), 2L -> winScore(1.0, 3), 3L -> winScore(1.0, 4))
+    for (useDaat <- Seq(true, false)) {
+      val got = results(eng.runQuery("#1(qax qbx)", 10, useDaat = useDaat))
+      assert(got == expected, s"useDaat=$useDaat: $got != $expected")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // greedy non-overlap occurrence counting
+  // ------------------------------------------------------------------
+
+  test("overlapping #uwN matches count once (per-doc and collection stats)") {
+    val eng = engineWith("method:dirichlet")
+    // uw4(qax qbx) raw matches: doc1 (0,2)+(1,3) OVERLAP → 1;
+    // doc2 (0,2) → 1; doc3 (2,4) → 1; doc4 none. occ = 3 (plain count 4)
+    assert(eng.expressionCount("#uw4(qax qbx)") == 3L)
+    val mu = 2500.0
+    val cf = 3.0 / 14.0
+    def s(tf: Double, dl: Int) = math.log((tf + mu * cf) / (dl.toDouble + mu))
+    val expected = Map(1L -> s(1.0, 4), 2L -> s(1.0, 3), 3L -> s(1.0, 4))
+    for (useDaat <- Seq(true, false)) {
+      val got = results(eng.runQuery("#uw4(qax qbx)", 10, useDaat = useDaat))
+      assert(got == expected, s"useDaat=$useDaat: $got != $expected")
+    }
+  }
+
+  test("repeated-term #odN overlaps dedup: od1(qax qax)") {
+    val eng = engineWith("method:dirichlet")
+    // doc4 [qax qax qax]: raw matches (0,2),(1,3) overlap → tf 1; no
+    // other doc has adjacent qax qax
+    assert(eng.expressionCount("#1(qax qax)") == 1L)
+    val got = results(eng.runQuery("#1(qax qax)", 10))
+    val exp = math.log((1.0 + 2500.0 * (1.0 / 14.0)) / (3.0 + 2500.0))
+    assert(got == Map(4L -> exp))
+  }
+
+  test("hyphen compound scores exactly like its #1 window") {
+    val eng = engineWith("method:dirichlet")
+    val viaHyphen = results(eng.runQuery("qax-qbx", 10))
+    val viaOd = results(eng.runQuery("#1(qax qbx)", 10))
+    assert(viaHyphen == viaOd && viaHyphen.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // extent restriction on #weight
+  // ------------------------------------------------------------------
+
+  test("#or/#max/#sum/#wsum/#not under extent restriction fold per extent") {
+    val eng = engineWith("method:dirichlet")
+    val mu = 2500.0
+    val cfA = 7.0 / 14.0
+    val cfB = 4.0 / 14.0
+    def s(tf: Double, ctx: Int, cf: Double) = math.log((tf + mu * cf) / (ctx.toDouble + mu))
+    // doc1 sec=[0,3): qax tf2 qbx tf1; doc3 sec=[0,2): both 0
+    def scores(q: String): Map[(Long, Int, Int), Double] =
+      eng.runExtentQuery(q, 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    def orF(a: Double, b: Double) =
+      math.log(1.0 - (1.0 - math.exp(a)) * (1.0 - math.exp(b)))
+    assert(scores("#or[sec](qax qbx)") == Map(
+      (1L, 0, 3) -> orF(s(2, 3, cfA), s(1, 3, cfB)),
+      (3L, 0, 2) -> orF(s(0, 2, cfA), s(0, 2, cfB))))
+    assert(scores("#max[sec](qax qbx)") == Map(
+      (1L, 0, 3) -> math.max(s(2, 3, cfA), s(1, 3, cfB)),
+      (3L, 0, 2) -> math.max(s(0, 2, cfA), s(0, 2, cfB))))
+    def wsumF(wa: Double, a: Double, wb: Double, b: Double) =
+      math.log(wa * math.exp(a) + wb * math.exp(b))
+    assert(scores("#sum[sec](qax qbx)") == Map(
+      (1L, 0, 3) -> wsumF(0.5, s(2, 3, cfA), 0.5, s(1, 3, cfB)),
+      (3L, 0, 2) -> wsumF(0.5, s(0, 2, cfA), 0.5, s(0, 2, cfB))))
+    assert(scores("#wsum[sec](2 qax 1 qbx)") == Map(
+      (1L, 0, 3) -> wsumF(2.0 / 3.0, s(2, 3, cfA), 1.0 / 3.0, s(1, 3, cfB)),
+      (3L, 0, 2) -> wsumF(2.0 / 3.0, s(0, 2, cfA), 1.0 / 3.0, s(0, 2, cfB))))
+    assert(scores("#not[sec](qax)") == Map(
+      (1L, 0, 3) -> math.log1p(-math.exp(s(2, 3, cfA))),
+      (3L, 0, 2) -> math.log1p(-math.exp(s(0, 2, cfA)))))
+  }
+
+  test("#weight[f] scores each extent with normalized weights") {
+    val eng = engineWith("method:dirichlet")
+    val mu = 2500.0
+    val cfA = 7.0 / 14.0 // qax ctf 7
+    val cfB = 4.0 / 14.0 // qbx ctf 4
+    def s(tf: Double, ctx: Int, cf: Double) = math.log((tf + mu * cf) / (ctx.toDouble + mu))
+    // doc1 sec=[0,3): qax tf2, qbx tf1; doc3 sec=[0,2): both 0
+    val exp1 = 0.7 * s(2.0, 3, cfA) + 0.3 * s(1.0, 3, cfB)
+    val exp3 = 0.7 * s(0.0, 2, cfA) + 0.3 * s(0.0, 2, cfB)
+    val rows = eng.runExtentQuery("#weight[sec](0.7 qax 0.3 qbx)", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.toSet == Set((1L, 0, 3, exp1), (3L, 0, 2, exp3)))
+  }
+}

@@ -1216,6 +1216,21 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_base64_quoted" -> ((s, dir) => {
+      // quoted + encoded terms (reference: indrilang.g:139-145,967-983;
+      // InferenceNetworkBuilder.cpp:110-113): "data" and
+      // #base64quote(ZGF0YQ==) look the posting key up VERBATIM,
+      // #base64(RGFUYQ==) decodes to DaTa then runs the full
+      // processTerm chain → data, while quoted "DaTa" skips
+      // normalization → zero-ctf leaf at the 1/(2·|C|) background
+      // (TermScoreFunctionFactory.cpp:50-53)
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runQuery("#combine(\"data\" #base64quote(ZGF0YQ==) #base64(RGFUYQ==) \"DaTa\")", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_twostage_window" -> ((s, dir) => {
       // two-stage smoothing over a window leaf exercises the reference's
       // 4-arg list-belief score form: the inner Dirichlet prior comes
@@ -3369,6 +3384,25 @@ object SparkEntry {
          |    ln((m.tf + 2500.0 * (CASE WHEN st.oc <> 0 THEN st.oc/st.tt ELSE 1.0/(st.tt*2.0) END))
          |       / (dl.doclen + 2500.0)) AS s
          |  FROM m JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN st
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // three of the four leaves resolve to the posting key 'data'
+    // (verbatim-quoted, base64quote-verbatim, base64→processTerm) and the
+    // fourth — quoted "DaTa", never normalized — is a zero-ctf leaf at
+    // the 1/(2·|C|) default background
+    "q_base64_quoted" ->
+      s"""$DTok, tf AS (
+         |  SELECT doc_id, count(*) AS t FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt,
+         |         (SELECT count(*) FROM tok WHERE term = 'data')::DOUBLE AS ctf
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |    0.75 * ln((tf.t + 2500.0 * st.ctf / st.tt) / (dl.doclen + 2500.0))
+         |  + 0.25 * ln((2500.0 * (1.0 / (2.0 * st.tt))) / (dl.doclen + 2500.0)) AS s
+         |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
          |)
          |SELECT doc_id, round(s, 6) AS score FROM sc
          |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,

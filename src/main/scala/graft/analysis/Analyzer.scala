@@ -699,6 +699,14 @@ object Stemmers {
   *    DuckDB (`regexp_extract_all(lower(text),'[a-z0-9]+')`) for the
   *    driver's SQL oracle.
   */
+object Analyzer {
+  /** In-band "already stemmed" marker on a QUERY term: [[Analyzer.processTerm]]
+    * strips it and returns the rest verbatim. The document tokenizers never
+    * emit control characters, so the marker cannot collide with corpus terms.
+    */
+  final val StemmedMarker = '\u0001'
+}
+
 final case class Analyzer(
     mode: String = "indri",
     stopwords: Set[String] = Set.empty,
@@ -781,8 +789,16 @@ final case class Analyzer(
   /** Query-side term processing — same chain as indexing
     * (reference: Repository::processTerm, src/Repository.cpp:1087-1113).
     * Returns null for terms that stop out / normalize to empty.
+    *
+    * A leading [[Analyzer.StemmedMarker]] is the in-band analogue of the
+    * reference's `IndexTerm::setStemmed(true)`: quoted query terms
+    * (`"t"`) and `#base64quote(...)` are looked up VERBATIM, skipping
+    * normalization, stopping and stemming alike (reference:
+    * src/indrilang.g:967-983, src/InferenceNetworkBuilder.cpp:110-113).
     */
   def processTerm(term: String): String = {
+    if (term != null && term.nonEmpty && term.charAt(0) == Analyzer.StemmedMarker)
+      return term.substring(1)
     var t = normalized(term)
     if (t != null && t.length > maxTermLength) t = null
     if (t != null && stopwords.contains(t)) t = null

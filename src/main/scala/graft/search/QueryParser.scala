@@ -156,6 +156,10 @@ object QueryParser {
   private case class Word(w: String) extends Tok
   private case class Num(v: Double) extends Tok
   private case class Phrase(words: Seq[String]) extends Tok
+  // decoded #base64/#base64quote payload — NOT re-lexed as a word, so
+  // hyphen/star/dot term sugar never applies to it (reference:
+  // indrilang.g:139-145,971-983: the decoded text is a plain IndexTerm)
+  private case class RawTerm(text: String, stemmed: Boolean) extends Tok
   private case object LParen extends Tok
   private case object RParen extends Tok
   private case object LAngle extends Tok
@@ -187,6 +191,26 @@ object QueryParser {
           while (j < n && (s.charAt(j).isLetter)) j += 1
           var name = s.substring(i + 1, j).toLowerCase
           var num: Option[Int] = None
+          // #base64( … ) / #base64quote( … ): the letters loop stops at
+          // '6'; consume the rest of the name AND the parenthesized
+          // base64 payload here — it must not go through term lexing
+          // (reference: indrilang.g:139-145 ENCODED[_QUOTED]_TERM)
+          if (name == "base" && s.startsWith("64", j)) {
+            j += 2
+            val quoted = s.regionMatches(true, j, "quote", 0, 5)
+            if (quoted) j += 5
+            while (j < n && s.charAt(j).isWhitespace) j += 1
+            require(j < n && s.charAt(j) == '(',
+              s"#base64${if (quoted) "quote" else ""} expects (payload)")
+            val close = s.indexOf(')', j + 1)
+            require(close > j, "unterminated #base64 payload")
+            val payload = s.substring(j + 1, close).trim
+            val decoded = new String(
+              java.util.Base64.getDecoder.decode(payload),
+              java.nio.charset.StandardCharsets.UTF_8)
+            out += RawTerm(decoded, stemmed = quoted)
+            i = close + 1
+          } else {
           if (name.isEmpty || name == "od" || name == "uw") {
             var k2 = j
             while (k2 < n && s.charAt(k2).isDigit) k2 += 1
@@ -210,6 +234,7 @@ object QueryParser {
           }
           out += Op(if (name.isEmpty) "od" else name, num)
           i = j
+          }
         case _ =>
           var j = i
           while (j < n && !s.charAt(j).isWhitespace &&
@@ -399,7 +424,16 @@ object QueryParser {
           // a bare number in term position is a term (e.g. query "42")
           TermNode(if (v == v.toLong) v.toLong.toString else v.toString)
         case Phrase(ws) =>
-          if (ws.length == 1) TermNode(ws.head) else OdNode(1, ws.map(TermNode(_)))
+          // a SINGLE term in double quotes is "considered stemmed" — it is
+          // looked up verbatim, skipping normalize/stop/stem (reference:
+          // indrilang.g:967-969, InferenceNetworkBuilder.cpp:110-113);
+          // multi-word quotes are an extension: exact-adjacency #1(…)
+          if (ws.length == 1)
+            attachQualifiers(TermNode(graft.analysis.Analyzer.StemmedMarker + ws.head))
+          else OdNode(1, ws.map(TermNode(_)))
+        case RawTerm(t, st) =>
+          attachQualifiers(TermNode(
+            if (st) graft.analysis.Analyzer.StemmedMarker + t else t))
         case LAngle =>
           val kids = parseSequence(stopAtClose = true); expect(RAngle)
           attachQualifiers(SynNode(kids))

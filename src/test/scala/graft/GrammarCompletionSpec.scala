@@ -97,6 +97,57 @@ class GrammarCompletionSpec extends AnyFunSuite {
     }
   }
 
+  test("parser: quoted terms and #base64/#base64quote decode to (pre-stemmed) terms") {
+    val M = graft.analysis.Analyzer.StemmedMarker.toString
+    // a single quoted term is "considered stemmed" — looked up verbatim
+    // (reference: indrilang.g:967-969)
+    assert(QueryParser.parse("\"qax\"") == TermNode(M + "qax"))
+    // base64("qax") = cWF4 → plain IndexTerm, full processTerm chain
+    // (reference: indrilang.g:971-976)
+    assert(QueryParser.parse("#base64(cWF4)") == TermNode("qax"))
+    assert(QueryParser.parse("#base64( cWF4 )") == TermNode("qax"))
+    // base64quote → pre-stemmed (reference: indrilang.g:977-983)
+    assert(QueryParser.parse("#base64quote(cWF4)") == TermNode(M + "qax"))
+    // decoded payloads never pass through term sugar: base64("a-b") stays
+    // ONE term, not a hyphen compound ("YS1i")
+    assert(QueryParser.parse("#base64(YS1i)") == TermNode("a-b"))
+    // qualifiers still attach after the closing paren (qualifiedTerm)
+    assert(QueryParser.parse("#base64(cWF4).(sec)") ==
+      ContextRestrictNode(TermNode("qax"), Seq("sec")))
+    assert(QueryParser.parse("#combine(#base64(cWF4) qbx)") ==
+      CombineNode(Seq(TermNode("qax"), TermNode("qbx"))))
+    // processTerm strips the marker and bypasses the chain entirely
+    val an = graft.analysis.Analyzer(mode = "indri",
+      stopwords = Set("qax"), stemmer = graft.analysis.PorterStemmer)
+    assert(an.processTerm("qax") == null)              // stopped
+    assert(an.processTerm(M + "qax") == "qax")          // verbatim
+    assert(an.processTerm("Merges") == "merg")          // normalize+stem
+    assert(an.processTerm(M + "Merges") == "Merges")    // verbatim
+  }
+
+  test("quoted / base64 terms score verbatim: hits equal the plain term, misses take background") {
+    val eng = engineWith("method:dirichlet")
+    val mu = 2500.0
+    // plain-term reference scores for qax (ctf 7 / |C| 14)
+    val plain = results(eng.runQuery("qax", 10))
+    // "qax" and #base64quote(cWF4) look up the posting key verbatim → hit
+    assert(results(eng.runQuery("\"qax\"", 10)) == plain)
+    assert(results(eng.runQuery("#base64quote(cWF4)", 10)) == plain)
+    // #base64(UUFY) decodes to "QAX" → processTerm lowercases → qax
+    assert(results(eng.runQuery("#base64(UUFY)", 10)) == plain)
+    // but QUOTED "QAX" skips normalization → no postings → background
+    // leaf: cf defaults to 1/(2·|C|) for a zero-ctf term (reference:
+    // src/TermScoreFunctionFactory.cpp:50-53); candidates come from qcx
+    val cfOov = 1.0 / (2.0 * 14.0)
+    val cfQcx = 3.0 / 14.0
+    def oov(dl: Double) = math.log((0.0 + mu * cfOov) / (dl + mu))
+    def qcx(tf: Double, dl: Double) = math.log((tf + mu * cfQcx) / (dl + mu))
+    val got = results(eng.runQuery("#combine(\"QAX\" qcx)", 10))
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 0.5 * oov(4.0) + 0.5 * qcx(1.0, 4.0))
+    assert(got(3L) == 0.5 * oov(4.0) + 0.5 * qcx(2.0, 4.0))
+  }
+
   // ------------------------------------------------------------------
   // context restriction scoring
   // ------------------------------------------------------------------

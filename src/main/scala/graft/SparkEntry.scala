@@ -872,6 +872,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dumpindex_tdv" -> ((s, dir) => {
+      // dumpindex `tdv` — the document's stems in position order as one
+      // space-joined line, stopped/OOV slots skipped (reference:
+      // dumpindex.cpp:368-401 print_text_documentvector)
+      import graft.apps.DumpIndex
+      DumpIndex.command(s, storedRepo(s, dir), "tdv",
+        (1L to 8L).map(_.toString))
+        .select(col("docId").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dumpindex_vtl" -> ((s, dir) => {
+      // dumpindex `vtl` — consistency audit over the stored repository;
+      // a healthy build reports zero violations on every check
+      // (reference: dumpindex.cpp:75-107 validate)
+      import graft.apps.DumpIndex
+      DumpIndex.command(s, storedRepo(s, dir), "vtl", Seq.empty)
+        .orderBy("check")
+    }),
+
     "q_runquery_nexi" -> ((s, dir) => {
       // IndriRunQuery with <type>nexi</type>: the CAS query routes
       // through the NEXI grammar and the default (non-TREC) output
@@ -2876,6 +2896,28 @@ object SparkEntry {
          |)
          |SELECT new_id AS doc_id, docno FROM ids
          |WHERE new_id BETWEEN 1 AND 25 ORDER BY doc_id""".stripMargin,
+
+    // tdv = indexed stems in position order, space-joined; the stored
+    // repo uses the simple chain with no stopper, so every token slot
+    // survives and the line is the tokenization itself
+    "q_dumpindex_tdv" ->
+      s"""$DTok, ids AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS new_id
+         |  FROM documents
+         |)
+         |SELECT i.new_id AS doc_id, string_agg(t.term, ' ' ORDER BY t.pos) AS text
+         |FROM tok t JOIN ids i USING(doc_id)
+         |WHERE i.new_id BETWEEN 1 AND 8
+         |GROUP BY i.new_id ORDER BY doc_id""".stripMargin,
+
+    // a healthy repository passes every audit with zero violations
+    "q_dumpindex_vtl" ->
+      """SELECT * FROM (VALUES
+        |  ('corpus_stats', true, 0::BIGINT),
+        |  ('dense_docids', true, 0::BIGINT),
+        |  ('dictionary_df_ctf', true, 0::BIGINT),
+        |  ('positions_within_doclen', true, 0::BIGINT))
+        |AS t("check", ok, violations) ORDER BY "check"""".stripMargin,
 
     "q_runquery_nexi" ->
       s"""$DTok, st AS (

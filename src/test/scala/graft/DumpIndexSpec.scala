@@ -108,6 +108,25 @@ class DumpIndexSpec extends AnyFunSuite {
       (memIdx.stats.totalDocs, memIdx.stats.totalTerms, memIdx.stats.uniqueTerms))
   }
 
+  test("tdv joins indexed stems in position order; vtl audits a clean repository") {
+    val tdv = DumpIndex.command(spark, repoDir, "tdv", Seq("1", "2", "3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent expectation straight from the analyzer chain: stems in
+    // position order with stopped (null) slots skipped — the reference's
+    // "[OOV]" drop (dumpindex.cpp:389-395)
+    val an = cfg.analyzer
+    val expect = (1 to 3).map { i =>
+      i.toLong -> an.analyze(corpusRows(i - 1)._4).filter(_ != null).mkString(" ")
+    }.toMap
+    assert(tdv == expect)
+    assert(expect(1L).contains("merge data block1"), s"fixture sanity: ${expect(1L)}")
+    assert(!expect(1L).contains("the")) // stopped slot dropped from the line
+    val vtl = DumpIndex.command(spark, repoDir, "vtl", Seq.empty).collect()
+    assert(vtl.length == 4)
+    assert(vtl.forall(r => r.getBoolean(1) && r.getLong(2) == 0L),
+      vtl.map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(", "))
+  }
+
   test("del/c/m/il: deletes persist and bind at query open, compact releases them, merge federates on disk") {
     import graft.apps.RunQuery
     import graft.index.RepositorySurgery

@@ -426,14 +426,18 @@ object SparkEntry {
           date_add(to_date(lit("2020-01-01")), (col("docId") % 400).cast("int")),
           "yyyy-MM-dd"))
       val built = IndexBuilder.build(docs, cfg,
-        annotate = df => FieldAnnotators.dateField("mdate", "mdate")(
+        // a second alias of the same payload under the reference's
+        // HARDWIRED field name, so the bare-literal #date* forms
+        // (#datebefore(02/01/2020)) have their "date" field
+        annotate = df => FieldAnnotators.dateField("date", "mdate")(
+          FieldAnnotators.dateField("mdate", "mdate")(
           FieldAnnotators.numericField("nchars", "n_chars")(
             FieldAnnotators.nestedHeadField(2, parent = "lead", name = "kick",
               cond = col("docId") % 3 === 0)(
               FieldAnnotators.nestedHeadField(2, parent = "head", name = "kick",
                 cond = col("docId") % 3 === 1)(
                 FieldAnnotators.nestedHeadField(4)(
-                  FieldAnnotators.headField(10)(df)))))))
+                  FieldAnnotators.headField(10)(df))))))))
       built.copy(fieldExtents = built.fieldExtents.persist(),
         doclens = built.doclens.persist(), postings = built.postings.persist())
     })
@@ -1361,11 +1365,15 @@ object SparkEntry {
     }),
 
     "q_date_ops" -> ((s, dir) => {
-      // #datebefore/#datebetween/#dateafter over the mdate field
-      // (epoch-day payload; ISO literals parsed by the query language —
-      // reference: src/indrilang.g:840-935, FieldLess/Between/GreaterNode).
-      // mdate = 2020-01-01 + doc_id % 400 days, so membership is pure
-      // doc_id arithmetic for the oracle.
+      // #datebefore/#datebetween/#dateafter — both the (field, literal)
+      // extension form over mdate AND the reference's bare-literal forms
+      // over the hardwired "date" field (days-since-1600 payloads;
+      // reference: src/indrilang.g:840-935 dateBefore → FieldLessNode(
+      // Field("date"), d), DateParse.hpp convertDate,
+      // DateFieldAnnotator.hpp format table). mdate = 2020-01-01 +
+      // doc_id % 400 days, so membership is pure doc_id arithmetic for
+      // the oracle; the ref_* arms repeat the same bounds as MM/DD/YYYY
+      // slash dates and "Month DD YYYY" space dates.
       val eng = deepFieldEngine(s, dir)
       def dump(q: String, op: String) =
         eng.evaluateRaw(QueryParser.parse(q)).df
@@ -1373,6 +1381,9 @@ object SparkEntry {
       dump("#datebefore(mdate 2020-02-01)", "before")
         .unionAll(dump("#datebetween(mdate 2020-02-01 2020-06-01)", "between"))
         .unionAll(dump("#dateafter(mdate 2020-06-01)", "after"))
+        .unionAll(dump("#datebefore(02/01/2020)", "ref_before"))
+        .unionAll(dump("#datebetween(February 1 2020 1 june 2020)", "ref_between"))
+        .unionAll(dump("#dateafter(1-JUN-2020)", "ref_after"))
         .orderBy("op", "doc_id")
     }),
 
@@ -3545,6 +3556,9 @@ object SparkEntry {
         |SELECT 'before' AS op, doc_id FROM m WHERE off < 31
         |UNION ALL SELECT 'between' AS op, doc_id FROM m WHERE off >= 31 AND off <= 152
         |UNION ALL SELECT 'after' AS op, doc_id FROM m WHERE off > 152
+        |UNION ALL SELECT 'ref_before' AS op, doc_id FROM m WHERE off < 31
+        |UNION ALL SELECT 'ref_between' AS op, doc_id FROM m WHERE off >= 31 AND off <= 152
+        |UNION ALL SELECT 'ref_after' AS op, doc_id FROM m WHERE off > 152
         |ORDER BY op, doc_id""".stripMargin,
 
     // sliding passages b = 0,5,… < doclen, e = min(b+10, doclen);

@@ -70,8 +70,9 @@ final case class FieldSpec(name: String, parse: String = "none") {
       }
       if (!any) 0L else if (neg) -v else v
     case "date" =>
-      try java.time.LocalDate.parse(text.trim.take(10)).toEpochDay
-      catch { case _: Exception => 0L }
+      // days since 1600 via the reference annotator's format table
+      // (reference: include/indri/DateFieldAnnotator.hpp:59-110)
+      DateParse.parseFieldDate(text)
     case _ => 0L
   }
 }
@@ -660,12 +661,15 @@ object FieldAnnotators {
   /** Whole-document date field: ISO yyyy-MM-dd string column → epoch day
     * (DateFieldAnnotator analogue).
     */
+  private val dateNumberUdf =
+    udf((s: String) => if (s == null) 0L else DateParse.parseFieldDate(s))
+
   def dateField(name: String, valueCol: String)(df: DataFrame): DataFrame =
     appendField(df, struct(
       lit(name).as("field"),
       lit(0).as("begin"),
       size(col("slots")).cast("int").as("end"),
-      datediff(to_date(col(valueCol)), lit("1970-01-01")).cast(LongType).as("number"),
+      dateNumberUdf(col(valueCol)).cast(LongType).as("number"),
       lit(1).as("ordinal"),
       lit(null).cast("string").as("parentField"),
       lit(0).as("parentOrdinal")))

@@ -476,9 +476,51 @@ object QueryParser {
           }
           def numArg(): Long = advance() match {
             case Num(v) => v.toLong
-            case Word(d) => // ISO date literal for the #date* forms
-              java.time.LocalDate.parse(d.take(10)).toEpochDay
+            case Word(d) => // date literal on a numeric op → annotator parse
+              graft.index.DateParse.parseFieldDate(d)
             case other => throw new IllegalArgumentException(s"expected number/date, got $other")
+          }
+          // (field, literal) extension form: a Word literal parses with
+          // the ANNOTATOR's format table (ISO/slash/dash/YYYYMMDD,
+          // DateFieldAnnotator.hpp:59-110), a bare number is the raw
+          // stored value
+          def dateArg(): Long = numArg()
+          // one REFERENCE date literal (indrilang.g:904-933): slashDate
+          // MM/DD/YYYY, dashDate DD-MON-YYYY, spaceDate "DD Month YYYY" |
+          // "Month DD YYYY" — days since 1600, two-digit years → 0 (the
+          // query side has no century hack)
+          def tryQueryDate(): Option[Long] = {
+            import graft.index.DateParse
+            peek match {
+              case Some(Word(w)) if w.matches("""\d+/\d+/\d+""") =>
+                advance()
+                val Array(m, d, y) = w.split("/")
+                Some(DateParse.convertDate(y, m, d))
+              case Some(Word(w)) if w.matches("""\d+-[A-Za-z]+-\d+""") =>
+                advance()
+                val Array(d, mon, y) = w.split("-")
+                Some(DateParse.convertDate(y, mon, d))
+              case Some(Num(d)) if d == d.toLong && pos + 2 < toks.length =>
+                (toks(pos + 1), toks(pos + 2)) match {
+                  case (Word(mon), Num(y))
+                      if mon.forall(_.isLetter) && y == y.toLong =>
+                    pos += 3 // DD Month YYYY
+                    Some(DateParse.convertDate(y.toLong.toString, mon,
+                      d.toLong.toString))
+                  case _ => None
+                }
+              case Some(Word(mon))
+                  if mon.forall(_.isLetter) && DateParse.parseMonth(mon) > 0 &&
+                     pos + 2 < toks.length =>
+                (toks(pos + 1), toks(pos + 2)) match {
+                  case (Num(d), Num(y)) if d == d.toLong && y == y.toLong =>
+                    pos += 3 // Month DD YYYY
+                    Some(DateParse.convertDate(y.toLong.toString, mon,
+                      d.toLong.toString))
+                  case _ => None
+                }
+              case _ => None
+            }
           }
           val node = name match {
             case "combine" => CombineNode(parseSequence(stopAtClose = true))
@@ -512,14 +554,42 @@ object QueryParser {
                 case other => throw new IllegalArgumentException(s"expected exponent, got $other")
               }
               LengthPriorQNode(exp, parseNode())
-            case "less" | "datebefore" =>
+            case "less" =>
               val f = fieldArg(); FieldNumNode("less", f, Long.MinValue, numArg())
-            case "greater" | "dateafter" =>
+            case "greater" =>
               val f = fieldArg(); FieldNumNode("greater", f, numArg(), Long.MaxValue)
-            case "between" | "datebetween" =>
+            case "between" =>
               val f = fieldArg(); FieldNumNode("between", f, numArg(), numArg())
-            case "equals" | "dateequals" =>
+            case "equals" =>
               val f = fieldArg(); val v = numArg(); FieldNumNode("equals", f, v, v)
+            // #date* — the reference form takes bare date literal(s) over
+            // the HARDWIRED field "date" (indrilang.g:840-935: dateBefore
+            // builds FieldLessNode(Field("date"), d)); with a leading
+            // field name instead, the (field, literal) extension form
+            // keeps working over any date-annotated field
+            case "datebefore" => tryQueryDate() match {
+              case Some(d) => FieldNumNode("less", "date", Long.MinValue, d)
+              case None =>
+                val f = fieldArg(); FieldNumNode("less", f, Long.MinValue, dateArg())
+            }
+            case "dateafter" => tryQueryDate() match {
+              case Some(d) => FieldNumNode("greater", "date", d, Long.MaxValue)
+              case None =>
+                val f = fieldArg(); FieldNumNode("greater", f, dateArg(), Long.MaxValue)
+            }
+            case "datebetween" => tryQueryDate() match {
+              case Some(lo) =>
+                val hi = tryQueryDate().getOrElse(
+                  throw new IllegalArgumentException("#datebetween needs two dates"))
+                FieldNumNode("between", "date", lo, hi)
+              case None =>
+                val f = fieldArg(); FieldNumNode("between", f, dateArg(), dateArg())
+            }
+            case "dateequals" => tryQueryDate() match {
+              case Some(d) => FieldNumNode("equals", "date", d, d)
+              case None =>
+                val f = fieldArg(); val v = dateArg(); FieldNumNode("equals", f, v, v)
+            }
             case "wildcard" =>
               // `#wildcard( term )` operator form of `term*`
               // (reference: indrilang.g:640-649 wildcardOpNode)

@@ -30,7 +30,76 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(FieldSpec("p", "int").parseNumber("  1234 tail") == 1234L)
     assert(FieldSpec("p", "int").parseNumber("-55") == -55L)
     assert(FieldSpec("p", "int").parseNumber("x") == 0L)
-    assert(FieldSpec("d", "date").parseNumber("1970-01-03") == 2L)
+    // reference encoding: days since 01/01/1600 — epochDay + 135140
+    // (DateParse.hpp convertDate; 1970-01-03 has epochDay 2)
+    assert(FieldSpec("d", "date").parseNumber("1970-01-03") == 135142L)
+  }
+
+  test("DateParse matches reference-generated convertDate goldens and the annotator format table") {
+    import graft.index.DateParse
+    // golden values from the REFERENCE header compiled standalone
+    // (g++ over include/indri/DateParse.hpp, same method as the stemmer
+    // goldens). Note the reference QUIRK they pin: yearsSince/4 counts
+    // the CURRENT year's leap day even for Jan/Feb dates, so every date
+    // in a leap year sits +1 above the proleptic-Gregorian day count
+    // (2004-01-11 → 147569, not 147568); century non-leap years cancel
+    // through the /100 term (1900-03-01 → 109632, the true count).
+    assert(DateParse.convertDate("2004", "01", "11") == 147569L)
+    assert(DateParse.convertDate("2004", "3", "1") == 147619L)
+    assert(DateParse.convertDate("2004", "2", "29") == 147618L)
+    assert(DateParse.convertDate("1900", "3", "1") == 109632L)
+    assert(DateParse.convertDate("2000", "3", "1") == 146158L)
+    assert(DateParse.convertDate("1970", "1", "3") == 135142L)
+    assert(DateParse.convertDate("1988", "january", "11") == 141725L)
+    assert(DateParse.convertDate("04", "jan", "11") == 0L) // year < 1601
+    assert(DateParse.convertDate("2004", "jun", "5") == 147715L)
+    assert(DateParse.convertDate("2004", "jul", "5") == 147745L)
+    assert(DateParse.convertDate("2004", "sept", "5") == 147807L)
+    // every documented DateFieldAnnotator format resolves to 11 Jan 2004
+    val expect = 147569L
+    assert(DateParse.parseFieldDate("11-01-2004") == expect)   // DD-MM-YYYY
+    assert(DateParse.parseFieldDate("11-JAN-2004") == expect)  // DD-Mon-YYYY
+    assert(DateParse.parseFieldDate("2004-01-11") == expect)   // YYYY-MM-DD
+    assert(DateParse.parseFieldDate("January 11 2004") == expect)
+    assert(DateParse.parseFieldDate("11 January 2004") == expect)
+    assert(DateParse.parseFieldDate("01/11/2004") == expect)   // MM/DD/YYYY
+    assert(DateParse.parseFieldDate("2004/01/11") == expect)   // YYYY/MM/DD
+    assert(DateParse.parseFieldDate("20040111") == expect)     // YYYYMMDD
+    assert(DateParse.parseFieldDate("1/11/2004") == expect)    // leading 0 optional
+    // the annotator's "19"+ two-digit-year WSJ hack
+    assert(DateParse.parseFieldDate("01/11/88") == 141725L)
+    // quirks: years below 1601 and unknown months collapse to 0
+    assert(DateParse.parseFieldDate("11-XYZ-2004") == 0L)
+    assert(DateParse.parseFieldDate("1600-06-01") == 0L)
+    assert(DateParse.parseFieldDate("garbage") == 0L)
+    // month-name prefix table incl. jan/jun/jul disambiguation
+    assert(DateParse.parseMonth("June") == 6)
+    assert(DateParse.parseMonth("jul") == 7)
+    assert(DateParse.parseMonth("SEPT") == 9)
+    assert(DateParse.parseMonth("dec") == 12)
+  }
+
+  test("#date* reference forms: bare literals over the hardwired 'date' field") {
+    import graft.search.{QueryParser, FieldNumNode}
+    val d = graft.index.DateParse.convertDate("2004", "01", "11")
+    assert(QueryParser.parse("#datebefore(01/11/2004)") ==
+      FieldNumNode("less", "date", Long.MinValue, d))
+    assert(QueryParser.parse("#dateafter(11-JAN-2004)") ==
+      FieldNumNode("greater", "date", d, Long.MaxValue))
+    assert(QueryParser.parse("#dateequals(11 january 2004)") ==
+      FieldNumNode("equals", "date", d, d))
+    assert(QueryParser.parse("#dateequals(January 11 2004)") ==
+      FieldNumNode("equals", "date", d, d))
+    val d2 = graft.index.DateParse.convertDate("2005", "01", "11")
+    assert(QueryParser.parse("#datebetween(01/11/2004 01/11/2005)") ==
+      FieldNumNode("between", "date", d, d2))
+    // the query side has NO century hack: two-digit years → 0
+    assert(QueryParser.parse("#datebefore(11-JAN-04)") ==
+      FieldNumNode("less", "date", Long.MinValue, 0L))
+    // (field, literal) extension form still parses over any field
+    assert(QueryParser.parse("#datebefore(when 2020-06-01)") ==
+      FieldNumNode("less", "when", Long.MinValue,
+        graft.index.DateParse.parseFieldDate("2020-06-01")))
   }
 
   // tagged corpus: title field + numeric price + date field
@@ -84,14 +153,21 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(docs("#equals(price 40)") == Seq(4L))
   }
 
-  test("date operators map to epoch-day numerics") {
+  test("date operators map to days-since-1600 numerics (with the leap-boundary quirk)") {
     val eng = engine
     def docs(q: String): Seq[Long] =
       eng.evaluateRaw(QueryParser.parse(q)).df.select("docId").as[Long].collect().sorted.toSeq
     assert(docs("#datebefore(when 2020-06-01)") == Seq(1L))
     assert(docs("#dateafter(when 2020-06-01)") == Seq(4L))
-    assert(docs("#datebetween(when 2020-01-01 2020-12-31)") == Seq(1L, 2L))
+    assert(docs("#datebetween(when 2020-01-01 2020-12-30)") == Seq(1L, 2L))
     assert(docs("#dateequals(when 2021-01-01)") == Seq(4L))
+    // reference quirk (convertDate's yearsSince/4 counts the CURRENT
+    // leap year even before Feb 29): Dec 31 of a leap year and Jan 1 of
+    // the next year encode to the SAME day number, so doc4 (2021-01-01)
+    // falls inside a between that ends at 2020-12-31
+    assert(graft.index.DateParse.parseFieldDate("2020-12-31") ==
+           graft.index.DateParse.parseFieldDate("2021-01-01"))
+    assert(docs("#datebetween(when 2020-01-01 2020-12-31)") == Seq(1L, 2L, 4L))
   }
 
   test("field-restricted belief query scores with ListBelief stats") {

@@ -1215,6 +1215,21 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_rule_selectors" -> ((s, dir) => {
+      // setScoringRules with a rule LIST: the catch-all rule keeps plain
+      // leaves at mu 2500 while field:head retunes the head-context
+      // scorer to mu 500 — per-scorer smoothing selection, last match
+      // wins (reference: QueryEnvironment::setScoringRules,
+      // include/indri/SmoothingAnnotatorWalker.hpp:87-141)
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules(Seq(
+        "method:dirichlet,mu:2500",
+        "field:head,method:dirichlet,mu:500"))
+      eng.runQuery("#combine(data.(head) data)", 20)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_weight_extent" -> ((s, dir) => {
       // #weight[head](0.7 data 0.3 merge) — extent restriction on the
       // WEIGHTED combiner: each head extent scores as its own context
@@ -3392,6 +3407,41 @@ object SparkEntry {
          |    ln((coalesce(occ.c, 0) + 2500.0 * (CASE WHEN st.o <> 0 THEN st.o/st.cs ELSE 1.0/(st.cs*2.0) END))
          |       / (hd.ctx + 2500.0)) AS s
          |  FROM hd LEFT JOIN occ ON occ.doc_id = hd.doc_id CROSS JOIN st
+         |)
+         |SELECT doc_id, round(s, 6) AS score FROM sc
+         |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    // rule list: the head-context leaf takes mu 500 (field:head), the
+    // plain leaf keeps the catch-all mu 2500; candidates = docs with a
+    // head context ∪ docs containing data; headless docs take the
+    // context leaf's fn(0,0)
+    "q_rule_selectors" ->
+      s"""$DTok, hd AS (
+         |  SELECT doc_id, least(10, doclen) AS ctx FROM dl WHERE doclen > 0
+         |), occ AS (
+         |  SELECT t.doc_id, count(*) AS c FROM tok t JOIN hd ON hd.doc_id = t.doc_id
+         |  WHERE t.term = 'data' AND t.pos <= hd.ctx
+         |  GROUP BY t.doc_id
+         |), tfq AS (
+         |  SELECT doc_id, count(*) AS t FROM tok WHERE term = 'data' GROUP BY doc_id
+         |), st AS (
+         |  SELECT (SELECT coalesce(sum(c), 0) FROM occ)::DOUBLE AS o,
+         |         (SELECT sum(ctx) FROM hd)::DOUBLE AS cs,
+         |         (SELECT count(*) FROM tok WHERE term = 'data')::DOUBLE AS cd,
+         |         (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id FROM hd UNION ALL SELECT doc_id FROM tfq)
+         |), sc AS (
+         |  SELECT c.doc_id,
+         |    0.5 * ln((coalesce(occ.c, 0) + 500.0 * (CASE WHEN st.o <> 0 THEN st.o/st.cs ELSE 1.0/(st.cs*2.0) END))
+         |             / (coalesce(hd.ctx, 0) + 500.0))
+         |  + 0.5 * ln((coalesce(tfq.t, 0) + 2500.0 * st.cd / st.tt) / (dl.doclen + 2500.0)) AS s
+         |  FROM cand c JOIN dl ON dl.doc_id = c.doc_id
+         |  LEFT JOIN hd ON hd.doc_id = c.doc_id
+         |  LEFT JOIN occ ON occ.doc_id = c.doc_id
+         |  LEFT JOIN tfq ON tfq.doc_id = c.doc_id
+         |  CROSS JOIN st
          |)
          |SELECT doc_id, round(s, 6) AS score FROM sc
          |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin,

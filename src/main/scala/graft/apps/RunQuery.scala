@@ -44,6 +44,10 @@ object RunQuery {
       queries: Seq[QuerySpec] = Nil,
       count: Int = 1000,
       rule: Option[String] = None,
+      // ALL <rule> entries, in order — more than one engages the
+      // selector-matching rule list (QueryEnvironment::setScoringRules
+      // takes a vector; SmoothingAnnotatorWalker matches per scorer)
+      rules: Seq[String] = Nil,
       baseline: Option[String] = None,
       stopwords: Set[String] = Set.empty,
       runID: String = "indri",
@@ -83,7 +87,8 @@ object RunQuery {
         })
     },
     count = t.getInt("count", 1000),
-    rule = t.getOpt("rule"),
+    rule = t.list("rule").headOption,
+    rules = t.list("rule"),
     baseline = t.getOpt("baseline"),
     stopwords = t.list("stopper.word").toSet,
     runID = t.get("runID", "indri"),
@@ -107,7 +112,8 @@ object RunQuery {
         case "index" | "server" => acc.copy(indexPaths = acc.indexPaths :+ v)
         case "query" => acc.copy(queries = acc.queries :+ QuerySpec(None, v))
         case "count" => acc.copy(count = v.toInt)
-        case "rule" => acc.copy(rule = Some(v))
+        case "rule" =>
+          acc.copy(rule = acc.rule.orElse(Some(v)), rules = acc.rules :+ v)
         case "baseline" => acc.copy(baseline = Some(v))
         case "stopper.word" => acc.copy(stopwords = acc.stopwords + v)
         case "runID" => acc.copy(runID = v)
@@ -211,7 +217,12 @@ object RunQuery {
   def environmentFor(spark: SparkSession, idx: InvertedIndex, p: Params,
                      analyzer: Analyzer): Engine = {
     val az = analyzer.copy(stopwords = analyzer.stopwords ++ p.stopwords)
-    new Engine(spark, idx, az, ScoringRule.parse(scoringSpec(p)))
+    val eng = new Engine(spark, idx, az, ScoringRule.parse(scoringSpec(p)))
+    // two or more <rule> entries → the selector-matching list (baseline
+    // overrides rules entirely, as in the reference where setBaseline
+    // REPLACES the rule parameter)
+    if (p.baseline.isEmpty && p.rules.size > 1) eng.setScoringRules(p.rules)
+    eng
   }
 
   // ------------------------------------------------------------------

@@ -252,7 +252,69 @@ final class Engine(
 
   import spark.implicits._
 
-  def setScoringRules(spec: String): Unit = { rule = ScoringRule.parse(spec) }
+  def setScoringRules(spec: String): Unit = {
+    rule = ScoringRule.parse(spec); smoothRules = Nil
+  }
+
+  /** One selector-carrying smoothing rule (reference:
+    * include/indri/SmoothingAnnotatorWalker.hpp:30-35 rule_type).
+    */
+  private final case class SmoothRule(node: String, field: String,
+                                      op: String, parsed: ScoringRule)
+
+  private var smoothRules: Seq[SmoothRule] = Nil
+
+  /** Rule LISTS with `node:` / `field:` / `operator:` selectors — the
+    * QueryEnvironment::setScoringRules(vector) surface. Each scorer takes
+    * the LAST matching rule (the walker iterates in reverse,
+    * SmoothingAnnotatorWalker.hpp:87-100); non-selector keys accumulate
+    * into the smoothing spec in order; scorers matched by no rule take
+    * the reference default `method:dirichlet,mu:2500`
+    * (SmoothingAnnotatorWalker.hpp:104). `field` matches the scorer's
+    * CONTEXT field (context restriction / extent restriction / NEXI CAS
+    * path — a multi-field context matches only `field:*`, mirroring the
+    * walker's single-child ExtentOr descent); `operator` matches "term"
+    * for term/wsyn leaves and "window" for #odN/#uwN.
+    */
+  def setScoringRules(specs: Seq[String]): Unit = {
+    rule = ScoringRule(method = "dirichlet") // the walker's default
+    smoothRules = specs.map { ruleText =>
+      var node = "RawScorerNode"; var fld = "*"; var op = "*"
+      val smoothing = new StringBuilder
+      ruleText.split(",").iterator.map(_.trim).filter(_.nonEmpty).foreach { p =>
+        val Array(k, v) = p.split(":", 2)
+        k.trim match {
+          case "node" => node = v.trim
+          case "field" => fld = v.trim
+          case "operator" => op = v.trim
+          case key =>
+            if (smoothing.nonEmpty) smoothing.append(",")
+            smoothing.append(key).append(":").append(v.trim)
+        }
+      }
+      SmoothRule(node, fld, op, ScoringRule.parse(smoothing.toString))
+    }
+  }
+
+  /** last-matching-rule resolution for one scorer (reference:
+    * SmoothingAnnotatorWalker.hpp:87-100 _matchSmoothingRule)
+    */
+  private def ruleFor(field: String, op: String): ScoringRule =
+    smoothRules.reverseIterator
+      .find(r => r.node == "RawScorerNode" &&
+        (r.field == field || r.field == "*") &&
+        (r.op == op || r.op == "*"))
+      .map(_.parsed).getOrElse(rule)
+
+  /** the walker's operator class for a raw leaf
+    * (SmoothingAnnotatorWalker.hpp:128-141: ODNode/UWNode → "window",
+    * IndexTerm/WeightedExtentOr → "term", anything else → "?")
+    */
+  private def opClassOf(node: QueryNode): String = node match {
+    case _: OdNode | _: UwNode => "window"
+    case _: TermNode | _: WsynNode => "term"
+    case _ => "?"
+  }
 
   /** named per-doc log-prior tables: name → ((docId, logPrior), default
     * log-prior for docs missing from the table) — the makeprior/PriorNode
@@ -679,15 +741,19 @@ final class Engine(
   // belief evaluation
   // ------------------------------------------------------------------
 
-  /** score function for a raw expression from globally-gathered stats */
+  /** score function for a raw expression from globally-gathered stats;
+    * `ctxField` is the scorer's context field for per-field rule lists
+    */
   private def scoreFnFor(node: QueryNode, raw: RawResult,
                          termStats: Map[String, TermStats],
                          qtf: Int, qtw: Option[Double],
-                         cstats: Map[QueryNode, (Double, Long)] = Map.empty): TermScoreFunction = node match {
+                         cstats: Map[QueryNode, (Double, Long)] = Map.empty,
+                         ctxField: String = "?"): TermScoreFunction = node match {
     case TermNode(t) =>
       val pt = analyzer.processTerm(t)
       val ts = if (pt == null) TermStats(0, 0) else termStats.getOrElse(pt, TermStats(0, 0))
-      Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble, ts.df.toDouble,
+      Scorers.forTerm(ruleFor(ctxField, "term"), ts.ctf.toDouble,
+        stats.totalTerms.toDouble, ts.df.toDouble,
         stats.totalDocs, qtf, qtw)
     case _ =>
       // complex expression: gather occurrences/df by evaluating the match
@@ -703,7 +769,8 @@ final class Engine(
           count(lit(1))).head()
         (r.getLong(0).toDouble, r.getLong(1))
       })
-      Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+      Scorers.forTerm(ruleFor(ctxField, opClassOf(node)), occ,
+        stats.totalTerms.toDouble,
         df.toDouble, stats.totalDocs, qtf, qtw)
   }
 
@@ -889,6 +956,12 @@ final class Engine(
       "mode (reference: src/QueryEnvironment.cpp:912-918) — use an LM rule")
     val node = ContextRestrictNode(child, contexts)
     val frame = contextFrame(child, contexts)
+    // per-field rule lists match the scorer's context field; a
+    // multi-field context matches only field:* (the walker descends an
+    // ExtentOr context ONLY when it has a single child,
+    // SmoothingAnnotatorWalker.hpp:115-118)
+    val ctxRule = ruleFor(
+      if (contexts.size == 1) contexts.head else "?", opClassOf(child))
     val sf = if (singleBackground) {
       // noContext background: the child's PLAIN collection stats with
       // contextSize = |C| (reference NoContextCountGraphCopier)
@@ -897,7 +970,7 @@ final class Engine(
           val pt = analyzer.processTerm(t)
           val ts = if (pt == null) TermStats(0, 0)
                    else termStats.getOrElse(pt, TermStats(0, 0))
-          Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+          Scorers.forTerm(ctxRule, ts.ctf.toDouble, stats.totalTerms.toDouble,
             ts.df.toDouble, stats.totalDocs, qtf, qtw)
         case c =>
           val (occ, df) = cstats.getOrElse(c, {
@@ -908,7 +981,7 @@ final class Engine(
               count(lit(1))).head()
             (r.getLong(0).toDouble, r.getLong(1))
           })
-          Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+          Scorers.forTerm(ctxRule, occ, stats.totalTerms.toDouble,
             df.toDouble, stats.totalDocs, qtf, qtw)
       }
     } else {
@@ -920,7 +993,7 @@ final class Engine(
           coalesce(sum(col("ctxLen").cast(LongType)), lit(0L))).head()
         (r.getDouble(0), r.getLong(1))
       })
-      Scorers.forTerm(rule, occTotal, ctxTotal.toDouble, 1.0,
+      Scorers.forTerm(ctxRule, occTotal, ctxTotal.toDouble, 1.0,
         stats.totalDocs, qtf, qtw)
     }
     val scoreUdf = udf { (occ: Int, ctxLen: Int, rawOcc: Int, dl: Int) =>
@@ -951,7 +1024,7 @@ final class Engine(
         val r = occ.agg(coalesce(sum(col("wocc")), lit(0.0)), count(lit(1))).head()
         (r.getDouble(0), r.getLong(1))
       })
-      val sf = Scorers.forTerm(rule, wo, stats.totalTerms.toDouble,
+      val sf = Scorers.forTerm(ruleFor("?", "term"), wo, stats.totalTerms.toDouble,
         dfc.toDouble, stats.totalDocs, qtf, qtw)
       // ListBeliefNode path → the 4-arg score form (documentOccurrences
       // = occurrences when no scoring context splits them, reference:
@@ -1188,10 +1261,14 @@ final class Engine(
     */
   def runQuery(query: String, k: Int, useDaat: Boolean = true): DataFrame = {
     val ast = QueryParser.parse(query)
+    // selector rule lists can give different leaves different smoothing,
+    // which the single-rule kernels cannot represent — belief path then
     daatBag(ast) match {
-      case Some(termWeights) if useDaat && baseline && daatDeletedSet.isDefined =>
+      case Some(termWeights) if useDaat && baseline &&
+          smoothRules.isEmpty && daatDeletedSet.isDefined =>
         runDaat(termWeights, k, exhaustive = false)
-      case Some(_) if useDaat && lmMethod && daatDeletedSet.isDefined =>
+      case Some(_) if useDaat && lmMethod &&
+          smoothRules.isEmpty && daatDeletedSet.isDefined =>
         // flat LM bags run the kernel too — weights become the belief
         // weights evaluate() would use (combine: 1/k; weight: w/Σ|w|)
         runDaatLm(lmBagWeights(ast).get, k, exhaustive = false)
@@ -1437,6 +1514,7 @@ final class Engine(
                                    tstatsOpt: Option[Map[String, TermStats]] = None,
                                    wstatsOpt: Option[Map[(Seq[String], Boolean, Int), (Double, Long)]] = None): Option[DataFrame] = {
     if (!structuredServes(ast)) return None
+    if (smoothRules.nonEmpty) return None // per-leaf rules → belief path
     val del = daatDeletedSet.get
 
     // ---- leaf registry (dedup by identical semantics) ----
@@ -1688,7 +1766,10 @@ final class Engine(
             sort_array(collect_list(struct(col("begin"), col("end")))).as("ex"))
     }
     scoreExtentContexts(childGroups.map(_.map(NexiParser.PlainTerm)), groupOp, fx,
-      er.passage, k, weightsOverride = weights, groupWeights = gweights)
+      er.passage, k, weightsOverride = weights, groupWeights = gweights,
+      // per-field rule lists see the restriction field as the scorer
+      // context; FixedPassageNode contexts are not fields → "?"
+      ctxField = if (er.passage.isEmpty) er.field else "?")
   }
 
   /** Score every extent (or sliding passage) of candidate documents as
@@ -1727,7 +1808,8 @@ final class Engine(
       fns: Array[TermScoreFunction], keyIdx: Map[String, Seq[Int]],
       lens: Array[Int], negs: Array[Boolean], perDoc: DataFrame)
 
-  private def prepLeaves(leaves: Seq[NexiParser.NexiTerm]): LeafPrep = {
+  private def prepLeaves(leaves: Seq[NexiParser.NexiTerm],
+                         ctxField: String = "?"): LeafPrep = {
     import NexiParser.{NotTerm, PhraseTerm, PlainTerm}
     val unwrapped: Seq[(NexiParser.NexiTerm, Boolean)] = leaves.map {
       case NotTerm(i) => (i, true)
@@ -1751,11 +1833,13 @@ final class Engine(
     val fns: Array[TermScoreFunction] = processed.zipWithIndex.map {
       case (Left(pt), _) =>
         val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
-        Scorers.forTerm(rule, ts.ctf.toDouble, stats.totalTerms.toDouble,
+        Scorers.forTerm(ruleFor(ctxField, "term"), ts.ctf.toDouble,
+          stats.totalTerms.toDouble,
           ts.df.toDouble, stats.totalDocs)
       case (Right(_), i) =>
         val (occ, df) = odByChild.get(i).flatMap(odStats.get).getOrElse((0.0, 0L))
-        Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
+        Scorers.forTerm(ruleFor(ctxField, "window"), occ,
+          stats.totalTerms.toDouble,
           df.toDouble, stats.totalDocs)
     }.toArray
     val lens: Array[Int] = processed.map {
@@ -1789,8 +1873,9 @@ final class Engine(
                                   k: Int,
                                   tree: Option[ScoreTree] = None,
                                   weightsOverride: Option[Seq[Double]] = None,
-                                  groupWeights: Option[Seq[Double]] = None): DataFrame = {
-    val prep = prepLeaves(childGroups.flatten)
+                                  groupWeights: Option[Seq[Double]] = None,
+                                  ctxField: String = "?"): DataFrame = {
+    val prep = prepLeaves(childGroups.flatten, ctxField)
     val fns = prep.fns
     val termIdx = prep.keyIdx
     val groupOf: Array[Int] = childGroups.zipWithIndex
@@ -2070,7 +2155,8 @@ final class Engine(
         }
         if (allPlainLeaves)
           scoreExtentContexts(nq.leafGroups, None, nexiExtents(nq.path),
-            passage = None, k, tree = Some(ScoreTree.from(nq.tree.get)))
+            passage = None, k, tree = Some(ScoreTree.from(nq.tree.get)),
+            ctxField = nq.path.lastOption.getOrElse("?"))
         else
           scoreMixedClauses(nq.nexiClauses, None, nexiExtents(nq.path), k,
             tree = Some(ScoreTree.from(nq.tree.get)))
@@ -2088,7 +2174,7 @@ final class Engine(
             scoreRelativeMixed(abouts, nq.op, nexiExtents(nq.path), k)
           case _ =>
             scoreExtentContexts(nq.leafGroups, nq.op, nexiExtents(nq.path),
-              passage = None, k)
+              passage = None, k, ctxField = nq.path.lastOption.getOrElse("?"))
         }
     }
   }

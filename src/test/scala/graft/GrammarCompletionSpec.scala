@@ -148,6 +148,45 @@ class GrammarCompletionSpec extends AnyFunSuite {
     assert(got(3L) == 0.5 * oov(4.0) + 0.5 * qcx(2.0, 4.0))
   }
 
+  test("setScoringRules(list): field:/operator: selectors pick per-scorer smoothing, last match wins") {
+    val eng = engineWith("method:okapi") // list call overrides this below
+    eng.setScoringRules(Seq(
+      "method:dirichlet,mu:2500",
+      "field:sec,method:dirichlet,mu:500",
+      "operator:window,method:dirichlet,mu:100"))
+    // leaf rules: qax.(sec) → mu 500 (field:sec), plain qax → mu 2500
+    // (catch-all), #1(qax qbx) → mu 100 (operator:window)
+    val cfCtx = 2.0 / 5.0   // qax-in-sec / Σ sec lengths
+    val cfQax = 7.0 / 14.0
+    val cfWin = 3.0 / 14.0  // #1(qax qbx) occurrences: docs 1,2,3
+    def d(occ: Double, len: Double, mu: Double, cf: Double) =
+      math.log((occ + mu * cf) / (len + mu))
+    val got = results(eng.runQuery("#combine(qax.(sec) qax #1(qax qbx))", 10))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    def exp(ctxOcc: Double, ctxLen: Double, tf: Double, dl: Double, win: Double) = {
+      val w = 1.0 / 3.0 // the engine folds Σ w·s, not Σs/3 — ULP-exact
+      w * d(ctxOcc, ctxLen, 500.0, cfCtx) + w * d(tf, dl, 2500.0, cfQax) +
+        w * d(win, dl, 100.0, cfWin)
+    }
+    assert(got(1L) == exp(2, 3, 2, 4, 1))
+    assert(got(2L) == exp(0, 0, 1, 3, 1)) // no sec context → fn(0,0)
+    assert(got(3L) == exp(0, 2, 1, 4, 1))
+    assert(got(4L) == exp(0, 0, 3, 3, 0))
+    // LAST matching rule wins (the walker iterates in reverse)
+    eng.setScoringRules(Seq(
+      "field:sec,method:dirichlet,mu:500",
+      "field:sec,method:dirichlet,mu:900"))
+    val got2 = results(eng.runQuery("qax.(sec)", 10))
+    assert(got2(1L) == d(2, 3, 900.0, cfCtx))
+    // and scorers matched by NO rule take the walker default
+    // method:dirichlet,mu:2500 (NOT the engine's previous single rule)
+    val got3 = results(eng.runQuery("qax", 10))
+    assert(got3(4L) == d(3, 3, 2500.0, cfQax))
+    // a subsequent single-spec call clears the list (back-compat)
+    eng.setScoringRules("method:dirichlet")
+    assert(results(eng.runQuery("qax", 10)) == got3)
+  }
+
   // ------------------------------------------------------------------
   // context restriction scoring
   // ------------------------------------------------------------------

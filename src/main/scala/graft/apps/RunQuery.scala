@@ -55,7 +55,9 @@ object RunQuery {
       queryOffset: Int = 0,
       fbDocs: Int = 0,
       fbTerms: Int = 10,
-      fbOrigWeight: Double = 0.5)
+      fbOrigWeight: Double = 0.5,
+      singleBackgroundModel: Boolean = false,
+      maxWildcardTerms: Option[Int] = None)
 
   // ------------------------------------------------------------------
   // parameter parsing
@@ -96,7 +98,9 @@ object RunQuery {
     queryOffset = t.getInt("queryOffset", 0),
     fbDocs = t.getInt("fbDocs", 0),
     fbTerms = t.getInt("fbTerms", 10),
-    fbOrigWeight = t.getDouble("fbOrigWeight", 0.5))
+    fbOrigWeight = t.getDouble("fbOrigWeight", 0.5),
+    singleBackgroundModel = t.getBool("singleBackgroundModel", default = false),
+    maxWildcardTerms = t.getOpt("maxWildcardTerms").map(_.toInt))
 
   /** `-key=value` command-line overlay (Parameters::loadCommandLine);
     * `-stopper.word=x` appends a stopword like the reference's dotted
@@ -122,6 +126,9 @@ object RunQuery {
         case "fbDocs" => acc.copy(fbDocs = v.toInt)
         case "fbTerms" => acc.copy(fbTerms = v.toInt)
         case "fbOrigWeight" => acc.copy(fbOrigWeight = v.toDouble)
+        case "singleBackgroundModel" =>
+          acc.copy(singleBackgroundModel = v == "true" || v == "1")
+        case "maxWildcardTerms" => acc.copy(maxWildcardTerms = Some(v.toInt))
         case _ => acc
       }
     }
@@ -217,11 +224,14 @@ object RunQuery {
   def environmentFor(spark: SparkSession, idx: InvertedIndex, p: Params,
                      analyzer: Analyzer): Engine = {
     val az = analyzer.copy(stopwords = analyzer.stopwords ++ p.stopwords)
+    // reference validation (runquery/IndriRunQuery.cpp:707-708)
+    require(!(p.baseline.isDefined && p.rules.nonEmpty),
+      "Smoothing rules may not be specified when running a baseline.")
     val eng = new Engine(spark, idx, az, ScoringRule.parse(scoringSpec(p)))
-    // two or more <rule> entries → the selector-matching list (baseline
-    // overrides rules entirely, as in the reference where setBaseline
-    // REPLACES the rule parameter)
+    // two or more <rule> entries → the selector-matching list
     if (p.baseline.isEmpty && p.rules.size > 1) eng.setScoringRules(p.rules)
+    if (p.singleBackgroundModel) eng.setSingleBackgroundModel(true)
+    p.maxWildcardTerms.foreach(eng.setMaxWildcardTerms)
     eng
   }
 
@@ -254,6 +264,14 @@ object RunQuery {
     val numbered = p.queries.zipWithIndex.map { case (q, i) =>
       (i, q.number.getOrElse((p.queryOffset + i).toString), q)
     }
+    // baseline mode rejects indri operators in EVERY query (reference:
+    // IndriRunQuery.cpp:634-636 — '#' or '.' anywhere in the text)
+    if (p.baseline.isDefined)
+      numbered.foreach { case (_, _, q) =>
+        require(!q.text.contains("#") && !q.text.contains("."),
+          s"Can't run baseline on this query: ${q.text}\n" +
+            "indri query language operators are not allowed.")
+      }
     val plain = numbered.filter { case (_, _, q) =>
       q.queryType == "indri" &&
         q.workingSet.isEmpty && q.feedbackDocs.isEmpty && p.fbDocs == 0
@@ -281,6 +299,14 @@ object RunQuery {
             .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
           engine.runQuery(
             RelevanceModel.expandedQuery(q.text, probs, rm), p.count)
+        } else if (p.baseline.isDefined) {
+          // baseline + fbDocs: the reference swaps in the TFIDF expander
+          // with rule = method:<baseline> (IndriRunQuery.cpp:584-594)
+          val rm = RelevanceModel.Params(fbDocs = p.fbDocs,
+            fbTerms = p.fbTerms, fbOrigWeight = p.fbOrigWeight)
+          engine.runQuery(
+            graft.search.Expanders.tfidfExpand(engine, q.text, p.count, rm),
+            p.count)
         } else {
           val rm = RelevanceModel.Params(fbDocs = p.fbDocs,
             fbTerms = p.fbTerms, fbOrigWeight = p.fbOrigWeight)

@@ -97,6 +97,57 @@ class RunQuerySpec extends AnyFunSuite {
     assert(t.get("field.name", "") == "title")
   }
 
+  test("rule lists, singleBackgroundModel, maxWildcardTerms and the baseline guards") {
+    val xml =
+      """<parameters>
+        |  <index>/tmp/repoA</index>
+        |  <query>class</query>
+        |  <rule>method:dirichlet,mu:2500</rule>
+        |  <rule>field:head,method:jm,lambda:0.3</rule>
+        |  <singleBackgroundModel>true</singleBackgroundModel>
+        |  <maxWildcardTerms>40</maxWildcardTerms>
+        |</parameters>""".stripMargin
+    val p = RunQuery.parseParams(xml)
+    assert(p.rules ==
+      Seq("method:dirichlet,mu:2500", "field:head,method:jm,lambda:0.3"))
+    assert(p.rule.contains("method:dirichlet,mu:2500")) // head for back-compat
+    assert(p.singleBackgroundModel && p.maxWildcardTerms.contains(40))
+    // -rule= overlay appends to the list
+    val p2 = RunQuery.overlay(p, Seq("-rule=operator:window,method:dirichlet,mu:100"))
+    assert(p2.rules.size == 3)
+    // baseline + rule is the reference's hard error
+    // (runquery/IndriRunQuery.cpp:707-708)
+    val bad = p.copy(baseline = Some("okapi"))
+    val e = intercept[IllegalArgumentException] {
+      RunQuery.environmentFor(spark, idx, bad, graft.analysis.Analyzer())
+    }
+    assert(e.getMessage.contains("Smoothing rules may not be specified"))
+    // baseline rejects indri operators in query text (':634-636)
+    val opQ = RunQuery.Params(indexPaths = Seq("x"), baseline = Some("okapi"),
+      queries = Seq(RunQuery.QuerySpec(None, "#combine(def val)")))
+    val eng = RunQuery.environmentFor(spark, idx, opQ, graft.analysis.Analyzer())
+    val e2 = intercept[IllegalArgumentException] {
+      RunQuery.execute(eng, opQ)
+    }
+    assert(e2.getMessage.contains("Can't run baseline on this query"))
+  }
+
+  test("baseline + fbDocs routes through the TFIDF expander") {
+    // reference: IndriRunQuery.cpp:584-594 — baseline feedback swaps
+    // RMExpander for TFIDFExpander with rule method:<baseline>
+    val p = RunQuery.Params(indexPaths = Seq("x"), baseline = Some("okapi"),
+      count = 10, fbDocs = 3, fbTerms = 5,
+      queries = Seq(RunQuery.QuerySpec(None, "return license")))
+    val eng = RunQuery.environmentFor(spark, idx, p, graft.analysis.Analyzer())
+    val got = RunQuery.execute(eng, p).head._2.collect()
+    val rm = graft.search.RelevanceModel.Params(fbDocs = 3, fbTerms = 5,
+      fbOrigWeight = 0.5)
+    val expect = eng.runQuery(
+      graft.search.Expanders.tfidfExpand(eng, "return license", 10, rm), 10)
+      .collect()
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+  }
+
   test("baseline translates to scoring rules like QueryEnvironment::setBaseline") {
     val p = RunQuery.Params()
     assert(RunQuery.scoringSpec(p.copy(baseline = Some("tfidf,k1:1.0,b:0.3")))
@@ -258,7 +309,7 @@ class RunQuerySpec extends AnyFunSuite {
       s"""<parameters>
          |  <index>$d1</index>
          |  <index>$d2</index>
-         |  <query>#combine(return license def)</query>
+         |  <query>return license def</query>
          |  <count>20</count>
          |  <baseline>okapi</baseline>
          |</parameters>""".stripMargin

@@ -1566,6 +1566,25 @@ object SparkEntry {
         .orderBy("doc_id", "begin")
     }),
 
+    "q_inex" -> ((s, dir) => {
+      // the INEX submission surface end-to-end: NEXI-scored lead extents
+      // → pathNames (deepest containing field chain /head[1]/lead[1]) →
+      // <result> file/path/rsv blocks (reference: IndriRunQuery.cpp:
+      // 468-474, QueryEnvironment::pathNames, DocumentStructure::path)
+      import graft.apps.RunQuery
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      val res = eng.runNexi("//lead[about(., data)]", 1000000)
+        .select(col("docId"), col("begin"), col("end"),
+          round(col("score"), 6).as("score"))
+      val p = RunQuery.Params(indexPaths = Seq("unused"), runID = "graft",
+        inex = true)
+      RunQuery.inexLines(eng, "T1", res, p, fixedPrecision = Some(6))
+        .select(col("rank").cast(LongType).as("rk"),
+          col("docId").as("doc_id"), col("line"))
+        .orderBy("rk")
+    }),
+
     "q_nexi_num" -> ((s, dir) => {
       // numeric predicate clause //head[about(., data) and .//nchars < 300]:
       // the nchars whole-doc extent counts as an occurrence inside a head
@@ -2844,6 +2863,32 @@ object SparkEntry {
          |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
          |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
          |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    // one scored lead extent per candidate (docs containing data);
+    // path is the constant chain /head[1]/lead[1] (lead is the deepest
+    // field containing its own extent), docno falls back to the docId,
+    // rsv prints %.6f of the rounded score on both engines
+    "q_inex" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt,
+         |         (SELECT count(*) FROM tok WHERE term = 'data')::DOUBLE AS cd
+         |), tfe AS (
+         |  SELECT doc_id, count(*) FILTER (WHERE pos <= 4) AS tfd
+         |  FROM tok WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+         |    AND term = 'data'
+         |  GROUP BY doc_id
+         |), sc AS (
+         |  SELECT t.doc_id,
+         |    round(ln((t.tfd + 2500.0 * st.cd / st.tt) / (least(4, dl.doclen) + 2500.0)), 6) AS s
+         |  FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st
+         |), rk AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM sc
+         |)
+         |SELECT rk, doc_id,
+         |  '    <result>' || chr(10) || '      <file>' || doc_id || '</file>' || chr(10) ||
+         |  '      <path>/head[1]/lead[1]</path>' || chr(10) ||
+         |  '      <rsv>' || printf('%.6f', s) || '</rsv>' || chr(10) || '    </result>' AS line
+         |FROM rk ORDER BY rk""".stripMargin,
 
     "q_modifyfields" ->
       // the hand-derived constant token extents of the mfRepo fixture

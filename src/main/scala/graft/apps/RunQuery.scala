@@ -57,7 +57,16 @@ object RunQuery {
       fbTerms: Int = 10,
       fbOrigWeight: Double = 0.5,
       singleBackgroundModel: Boolean = false,
-      maxWildcardTerms: Option[Int] = None)
+      maxWildcardTerms: Option[Int] = None,
+      // INEX submission format (reference: IndriRunQuery.cpp:731-747,
+      // 503-520, 468-474): <inex/> switches the output to the
+      // <inex-submission> wrapper with per-topic <result> blocks
+      inex: Boolean = false,
+      inexParticipantID: String = "1",
+      inexTask: String = "CO.Thorough",
+      inexTopicPart: String = "T",
+      inexDescription: String = "",
+      inexQuery: String = "automatic")
 
   // ------------------------------------------------------------------
   // parameter parsing
@@ -100,7 +109,13 @@ object RunQuery {
     fbTerms = t.getInt("fbTerms", 10),
     fbOrigWeight = t.getDouble("fbOrigWeight", 0.5),
     singleBackgroundModel = t.getBool("singleBackgroundModel", default = false),
-    maxWildcardTerms = t.getOpt("maxWildcardTerms").map(_.toInt))
+    maxWildcardTerms = t.getOpt("maxWildcardTerms").map(_.toInt),
+    inex = t.getOpt("inex").isDefined,
+    inexParticipantID = t.get("inex.participantID", "1"),
+    inexTask = t.get("inex.task", "CO.Thorough"),
+    inexTopicPart = t.get("inex.topicPart", "T"),
+    inexDescription = t.get("inex.description", ""),
+    inexQuery = t.get("inex.query", "automatic"))
 
   /** `-key=value` command-line overlay (Parameters::loadCommandLine);
     * `-stopper.word=x` appends a stopword like the reference's dotted
@@ -386,6 +401,71 @@ object RunQuery {
       .orderBy(col("rank"))
   }
 
+  /** INEX submission wrapper lines (reference: IndriRunQuery.cpp:
+    * 738-747, 778-780 — note `  <description>\n` + the description on
+    * its own line + `\n  </description>`)
+    */
+  def inexHeader(p: Params): Seq[String] = Seq(
+    s"<inex-submission participant-id=\"${p.inexParticipantID}\"" +
+      s" run-id=\"${p.runID}\" task=\"${p.inexTask}\"" +
+      s" query=\"${p.inexQuery}\" topic-part=\"${p.inexTopicPart}\">",
+    "  <description>",
+    p.inexDescription,
+    "  </description>")
+
+  def inexFooter: Seq[String] = Seq("</inex-submission>")
+
+  /** One query's INEX topic block (reference: IndriRunQuery.cpp:503-511
+    * topic header with the hardwired ieee collection, :468-474 the
+    * per-result file/path/rsv block). The `path` is the deepest field
+    * extent containing the result extent (QueryEnvironment::pathNames);
+    * whole-document results (begin = end = 0) take the empty path like
+    * the reference's findLeaf miss. Returns (rank, docId, block) rows.
+    */
+  def inexLines(engine: Engine, number: String, results: DataFrame,
+                p: Params, fixedPrecision: Option[Int] = None): DataFrame = {
+    val hasExtents = results.columns.contains("begin")
+    val order =
+      if (hasExtents) Seq(col("score").desc, col("docId").asc, col("begin").asc)
+      else Seq(col("score").desc, col("docId").asc)
+    val base0 = results
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+    val base =
+      if (hasExtents) base0
+      else base0.withColumn("begin", lit(0)).withColumn("end", lit(0))
+    val withPath = engine.pathNames(base)
+    val withName = scala.util.Try(
+      engine.documentMetadata(withPath.select("docId"), Seq("docno"))).toOption match {
+      case Some(meta) =>
+        withPath.join(meta, Seq("docId"), "left")
+          .withColumn("docno",
+            coalesce(col("docno"), col("docId").cast("string")))
+      case None => withPath.withColumn("docno", col("docId").cast("string"))
+    }
+    val scoreTxt = fixedPrecision match {
+      case Some(n) => format_string(s"%.${n}f", round(col("score"), n))
+      case None => udf((d: Double) => cppDouble(d)).apply(col("score"))
+    }
+    val block = concat(
+      lit("    <result>\n      <file>"), col("docno"),
+      lit("</file>\n      <path>"), col("path"),
+      lit("</path>\n      <rsv>"), scoreTxt,
+      lit("</rsv>\n    </result>"))
+    withName.select(lit(number).as("query_number"), col("rank"),
+      col("docId"), block.as("line"))
+      .orderBy(col("rank"))
+  }
+
+  /** the per-topic wrapper around [[inexLines]] output */
+  def inexTopicHeader(number: String): Seq[String] = Seq(
+    s"  <topic topic-id=\"$number\">",
+    "    <collections>",
+    "      <collection>ieee</collection>",
+    "    </collections>")
+
+  def inexTopicFooter: Seq[String] = Seq("  </topic>")
+
   /** parse file + overlay args + open + run + print — the `main` shape */
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RunQuery <param.xml> [-key=value ...]")
@@ -397,9 +477,19 @@ object RunQuery {
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
     val engine = openEnvironment(spark, p, Analyzer())
-    for ((num, df) <- execute(engine, p);
-         row <- trecLines(engine, num, df, p).collect())
-      println(row.getString(3))
+    if (p.inex) {
+      inexHeader(p).foreach(println)
+      for ((num, df) <- execute(engine, p)) {
+        inexTopicHeader(num).foreach(println)
+        inexLines(engine, num, df, p).collect().foreach(r => println(r.getString(3)))
+        inexTopicFooter.foreach(println)
+      }
+      inexFooter.foreach(println)
+    } else {
+      for ((num, df) <- execute(engine, p);
+           row <- trecLines(engine, num, df, p).collect())
+        println(row.getString(3))
+    }
     spark.stop()
   }
 }

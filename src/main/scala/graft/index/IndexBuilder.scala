@@ -658,8 +658,8 @@ object FieldAnnotators {
       lit(null).cast("string").as("parentField"),
       lit(0).as("parentOrdinal")))
 
-  /** Whole-document date field: ISO yyyy-MM-dd string column → epoch day
-    * (DateFieldAnnotator analogue).
+  /** Whole-document date field: date string column → days since 1600
+    * via the reference format table (DateFieldAnnotator analogue).
     */
   private val dateNumberUdf =
     udf((s: String) => if (s == null) 0L else DateParse.parseFieldDate(s))

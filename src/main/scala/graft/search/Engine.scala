@@ -3060,6 +3060,87 @@ final class Engine(
     else index.fieldExtents.select("field").distinct()
       .as[String].collect().toSeq.sorted
 
+  /** XML paths of result extents for the INEX output format
+    * (reference: QueryEnvironment::pathNames src/QueryEnvironment.cpp:
+    * 497-569 → LocalQueryServer::pathNames → DocumentStructure.findLeaf/
+    * path, src/DocumentStructure.cpp:261-329). For each (docId, begin,
+    * end) row, the path of the DEEPEST field extent containing
+    * [begin, end), written `/f[i]/g[j]/…` where each index counts
+    * same-type siblings under the same parent in document order;
+    * results with no containing extent take the reference's empty path.
+    *
+    * Input columns: docId, begin, end (extra columns pass through).
+    */
+  def pathNames(results: DataFrame): DataFrame = {
+    if (index.fieldExtents == null)
+      return results.withColumn("path", lit(""))
+    // sibling index among same-type children of the same parent —
+    // DocumentStructure::_constructNodePath's sameTypeLoc
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("docId", "field", "parentField", "parentOrdinal")
+      .orderBy(col("begin"), col("end").desc)
+    val ex = index.fieldExtents
+      .withColumn("sibIx", row_number().over(win))
+      .select(col("docId"), col("field"), col("begin").as("fb"),
+        col("end").as("fe"), col("ordinal"), col("parentField"),
+        col("parentOrdinal"), col("sibIx"))
+      .persist()
+    // field-TYPE depth from the annotator config (field names form the
+    // tree; parentField is per-type in every annotator) — findLeaf
+    // returns the DEEPEST containing node, first-by-position among
+    // equally deep ones (child iteration order)
+    val parentOf: Map[String, String] = ex
+      .select("field", "parentField").distinct().collect()
+      .flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _)).toMap
+    def fieldDepth(f: String): Int = {
+      var d = 0; var cur = f
+      while (parentOf.contains(cur) && d < 32) { cur = parentOf(cur); d += 1 }
+      d
+    }
+    val depthUdf = udf((f: String) => if (f == null) -1 else fieldDepth(f))
+    val dwin = org.apache.spark.sql.expressions.Window
+      .partitionBy("docId", "begin", "end")
+      .orderBy(depthUdf(col("field")).desc, col("fb").asc,
+        (col("fe") - col("fb")).asc, col("field").asc)
+    var chain = results
+      .join(ex, results("docId") === ex("docId") &&
+        ex("fb") <= results("begin") && results("end") <= ex("fe"), "left")
+      .drop(ex("docId"))
+      .withColumn("rk", row_number().over(dwin))
+      .where(col("rk") === 1).drop("rk")
+      .withColumn("path",
+        when(col("field").isNull, lit(""))
+          .otherwise(concat(lit("/"), col("field"), lit("["),
+            col("sibIx"), lit("]"))))
+    // climb parent links, prepending one segment per round (field trees
+    // are shallow — bounded by the annotator config)
+    var remaining = chain.where(col("parentField").isNotNull).count()
+    var guard = 0
+    while (remaining > 0 && guard < 16) {
+      val par = ex.select(col("docId").as("p_docId"), col("field").as("p_field"),
+        col("ordinal").as("p_ordinal"), col("parentField").as("p_parentField"),
+        col("parentOrdinal").as("p_parentOrdinal"), col("sibIx").as("p_sibIx"))
+      chain = chain.join(par,
+          col("docId") === col("p_docId") &&
+          col("parentField") === col("p_field") &&
+          col("parentOrdinal") === col("p_ordinal"), "left")
+        .withColumn("path",
+          when(col("p_field").isNotNull,
+            concat(lit("/"), col("p_field"), lit("["), col("p_sibIx"),
+              lit("]"), col("path"))).otherwise(col("path")))
+        .withColumn("parentField", col("p_parentField"))
+        .withColumn("parentOrdinal", col("p_parentOrdinal"))
+        .withColumn("ordinal", col("p_ordinal"))
+        .withColumn("field", col("p_field"))
+        .drop("p_docId", "p_field", "p_ordinal", "p_parentField",
+          "p_parentOrdinal", "p_sibIx")
+      remaining = chain.where(col("parentField").isNotNull).count()
+      guard += 1
+    }
+    val keep = results.columns :+ "path"
+    chain.select(keep.map(col): _*)
+  }
+
   /** total corpus term count (reference: src/LocalQueryServer.cpp:232-275) */
   def termCount(): Long = stats.totalTerms
   def termCountUnique(): Long = stats.uniqueTerms

@@ -296,6 +296,47 @@ class RunQuerySpec extends AnyFunSuite {
     assert(l0.getString(3).startsWith(s"1 Q0 ${scores.head._1} 1 "))
   }
 
+  test("pathNames climbs the field tree; INEX output blocks carry file/path/rsv") {
+    import graft.index.FieldAnnotators
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n"),
+      (2L, "x y z")).toDF("docId", "content")
+    val cfg2 = IndexConfig(analyzerMode = "simple", blockSize = 16, numBuckets = 2)
+    val built = IndexBuilder.build(docs, cfg2, annotate = df =>
+      FieldAnnotators.nestedHeadField(2, parent = "lead", name = "kick")(
+        FieldAnnotators.nestedHeadField(4)(
+          FieldAnnotators.headField(10)(df))))
+    val eng = new Engine(spark, built, cfg2.analyzer, ScoringRule(method = "dirichlet"))
+    val res = Seq(
+      (1L, 0, 2, -1.5),  // inside kick[0,2) ⊂ lead[0,4) ⊂ head[0,10)
+      (1L, 2, 4, -2.0),  // inside lead but past kick
+      (1L, 5, 7, -2.5),  // inside head only
+      (1L, 12, 14, -3.0), // outside every field → empty path
+      (2L, 0, 1, -4.0))  // doc2: kick[0,2) again (3-token doc)
+      .toDF("docId", "begin", "end", "score")
+    val paths = eng.pathNames(res).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(4)).toMap
+    assert(paths((1L, 0)) == "/head[1]/lead[1]/kick[1]")
+    assert(paths((1L, 2)) == "/head[1]/lead[1]")
+    assert(paths((1L, 5)) == "/head[1]")
+    assert(paths((1L, 12)) == "")
+    assert(paths((2L, 0)) == "/head[1]/lead[1]/kick[1]")
+    // INEX blocks (reference: IndriRunQuery.cpp:468-474)
+    val p = RunQuery.Params(indexPaths = Seq("x"), runID = "graftrun",
+      inex = true, inexDescription = "desc line")
+    val lines = RunQuery.inexLines(eng, "T1",
+      res.where(col("docId") === 1L && col("begin") === 0), p,
+      fixedPrecision = Some(6)).collect()
+    assert(lines.length == 1)
+    assert(lines(0).getString(3) ==
+      "    <result>\n      <file>1</file>\n      <path>/head[1]/lead[1]/kick[1]</path>\n      <rsv>-1.500000</rsv>\n    </result>")
+    assert(RunQuery.inexHeader(p).head ==
+      "<inex-submission participant-id=\"1\" run-id=\"graftrun\" task=\"CO.Thorough\" query=\"automatic\" topic-part=\"T\">")
+    assert(RunQuery.inexTopicHeader("T1") == Seq(
+      "  <topic topic-id=\"T1\">", "    <collections>",
+      "      <collection>ieee</collection>", "    </collections>"))
+  }
+
   test("openEnvironment federates stored repositories (kernel-only view)") {
     val d1 = java.nio.file.Files.createTempDirectory("rq-repo1").toString
     val d2 = java.nio.file.Files.createTempDirectory("rq-repo2").toString

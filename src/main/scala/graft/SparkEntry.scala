@@ -876,6 +876,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dumpindex_dt" -> ((s, dir) => {
+      // dumpindex `dd` — document text + docno from the repository's
+      // stored collection (the CompressedCollection analogue; reference:
+      // dumpindex.cpp print_document_text / print_document_data)
+      import graft.apps.DumpIndex
+      DumpIndex.command(s, storedRepo(s, dir), "dd",
+        (1L to 6L).map(_.toString))
+        .select(col("docId").as("doc_id"), col("docno"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_dumpindex_tdv" -> ((s, dir) => {
       // dumpindex `tdv` — the document's stems in position order as one
       // space-joined line, stopped/OOV slots skipped (reference:
@@ -2967,6 +2978,18 @@ object SparkEntry {
          |)
          |SELECT new_id AS doc_id, docno FROM ids
          |WHERE new_id BETWEEN 1 AND 25 ORDER BY doc_id""".stripMargin,
+
+    // the stored collection round-trips the raw text; docno rebuilds
+    // from the %08d path convention
+    "q_dumpindex_dt" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS new_id,
+         |         'r0/' || printf('%08d', doc_id) || '@c0' AS docno
+         |  FROM documents
+         |)
+         |SELECT new_id AS doc_id, docno, text
+         |FROM ids JOIN documents USING(doc_id)
+         |WHERE new_id BETWEEN 1 AND 6 ORDER BY doc_id""".stripMargin,
 
     // tdv = indexed stems in position order, space-joined; the stored
     // repo uses the simple chain with no stopper, so every token slot

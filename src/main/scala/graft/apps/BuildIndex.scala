@@ -187,12 +187,27 @@ object BuildIndex {
         docno(col("repo"), col("path"), col("commit")).as("docno") +:
         p.metadataFields.map(col): _*)
       .write.mode("overwrite").parquet(metadataDir(p.repoPath))
+    // the CompressedCollection analogue: the raw document text persists
+    // beside the index so `dumpindex dt/dd` and snippet surfaces serve
+    // from the repository like the reference collection (reference:
+    // src/CompressedCollection.cpp — Parquet page compression stands in
+    // for the zlib stream)
+    docs.select(col("docId"), col("content"))
+      .write.mode("overwrite").parquet(collectionDir(p.repoPath))
     idx.doclens.count()
     idCache.unpersist(false)
     idx
   }
 
   def metadataDir(repoPath: String): String = s"$repoPath/metadata"
+
+  def collectionDir(repoPath: String): String = s"$repoPath/collection"
+
+  /** the stored collection (docId, content), when this repo has one */
+  def openCollection(spark: SparkSession, repoPath: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(collectionDir(repoPath))))
+      Some(spark.read.parquet(collectionDir(repoPath)))
+    else None
 
   private def chainFile(repoPath: String) =
     java.nio.file.Paths.get(repoPath, "analysis.properties")

@@ -323,6 +323,13 @@ object RepositorySurgery {
     val old = dirPath.resolveSibling(dirPath.getFileName.toString + ".compact-old")
     rmTree(tmp); rmTree(old)
     SegmentStore.writeAll(compacted, tmp.toString, cfg)
+    // the stored collection drops the deleted documents' text like the
+    // reference compaction (docIds stay stable, so this is a filter)
+    if (Files.exists(dirPath.resolve("collection"))) {
+      spark.read.parquet(dirPath.resolve("collection").toString)
+        .join(del.get, Seq("docId"), "left_anti")
+        .write.parquet(tmp.resolve("collection").toString)
+    }
     val written = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
       .map(_.getFileName.toString).toSet
     copyAux(dirPath, tmp, exclude = written + "deleted")

@@ -214,17 +214,67 @@ class DumpIndexSpec extends AnyFunSuite {
     assert(err.getMessage.contains("compact"))
   }
 
-  test("di and dn round-trip docno metadata; dt refuses with the contract") {
+  test("di and dn round-trip docno metadata; dt/dd serve the stored collection") {
     val dn = DumpIndex.command(spark, repoDir, "dn", Seq("3"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(dn.length == 1 && dn.head._1 == 3L && dn.head._2.startsWith("r1/"))
     val di = DumpIndex.command(spark, repoDir, "di", Seq("docno", dn.head._2))
       .as[Long].collect()
     assert(di.toSeq == Seq(3L))
+    // dt: the raw text from the repository's collection table (the
+    // CompressedCollection analogue) — byte-identical to the corpus row
+    val dt = DumpIndex.command(spark, repoDir, "dt", Seq("3", "4")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dt == Map(3L -> corpusRows(2)._4, 4L -> corpusRows(3)._4))
+    // dd adds the docno column
+    val dd = DumpIndex.command(spark, repoDir, "dd", Seq("3")).collect()
+    assert(dd.length == 1 && dd(0).getString(1) == dn.head._2 &&
+      dd(0).getString(2) == corpusRows(2)._4)
+    // pre-collection repositories keep the original refusal
+    val bare = java.nio.file.Files.createTempDirectory("graft-nocoll").toString
+    graft.index.SegmentStore.writeAll(memIdx, bare, cfg)
     val err = intercept[UnsupportedOperationException](
-      DumpIndex.command(spark, repoDir, "dt", Seq("3")))
+      DumpIndex.command(spark, bare, "dt", Seq("3")))
     assert(err.getMessage.contains("corpus"))
     intercept[IllegalArgumentException](
       DumpIndex.command(spark, repoDir, "bogus", Seq()))
+  }
+
+  test("compact filters deleted text from the collection; merge rebases it") {
+    import graft.index.RepositorySurgery
+    // fresh repo so deletes here don't disturb the shared fixture
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-cc-c").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft-cc-r").toString
+    corpusRows.toDF("repo", "path", "commit", "content")
+      .write.mode("overwrite").parquet(corpusDir)
+    val p = BuildIndex.parseParams(
+      s"""<parameters>
+         |  <index>$rDir</index>
+         |  <corpus><path>$corpusDir</path></corpus>
+         |</parameters>""".stripMargin)
+    BuildIndex.run(spark, p, IndexConfig(blockSize = 16, numBuckets = 4))
+    DumpIndex.command(spark, rDir, "del", Seq("2", "5"))
+    DumpIndex.command(spark, rDir, "c", Seq()).collect()
+    val left = BuildIndex.openCollection(spark, rDir).get
+      .select("docId").as[Long].collect().sorted
+    assert(left.length == 38 && !left.contains(2L) && !left.contains(5L))
+    // dt of a compacted-away doc returns nothing; survivors still serve
+    assert(DumpIndex.command(spark, rDir, "dt", Seq("2")).count() == 0)
+    assert(DumpIndex.command(spark, rDir, "dt", Seq("3")).count() == 1)
+    // merge rebases the second member's text past the first's max docId
+    val corpus2 = java.nio.file.Files.createTempDirectory("graft-cc-c2").toString
+    val rDir2 = java.nio.file.Files.createTempDirectory("graft-cc-r2").toString
+    Seq(("r9", "p1", "c1", "lone merge text")).toDF("repo", "path", "commit", "content")
+      .write.mode("overwrite").parquet(corpus2)
+    BuildIndex.run(spark, BuildIndex.parseParams(
+      s"""<parameters>
+         |  <index>$rDir2</index>
+         |  <corpus><path>$corpus2</path></corpus>
+         |</parameters>""".stripMargin), IndexConfig(blockSize = 16, numBuckets = 4))
+    val out = java.nio.file.Files.createTempDirectory("graft-cc-m").toString + "/m"
+    DumpIndex.command(spark, out, "m", Seq(rDir, rDir2)).collect()
+    // member1 max docId is 40 (stable ids through compact) → rebase 41
+    val merged = DumpIndex.command(spark, out, "dt", Seq("41")).collect()
+    assert(merged.length == 1 && merged(0).getString(1) == "lone merge text")
   }
 }

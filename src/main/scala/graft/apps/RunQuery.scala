@@ -66,7 +66,12 @@ object RunQuery {
       inexTask: String = "CO.Thorough",
       inexTopicPart: String = "T",
       inexDescription: String = "",
-      inexQuery: String = "automatic")
+      inexQuery: String = "automatic",
+      // verbose output toggles (reference: IndriRunQuery.cpp:579-582)
+      printQuery: Boolean = false,
+      printDocuments: Boolean = false,
+      printPassages: Boolean = false,
+      printSnippets: Boolean = false)
 
   // ------------------------------------------------------------------
   // parameter parsing
@@ -115,7 +120,11 @@ object RunQuery {
     inexTask = t.get("inex.task", "CO.Thorough"),
     inexTopicPart = t.get("inex.topicPart", "T"),
     inexDescription = t.get("inex.description", ""),
-    inexQuery = t.get("inex.query", "automatic"))
+    inexQuery = t.get("inex.query", "automatic"),
+    printQuery = t.getBool("printQuery", default = false),
+    printDocuments = t.getBool("printDocuments", default = false),
+    printPassages = t.getBool("printPassages", default = false),
+    printSnippets = t.getBool("printSnippets", default = false))
 
   /** `-key=value` command-line overlay (Parameters::loadCommandLine);
     * `-stopper.word=x` appends a stopword like the reference's dotted
@@ -144,6 +153,10 @@ object RunQuery {
         case "singleBackgroundModel" =>
           acc.copy(singleBackgroundModel = v == "true" || v == "1")
         case "maxWildcardTerms" => acc.copy(maxWildcardTerms = Some(v.toInt))
+        case "printQuery" => acc.copy(printQuery = v == "true" || v == "1")
+        case "printDocuments" => acc.copy(printDocuments = v == "true" || v == "1")
+        case "printPassages" => acc.copy(printPassages = v == "true" || v == "1")
+        case "printSnippets" => acc.copy(printSnippets = v == "true" || v == "1")
         case _ => acc
       }
     }
@@ -219,6 +232,14 @@ object RunQuery {
         .map(_.withColumn("docId", col("docId") + lit(b)))
     }
     if (dels.nonEmpty) eng.deleteDocuments(dels.reduce(_ unionByName _))
+    // stored collections attach like metadata (rebased), serving
+    // documents()/printDocuments/printPassages/printSnippets text
+    val colls = p.indexPaths.zip(bases).flatMap { case (dir, b) =>
+      BuildIndex.openCollection(spark, dir)
+        .map(_.withColumn("docId", col("docId") + lit(b)))
+    }
+    if (colls.size == p.indexPaths.size)
+      eng.setCollection(colls.reduce(_ unionByName _))
     val priorNames = p.indexPaths.flatMap(MakePrior.storedPriors).distinct
     for (name <- priorNames) {
       val tables = p.indexPaths.zip(bases).flatMap { case (dir, b) =>
@@ -397,7 +418,55 @@ object RunQuery {
       else
         concat_ws("\t", scoreTxt, col("docno"), beginTxt, endTxt)
     withName.select(lit(number).as("query_number"), col("rank"),
-      col("docId"), line.as("line"))
+      col("docId"), line.as("line"),
+      beginTxt.cast("int").as("begin"), endTxt.cast("int").as("end"))
+      .orderBy(col("rank"))
+  }
+
+  /** [[trecLines]] plus the verbose per-result appendices (reference:
+    * IndriRunQuery.cpp:483-498): `printDocuments` appends the stored
+    * text, `printPassages` the byte slice covering the result extent's
+    * token span (positions[begin].begin … positions[end-1].end), and
+    * `printSnippets` the SnippetBuilder line. All three need the
+    * repository's stored collection. Appendices ride inside the `line`
+    * column separated by newlines, preserving the reference's print
+    * order.
+    */
+  def verboseLines(engine: Engine, number: String, results: DataFrame,
+                   p: Params, queryText: String,
+                   fixedPrecision: Option[Int] = None): DataFrame = {
+    val base = trecLines(engine, number, results, p, fixedPrecision)
+    if (!(p.printDocuments || p.printPassages || p.printSnippets)) return base
+    val coll = engine.collectionTable.getOrElse(throw new UnsupportedOperationException(
+      "printDocuments/printPassages/printSnippets need a repository with a " +
+        "stored collection (BuildIndex writes one)"))
+    var out = base.join(coll.select(col("docId"), col("content")),
+      Seq("docId"), "left")
+    var line = col("line")
+    if (p.printDocuments)
+      line = concat_ws("\n", line, coalesce(col("content"), lit("")))
+    if (p.printPassages) {
+      val az = engine.analyzer
+      val passageUdf = udf { (text: String, b: Int, e: Int) =>
+        if (text == null) ""
+        else {
+          val (bs, es) = az.tokenOffsets(text)
+          if (b >= 0 && e > b && e <= bs.length) text.substring(bs(b), es(e - 1))
+          else text // whole-document results print the full text
+        }
+      }
+      line = concat_ws("\n", line,
+        passageUdf(col("content"), col("begin"), col("end")))
+    }
+    if (p.printSnippets) {
+      val snips = graft.search.Snippets.build(
+        coll.join(base.select("docId").distinct(), Seq("docId"), "left_semi"),
+        queryText, engine.analyzer)
+      out = out.join(snips, Seq("docId"), "left")
+      line = concat_ws("\n", line, coalesce(col("snippet"), lit("")))
+    }
+    out.select(col("query_number"), col("rank"), col("docId"),
+      line.as("line"), col("begin"), col("end"))
       .orderBy(col("rank"))
   }
 
@@ -486,9 +555,14 @@ object RunQuery {
       }
       inexFooter.foreach(println)
     } else {
-      for ((num, df) <- execute(engine, p);
-           row <- trecLines(engine, num, df, p).collect())
-        println(row.getString(3))
+      val byNum = p.queries.zipWithIndex.map { case (q, i) =>
+        q.number.getOrElse((p.queryOffset + i).toString) -> q.text
+      }.toMap
+      for ((num, df) <- execute(engine, p)) {
+        if (p.printQuery) println(s"# query: ${byNum.getOrElse(num, "")}")
+        verboseLines(engine, num, df, p, byNum.getOrElse(num, ""))
+          .collect().foreach(row => println(row.getString(3)))
+      }
     }
     spark.stop()
   }

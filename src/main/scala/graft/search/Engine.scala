@@ -3211,8 +3211,23 @@ final class Engine(
     */
   def documents(docIds: DataFrame): DataFrame = {
     val ids = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
-    notDeleted(metadata).join(ids, Seq("docId"), "left_semi")
+    val meta = notDeleted(metadata).join(ids, Seq("docId"), "left_semi")
+    // with a stored collection attached, documents() carries the text
+    // like the reference ParsedDocument (QueryEnvironment::documents)
+    collection match {
+      case Some(c) => meta.join(c.select(col("docId"),
+        col("content").as("text")), Seq("docId"), "left")
+      case None => meta
+    }
   }
+
+  /** the repository's stored document text (docId, content) — the
+    * CompressedCollection handle; attached by RunQuery at open so
+    * documents()/snippet surfaces serve text from the repository
+    */
+  private var collection: Option[DataFrame] = None
+  def setCollection(table: DataFrame): Unit = collection = Some(table)
+  def collectionTable: Option[DataFrame] = collection
 
   /** one metadata attribute column per requested name
     * (reference: QueryEnvironment::documentMetadata, hpp:233-238)

@@ -337,6 +337,42 @@ class RunQuerySpec extends AnyFunSuite {
       "      <collection>ieee</collection>", "    </collections>"))
   }
 
+  test("print flags append document text, passages and snippets to result lines") {
+    import graft.apps.BuildIndex
+    val corpusDir = java.nio.file.Files.createTempDirectory("rq-pf-c").toString
+    val rDir = java.nio.file.Files.createTempDirectory("rq-pf-r").toString
+    Seq(("r1", "p1", "c1", "alpha beta gamma delta epsilon"),
+        ("r1", "p2", "c1", "gamma gamma zeta"))
+      .toDF("repo", "path", "commit", "content")
+      .write.mode("overwrite").parquet(corpusDir)
+    BuildIndex.run(spark, BuildIndex.parseParams(
+      s"""<parameters>
+         |  <index>$rDir</index>
+         |  <corpus><path>$corpusDir</path></corpus>
+         |</parameters>""".stripMargin), IndexConfig(blockSize = 16, numBuckets = 2))
+    val p = RunQuery.Params(indexPaths = Seq(rDir),
+      queries = Seq(RunQuery.QuerySpec(None, "gamma")), count = 10,
+      printDocuments = true, printPassages = true, printSnippets = true)
+    val eng = RunQuery.openEnvironment(spark, p, Analyzer())
+    val (num, df) = RunQuery.execute(eng, p).head
+    val lines = RunQuery.verboseLines(eng, num, df, p, "gamma")
+      .collect().map(_.getString(3))
+    assert(lines.length == 2)
+    // doc2 (tf 2) ranks first: result line + full text (printDocuments) +
+    // whole-doc passage + highlighted snippet, newline-separated in order
+    val parts = lines(0).split("\n")
+    assert(parts.length == 4)
+    assert(parts(1) == "gamma gamma zeta")
+    assert(parts(2) == "gamma gamma zeta") // begin=end=0 → whole document
+    assert(parts(3) == "<b>gamma</b> <b>gamma</b> zeta")
+    assert(lines(1).split("\n")(3) == "alpha beta <b>gamma</b> delta epsilon")
+    // without a stored collection the flags refuse with the contract
+    val eng2 = new Engine(spark, idx, Analyzer(), ScoringRule(method = "okapi"))
+    intercept[UnsupportedOperationException] {
+      RunQuery.verboseLines(eng2, "1", df, p, "gamma")
+    }
+  }
+
   test("openEnvironment federates stored repositories (kernel-only view)") {
     val d1 = java.nio.file.Files.createTempDirectory("rq-repo1").toString
     val d2 = java.nio.file.Files.createTempDirectory("rq-repo2").toString

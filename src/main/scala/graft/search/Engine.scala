@@ -3079,7 +3079,12 @@ final class Engine(
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("docId", "field", "parentField", "parentOrdinal")
       .orderBy(col("begin"), col("end").desc)
+    // only the RESULT documents' extents participate — the semi-join
+    // lands before the sibling-rank window, so a top-k result set never
+    // ranks the whole corpus's extents (the window partitions by docId,
+    // making the post-filter ranking identical)
     val ex = index.fieldExtents
+      .join(results.select(col("docId")).distinct(), Seq("docId"), "left_semi")
       .withColumn("sibIx", row_number().over(win))
       .select(col("docId"), col("field"), col("begin").as("fb"),
         col("end").as("fe"), col("ordinal"), col("parentField"),

@@ -1878,6 +1878,13 @@ object SparkEntry {
       TextPipeline.repeatedSpans(documents(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
+    "q_remove_spans" -> ((s, dir) =>
+      // the ACTION half of Lee-et-al substring dedup: every repeated
+      // 8-gram occurrence cut except the globally first (keep-one-copy),
+      // kept tokens rejoined — the full cleaned-text surface is oracled
+      TextPipeline.removeRepeatedSpans(documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       // candidates from the PRODUCTION LSH path (same 4×2 banding as
       // q_lsh_pairs) — exact n-gram Jaccard verifies each LSH candidate
@@ -3966,6 +3973,41 @@ object SparkEntry {
         |  sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
         |  round(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS repeat_frac
         |FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // keep-one-copy substring removal: survivor = row_number 1 over
+    // (doc_id, pos) per gram; covered positions expand to [pos, pos+7]
+    "q_remove_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |    i -> struct_pack(pos := i - 1,
+        |      g := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |           toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS sh
+        |  FROM d
+        |), o1 AS (
+        |  SELECT doc_id, unnest(sh) AS u FROM s
+        |), o2 AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g,
+        |    row_number() OVER (PARTITION BY u.g ORDER BY doc_id, u.pos) AS rn,
+        |    count(*) OVER (PARTITION BY u.g) AS c
+        |  FROM o1
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+        |  FROM o2 WHERE c > 1 AND rn > 1
+        |), covset AS (
+        |  SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id
+        |), res AS (
+        |  SELECT d.doc_id, len(d.toks) AS n_tokens,
+        |    list_filter(range(1, len(d.toks) + 1),
+        |      i -> NOT list_contains(coalesce(cps, []), i - 1)) AS kept,
+        |    d.toks AS toks
+        |  FROM d LEFT JOIN covset USING (doc_id)
+        |)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens, len(kept)::BIGINT AS n_kept,
+        |  -- empty-list trap: array_to_string([]) is NULL, Spark's concat_ws is ''
+        |  coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '), '') AS text_dedup
+        |FROM res ORDER BY doc_id""".stripMargin,
 
     // candidate pairs = the q_lsh_pairs banding (4 hashes × 2 bands),
     // then exact distinct-trigram Jaccard on each candidate

@@ -318,6 +318,65 @@ object TextPipeline {
     out
   }
 
+  /** Exact-substring dedup REMOVAL — the action half of Lee et al. 2022
+    * (arXiv:2107.06499; detection half = [[repeatedSpans]]): every
+    * occurrence of a corpus-repeated token k-gram is cut EXCEPT the
+    * globally first occurrence (min (doc, position) — keep-one-copy),
+    * and the surviving tokens rejoin with single spaces.
+    *
+    * Shape at scale: grams hash like [[repeatedSpans]] (token hashes →
+    * variadic xxhash64, no gram strings), ONE shuffle on the gram hash
+    * finds counts + survivors with map-side combine, cut occurrences
+    * come back to their documents via one join keyed on the doc id, and
+    * covered-position expansion is pure array arithmetic per document.
+    * Returns (idCol, n_tokens, n_kept, text_dedup).
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    val toksDf = withTokens(df, idCol, textCol)
+      .select(col(idCol), col("__toks"),
+        transform(col("__toks"), t => xxhash64(t)).as("__hs"))
+      .persist()
+    val gramOcc =
+      when(size(col("__hs")) >= k,
+        transform(sequence(lit(0), size(col("__hs")) - k),
+          i => struct(i.as("pos"),
+            xxhash64((0 until k).map(j => element_at(col("__hs"), i + j + 1)): _*).as("gh"))))
+        .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
+    val occ = toksDf
+      .select(col(idCol), explode(gramOcc).as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.gh").as("gh"))
+    // one gram-keyed shuffle: occurrence count + the surviving occurrence
+    val byGram = occ
+      .groupBy("gh")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("surv"))
+      .where(col("c") > 1)
+    val cuts = occ.join(byGram, "gh")
+      .where(!(col(idCol) === col(s"surv.$idCol") && col("pos") === col("surv.pos")))
+      .groupBy(idCol)
+      .agg(collect_set(col("pos")).as("cutStarts"))
+    val out = toksDf
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__cov", array_distinct(flatten(transform(
+        coalesce(col("cutStarts"), array().cast("array<int>")),
+        s => sequence(s, s + k - 1)))))
+      .withColumn("__kept", filter(
+        // sequence() DESCENDS when start > stop — guard empty docs
+        when(size(col("__toks")) > 0,
+          sequence(lit(0), size(col("__toks")) - 1))
+          .otherwise(array().cast("array<int>")),
+        i => !array_contains(col("__cov"), i)))
+      .select(col(idCol),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        concat_ws(" ", transform(col("__kept"),
+          i => element_at(col("__toks"), i + 1))).as("text_dedup"))
+      .localCheckpoint()
+    toksDf.unpersist()
+    out
+  }
+
   /** SimHash over token md5 bits: bit_j(sig) = majority vote of
     * bit_j(md5(token)) across tokens (+1/−1). `bits` ≤ 64 (first
     * bits/4 hex chars of the md5). Pure column expressions.

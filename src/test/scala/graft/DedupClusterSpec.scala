@@ -66,6 +66,22 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, 0.0)))
   }
 
+  test("removeRepeatedSpans cuts every repeated k-gram occurrence but the first") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),              // survivor of the shared gram
+      (2L, "p q a b c d e f g h r"),            // loses positions 2..9
+      (3L, "unique tokens only here"),          // untouched (short, no grams)
+      (4L, "m n o p q r s t m n o p q r s t"))  // within-doc repeat: keeps 0..7
+      .toDF("doc_id", "text")
+    val out = TextPipeline.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 10L, "a b c d e f g h x y")))
+    assert(out(2L) == ((11L, 3L, "p q r")))
+    assert(out(3L) == ((4L, 4L, "unique tokens only here")))
+    assert(out(4L) == ((16L, 8L, "m n o p q r s t")))
+  }
+
   test("components == scalar union-find on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     (0 until 3).foreach { _ =>

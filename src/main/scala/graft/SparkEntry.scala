@@ -1910,6 +1910,18 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    "q_ann_int8" -> ((s, dir) => {
+      // int8-quantized brute-force cosine: the memory-bound scale path
+      // (4× smaller vectors, exact integer dot products — the quantized
+      // cosines are bit-identical across engines because every partial
+      // sum is an exact integer in double range)
+      val emb = embeddings(s, dir)
+      val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      Similarity.int8BruteForceTopK(qz.where(col("vec_id") < 10), qz, "vec_id", 5)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy("qid", "rk")
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // banded hyperplane LSH ANN (scale path) over a BUILT index
       // (build-once / query-many — the banded projection persists per
@@ -4045,6 +4057,36 @@ object SparkEntry {
         |FROM pr WHERE inter > 0 ORDER BY a, b""".stripMargin,
 
     "q_simhash16" -> simhash16Sql,
+
+    // per-vector absmax int8 quantization with the portable
+    // floor(x·127/am + 0.5) rounding, then integer-dot cosine
+    "q_ann_int8" ->
+      """WITH z AS (
+        |  SELECT vec_id,
+        |    CASE WHEN am = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> floor(x::DOUBLE * 127 / am + 0.5)::INT) END AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS am
+        |        FROM embeddings)
+        |), q AS (
+        |  SELECT vec_id AS qid, qv FROM z WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS nid, qv AS cv FROM z
+        |), pr AS (
+        |  SELECT qid, nid,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+        |      / ( sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+        |        * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) ),
+        |      6) AS sim
+        |  FROM q, c WHERE qid <> nid
+        |), rk AS (
+        |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |  FROM pr
+        |)
+        |SELECT qid, nid, sim, rk::BIGINT AS rk FROM rk WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
 
     "q_ann_brute" ->
       """WITH q AS (

@@ -70,6 +70,53 @@ object Similarity {
       .select("qid", "nid", "sim", "rk")
   }
 
+  /** Scalar int8 quantization with a per-vector symmetric absmax scale —
+    * the memory-bound scale path for a 100-TB embedding store (4× smaller
+    * than float32, int dot products). Cosine is SCALE-INVARIANT per
+    * vector, so quantized cosine needs no dequantization and no stored
+    * scale for similarity search. Rounding is floor(x·127/absmax + 0.5)
+    * in double arithmetic — engine-portable (no HALF_UP vs
+    * away-from-zero ambiguity between Spark and SQL engines); zero
+    * vectors quantize to all-zero.
+    *
+    * Output: (idCol, qvec array<int>, scale double) — scale = absmax/127
+    * reconstructs approximate floats when needed.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val absmax = array_max(transform(col(vecCol), x => abs(x.cast(DoubleType))))
+    df.select(col(idCol), col(vecCol), absmax.as("__am"))
+      .select(col(idCol),
+        when(col("__am") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast(DoubleType) * 127.0 / col("__am") + 0.5).cast(IntegerType)))
+          .as("qvec"),
+        (col("__am") / 127.0).as("scale"))
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors — the same
+    * join/rank shape as [[bruteForceTopK]], with exact integer dot
+    * products (values ≤ 127 keep every sum well inside double's exact
+    * range, so cross-engine doubles match bit-for-bit before rounding).
+    * Input frames carry (idCol, qvec) from [[quantizeInt8]].
+    */
+  def int8BruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                         idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col("qvec").as("qv"))
+    val c = candidates.select(col(idCol).as("nid"), col("qvec").as("cv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    val sim = dot(col("qv"), col("cv")) /
+      (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))
+    val pairs = c.crossJoin(broadcast(q)).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(sim, 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("qid", "nid", "sim", "rk")
+  }
+
   /** deterministic hyperplanes: planes(band * rowsPerBand + r)(dim) */
   private def planes(dim: Int, bands: Int, rowsPerBand: Int,
                      seed: Long): Array[Array[Double]] = {

@@ -175,6 +175,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: portable rounding, planted duplicates at rank 1, high recall vs float") {
+    // rounding semantics: floor(x·127/absmax + 0.5), zero vectors → zeros
+    val tiny = Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(tiny, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(qz(1L)._1 == Seq(127, -63, 32)) // floor(-63.5+0.5) = -63
+    assert(qz(1L)._2 == 1.0 / 127.0)
+    assert(qz(2L)._1 == Seq(0, 0, 0))
+    // planted exact duplicates keep cosine 1.0 under quantization and
+    // surface at rank 1 through the int8 brute-force path
+    val q8 = Similarity.quantizeInt8(df, "vec_id", "embedding")
+    val top = Similarity.int8BruteForceTopK(
+      q8.where(col("vec_id") >= 10000L && col("vec_id") < 20000L), q8, "vec_id", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.nonEmpty && top.forall { case (qid, nid, sim) =>
+      nid == qid - 10000L && sim == 1.0 })
+    // recall@5 vs the float32 brute force on the natural corpus
+    val ids = df.where(col("vec_id") < 300L)
+    val floatTop = Similarity.bruteForceTopK(
+      ids.where(col("vec_id") < 20L), ids, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val intTop = Similarity.int8BruteForceTopK(
+      q8.where(col("vec_id") < 20L),
+      q8.where(col("vec_id") < 300L), "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (floatTop & intTop).size.toDouble / floatTop.size
+    assert(recall >= 0.9, s"int8 recall@5 $recall")
+  }
+
   test("recall@5 vs brute force on natural neighbors; candidate set far below all-pairs") {
     val natural = df.where(col("vec_id") < 10000L)
     val brute = Similarity.bruteForceTopK(natural, natural, "vec_id", "embedding", 5)

@@ -94,6 +94,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"no codegen spans:\n$plan")
   }
 
+  test("removeRepeatedSpans: gram rollup is the only wide exchange, with map-side partial aggregation") {
+    import graft.pipeline.TextPipeline
+    val docs = Seq((1L, "a b c d e f g h x"), (2L, "p a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+    out.collect()
+    // the survivor/count rollup shuffles on the 8-byte gram hash and the
+    // cut occurrences come home keyed on the doc id — both with partial
+    // aggregation below the exchange (map-side combine), and nothing
+    // shuffles raw token arrays. localCheckpoint hides the upstream plan,
+    // so audit the pre-checkpoint stages via a rebuilt fragment.
+    val toks = docs.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("__toks"))
+    val occ = toks.select(col("doc_id"),
+        transform(col("__toks"), t => xxhash64(t)).as("__hs"))
+      .select(col("doc_id"), explode(
+        when(size(col("__hs")) >= 8,
+          transform(sequence(lit(0), size(col("__hs")) - 8),
+            i => xxhash64((0 until 8).map(j => element_at(col("__hs"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<bigint>"))).as("gh"))
+    val plan = occ.groupBy("gh").agg(count(lit(1)).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(gh"),
+      s"gram rollup not keyed on the hash:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregation below the gram exchange:\n$plan")
+  }
+
+  test("dumpindex dt: the docId predicate pushes into the collection parquet scan") {
+    import graft.apps.{BuildIndex, DumpIndex}
+    val corpusDir = java.nio.file.Files.createTempDirectory("pa-dt-c").toString
+    val rDir = java.nio.file.Files.createTempDirectory("pa-dt-r").toString
+    Seq(("r1", "p1", "c1", "alpha beta"), ("r1", "p2", "c1", "gamma delta"))
+      .toDF("repo", "path", "commit", "content")
+      .write.mode("overwrite").parquet(corpusDir)
+    BuildIndex.run(spark, BuildIndex.parseParams(
+      s"""<parameters>
+         |  <index>$rDir</index>
+         |  <corpus><path>$corpusDir</path></corpus>
+         |</parameters>""".stripMargin), cfg)
+    val df = DumpIndex.command(spark, rDir, "dt", Seq("2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("docId"),
+      s"docId predicate not pushed to the collection scan:\n$plan")
+  }
+
   test("harvestlinks chain: broadcast joins only, no shuffle before the final aggregation") {
     import graft.pipeline.HarvestLinks
     val docs = Seq(

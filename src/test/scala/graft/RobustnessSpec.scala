@@ -120,6 +120,24 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("indrilang parser fuzz: garbage parses or throws IllegalArgument, never crashes") {
+    import graft.search.QueryParser
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab q#()<>{}.\"-*/:[]=0123456789é\\,"
+    (0 until 600).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(28))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { QueryParser.parse(s); () }
+      catch { case _: IllegalArgumentException => () } // documented rejection
+    }
+    // operator-shaped near-misses take the documented path too
+    Seq("#base64(!!!)", "#base64()", "#base64quote(@@)", "#datebefore()",
+      "#datebetween(01/11/2004)", "#combine(", "\"", "#od(", "#wsyn(x y)")
+      .foreach { q =>
+        try { QueryParser.parse(q); () }
+        catch { case _: IllegalArgumentException => () }
+      }
+  }
+
   test("NEXI parser: boolean surface fuzz — parses or throws IllegalArgument, never crashes") {
     val rnd = new scala.util.Random(19)
     val frags = Array("//sec", "//a//b", "[", "]", "about(., x y)", "about(., +x -y)",

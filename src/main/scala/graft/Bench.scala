@@ -417,6 +417,8 @@ object Bench {
                 numHashes = 4, bands = 2).count()),
             "repeated_spans" -> (() =>
               TextPipeline.repeatedSpans(corpus, "doc_id", "text", k = 8).count()),
+            "remove_spans" -> (() =>
+              TextPipeline.removeRepeatedSpans(corpus, "doc_id", "text", k = 8).count()),
             "token_counts" -> (() =>
               TextPipeline.tokenCounts(corpus, "doc_id", "text").count()))
           val entries = ops.map { case (nm, f) =>

@@ -320,8 +320,11 @@ object RunQuery {
       val df = batched.getOrElse(i, {
         if (q.queryType == "nexi")
           // scored extents (docId, begin, end, score) — the extent
-          // bounds ride into the output lines
-          engine.runNexi(q.text, p.count)
+          // bounds ride into the output lines; a working set restricts
+          // the CAS target extents before scoring (FilterNode semantics)
+          engine.runNexi(q.text, p.count,
+            if (q.workingSet.isEmpty) None
+            else Some(resolveDocs(q.workingSet).toDF("docId")))
         else if (q.workingSet.nonEmpty)
           engine.runQuery(q.text, p.count, resolveDocs(q.workingSet).toDF("docId"))
         else if (q.feedbackDocs.nonEmpty) {

@@ -2099,7 +2099,20 @@ final class Engine(
     * ranks b extents nested inside an a extent (NestedExtentInside →
     * the descendant link walk over the indexed ordinal/parent tree).
     */
-  def runNexi(query: String, k: Int): DataFrame = {
+  def runNexi(query: String, k: Int): DataFrame = runNexi(query, k, None)
+
+  /** NEXI retrieval with an optional working set — the reference's
+    * runQuery(query, docids, k, "nexi") FilterNode restriction
+    * (src/QueryEnvironment.cpp:694-707): CAS target extents filter to
+    * the named documents BEFORE scoring/top-k, CO queries ride the
+    * working-set runQuery overload.
+    */
+  def runNexi(query: String, k: Int, workingSet: Option[DataFrame]): DataFrame = {
+    def restricted(path: Seq[String]): DataFrame = workingSet match {
+      case Some(ws) => nexiExtents(path)
+        .join(ws.select(col(ws.columns.head).as("docId")), Seq("docId"), "left_semi")
+      case None => nexiExtents(path)
+    }
     val nq = NexiParser.parse(query)
     if (nq.path.isEmpty) {
       // CO query: phrase leaves become #od1 windows, negated leaves
@@ -2119,7 +2132,10 @@ final class Engine(
         "NEXI negated terms use the #not log-probability transform — " +
         "rejected in okapi/tfidf baseline mode; use an LM rule")
       val leaves = flat.map(render)
-      return runQuery(s"#combine(${leaves.mkString(" ")})", k)
+      return workingSet match {
+        case Some(ws) => runQuery(s"#combine(${leaves.mkString(" ")})", k, ws)
+        case None => runQuery(s"#combine(${leaves.mkString(" ")})", k)
+      }
     }
     require(!baseline, "NEXI CAS scoring uses extent contexts — rejected in " +
       "okapi/tfidf baseline mode like extent restriction; use an LM rule")
@@ -2135,14 +2151,14 @@ final class Engine(
           }
         if (plainLevel(nq) && plainLevel(in))
           scoreNestedContexts(nq.leafGroups, nq.op, in.leafGroups, in.op,
-            nexiExtents(nq.path), nexiExtents(in.path), k)
+            restricted(nq.path), restricted(in.path), k)
         else
           // round 4: non-plain clauses (relative about, numeric
           // predicates, parenthesized nesting) at either level — the
           // grammar reuses the unrestricted clause rule in the second
           // bracket (nexilang.g:180-206), so the two-level form is now
           // grammar-complete too
-          scoreNestedGeneral(nq, in, nexiExtents(nq.path), nexiExtents(in.path), k)
+          scoreNestedGeneral(nq, in, restricted(nq.path), restricted(in.path), k)
       case None if nq.tree.isDefined =>
         // parenthesized clause nesting: leaf beliefs fold via the tree.
         // All-plain-about trees take the term-only scaffold; trees with
@@ -2154,26 +2170,26 @@ final class Engine(
           case _ => false
         }
         if (allPlainLeaves)
-          scoreExtentContexts(nq.leafGroups, None, nexiExtents(nq.path),
+          scoreExtentContexts(nq.leafGroups, None, restricted(nq.path),
             passage = None, k, tree = Some(ScoreTree.from(nq.tree.get)),
             ctxField = nq.path.lastOption.getOrElse("?"))
         else
-          scoreMixedClauses(nq.nexiClauses, None, nexiExtents(nq.path), k,
+          scoreMixedClauses(nq.nexiClauses, None, restricted(nq.path), k,
             tree = Some(ScoreTree.from(nq.tree.get)))
       case None if hasNumeric(nq) =>
-        scoreMixedClauses(nq.nexiClauses, nq.op, nexiExtents(nq.path), k)
+        scoreMixedClauses(nq.nexiClauses, nq.op, restricted(nq.path), k)
       case None =>
         val abouts = nq.nexiClauses.collect { case a: AboutClause => a }
         val anyRel = abouts.exists(_.rel.isDefined)
         (anyRel, abouts.length) match {
           case (true, 1) =>
-            scoreRelativeAbout(nq.leafGroups.head, nexiExtents(nq.path),
-              nexiExtents(Seq(abouts.head.rel.get)), k)
+            scoreRelativeAbout(nq.leafGroups.head, restricted(nq.path),
+              restricted(Seq(abouts.head.rel.get)), k)
           case (true, _) =>
             // boolean clause with a relative filter (round 4)
-            scoreRelativeMixed(abouts, nq.op, nexiExtents(nq.path), k)
+            scoreRelativeMixed(abouts, nq.op, restricted(nq.path), k)
           case _ =>
-            scoreExtentContexts(nq.leafGroups, nq.op, nexiExtents(nq.path),
+            scoreExtentContexts(nq.leafGroups, nq.op, restricted(nq.path),
               passage = None, k, ctxField = nq.path.lastOption.getOrElse("?"))
         }
     }

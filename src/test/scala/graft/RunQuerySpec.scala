@@ -248,6 +248,21 @@ class RunQuerySpec extends AnyFunSuite {
     val lines = RunQuery.trecLines(eng, "N1", extents, p.copy(trecFormat = false))
       .select("line").collect().map(_.getString(0))
     assert(lines.toSeq == Seq("-0.5\t9\t1\t4", "-1.5\t5\t0\t3", "-1.5\t5\t2\t7"))
+
+    // a working set restricts NEXI like the reference FilterNode:
+    // results == the unrestricted run filtered to the named docs
+    // (CO path → the working-set runQuery overload)
+    val full = rows(eng.runNexi("return license", 1000000))
+    val wsIds = full.map(_._1).distinct.take(3)
+    val ws = wsIds.toDF("docId")
+    val got = rows(eng.runNexi("return license", 10, Some(ws)))
+    assert(got == full.filter(r => wsIds.contains(r._1)).take(10))
+    // the app wires <workingSetDocno> through for type=nexi
+    val pws = RunQuery.Params(indexPaths = Seq("x"), count = 10,
+      rule = Some("method:dirichlet"),
+      queries = Seq(RunQuery.QuerySpec(None, "return license",
+        workingSet = wsIds.map(_.toString), queryType = "nexi")))
+    assert(rows(RunQuery.execute(eng, pws).head._2) == got)
   }
 
   test("fbDocs routes through RM3 blind feedback") {

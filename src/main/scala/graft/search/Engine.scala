@@ -3159,7 +3159,10 @@ final class Engine(
       guard += 1
     }
     val keep = results.columns :+ "path"
-    chain.select(keep.map(col): _*)
+    // eager checkpoint lets the extents cache release immediately
+    val out = chain.select(keep.map(col): _*).localCheckpoint()
+    ex.unpersist()
+    out
   }
 
   /** total corpus term count (reference: src/LocalQueryServer.cpp:232-275) */

@@ -2225,6 +2225,15 @@ object SparkEntry {
       TextPipeline.unigramLogProb(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q_sample_strata" -> ((s, dir) =>
+      // deterministic training-mix sampling: per-source keep rates with
+      // a default for unlisted strata; membership is a pure function of
+      // the id (md5 uniform), so the sample is layout/run-invariant and
+      // monotone in the rates
+      TextPipeline.sampleStrata(documents(s, dir), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5), defaultRate = 0.25)
+        .orderBy("doc_id")),
+
     "q_pii" -> ((s, dir) =>
       // counts + md5 of the redacted text (compact cross-engine compare
       // of the full replacement output)
@@ -4416,6 +4425,31 @@ object SparkEntry {
         |        ELSE 0.0 END, 6) AS comment_line_frac,
         |  (CASE WHEN contains(text, 'SPDX-License-Identifier') THEN 1 ELSE 0 END)::BIGINT AS has_spdx
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // same md5-uniform on both engines: u = first 8 hex chars / 2^32
+    // (exact double), keep iff u < rate(source)
+    "q_sample_strata" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS hx FROM documents
+        |), u AS (
+        |  SELECT doc_id, source,
+        |    ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456 +
+        |     (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216 +
+        |     (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576 +
+        |     (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536 +
+        |     (instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096 +
+        |     (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256 +
+        |     (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(hx, 8, 1)) - 1))::DOUBLE / 4294967296.0 AS u
+        |  FROM h
+        |), r AS (
+        |  SELECT doc_id, source, u,
+        |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                WHEN 'src2' THEN 0.5 ELSE 0.25 END AS rate
+        |  FROM u
+        |)
+        |SELECT doc_id, source, round(u, 9) AS u FROM r WHERE u < rate
+        |ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->
       """WITH h AS (

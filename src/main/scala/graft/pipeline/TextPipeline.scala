@@ -581,6 +581,33 @@ object TextPipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic per-stratum sampling — training-mix construction
+    * (up/down-weighting sources or languages): keep a row iff
+    * u(id) < rate(stratum), with u = the first 8 md5 hex chars of the
+    * id as a uniform in [0,1) (exact /2^32 division — bit-identical
+    * across engines). Pure function of the id, so membership is
+    * layout- and run-invariant like [[hashSplit]], and MONOTONE in the
+    * rate: raising a stratum's rate only ADDS documents (nested
+    * samples) — a mix can grow without resampling what's already
+    * selected. Unknown strata take `defaultRate`.
+    */
+  def sampleStrata(df: DataFrame, idCol: String, strataCol: String,
+                   rates: Map[String, Double],
+                   defaultRate: Double = 0.0): DataFrame = {
+    val hx = md5(col(idCol).cast(StringType))
+    def hexVal(p: Int): Column =
+      (instr(lit("0123456789abcdef"), substring(hx, p, 1)) - 1).cast(LongType)
+    val value = (1 to 8).map(p => hexVal(p) * (1L << (4 * (8 - p))))
+      .reduce(_ + _)
+    val u = value.cast(DoubleType) / 4294967296.0 // 2^32: exact division
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    // filter on the RAW u (exact double both engines); display rounded
+    df.where(u < rateCol)
+      .select(col(idCol), col(strataCol), round(u, 9).as("u"))
+  }
+
   /** Unigram-LM quality score — the deterministic core of the
     * CCNet-style perplexity filter: mean per-token log10 probability of
     * a document's tokens under the CORPUS unigram distribution. Very

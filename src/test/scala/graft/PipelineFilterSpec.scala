@@ -60,6 +60,31 @@ class PipelineFilterSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9) // ~80% within md5-uniformity slack
   }
 
+  test("sampleStrata: per-stratum rates, layout-invariance, monotone growth") {
+    val rows = (1L to 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val got = TextPipeline.sampleStrata(rows, "doc_id", "source", rates)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    // rate 1 keeps everything, rate 0 keeps nothing, 0.5 lands mid
+    assert(got.count(_._2 == "src0") == 200)
+    assert(got.count(_._2 == "src2") == 0)
+    val half = got.count(_._2 == "src1")
+    assert(half > 70 && half < 130, s"src1 kept $half of 200")
+    assert(got.forall(r => r._3 >= 0.0 && r._3 < 1.0))
+    // layout-invariant (pure function of the id)
+    val b = TextPipeline.sampleStrata(rows.repartition(7), "doc_id", "source", rates)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.sameElements(b))
+    // MONOTONE: raising a rate only ADDS documents (nested samples)
+    val grown = TextPipeline.sampleStrata(rows, "doc_id", "source",
+      rates.updated("src1", 0.8)).as[(Long, String, Double)].collect()
+    assert(got.map(_._1).toSet.subsetOf(grown.map(_._1).toSet))
+    // unknown strata take the default rate
+    val dflt = TextPipeline.sampleStrata(rows, "doc_id", "source",
+      Map.empty, defaultRate = 1.0)
+    assert(dflt.count() == 600)
+  }
+
   test("unigramLogProb: mean corpus-unigram log-prob, hand-computed") {
     // corpus counts: a:3, b:2, c:1 -> T=6
     val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")

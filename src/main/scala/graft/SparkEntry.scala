@@ -1596,6 +1596,22 @@ object SparkEntry {
         .orderBy("rk")
     }),
 
+    "q_nexi_ws" -> ((s, dir) => {
+      // NEXI with a working set (the reference FilterNode,
+      // QueryEnvironment.cpp:694-707): CAS target extents restrict to
+      // the named documents BEFORE scoring — the oracle is q_nexi's SQL
+      // filtered to doc_id <= 120
+      import s.implicits._
+      val eng = fieldEngine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      eng.runNexi(s"//head[about(., ${BmTerms.take(2).mkString(" ")})]", 1000000,
+          Some((0L to 120L).toDF("docId")))
+        .select(col("docId").as("doc_id"),
+          col("begin").cast(LongType).as("begin"), col("end").cast(LongType).as("end"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "begin")
+    }),
+
     "q_nexi_num" -> ((s, dir) => {
       // numeric predicate clause //head[about(., data) and .//nchars < 300]:
       // the nchars whole-doc extent counts as an occurrence inside a head
@@ -2891,6 +2907,30 @@ object SparkEntry {
          |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm
          |), cand AS (
          |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge')
+         |), tfe AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS tfd,
+         |    count(*) FILTER (WHERE term = 'merge' AND pos <= 10) AS tfm
+         |  FROM tok WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, 0::BIGINT AS "begin", least(10, dl.doclen)::BIGINT AS "end",
+         |  round(0.5 * ln((t.tfd + 2500.0 * cf.cd / st.tt) / (least(10, dl.doclen) + 2500.0))
+         |      + 0.5 * ln((t.tfm + 2500.0 * cf.cm / st.tt) / (least(10, dl.doclen) + 2500.0)), 6) AS score
+         |FROM tfe t JOIN dl USING(doc_id) CROSS JOIN st CROSS JOIN cf
+         |ORDER BY t.doc_id, "begin"""".stripMargin,
+
+    // q_nexi restricted to the working set doc_id <= 120
+    "q_nexi_ws" ->
+      // head extent = [0, min(10, doclen)); tf counted inside the extent
+      // (pos <= 10 in 1-based SQL positions); context size = extent
+      // length; dirichlet with global collection frequencies, 1/2 weights
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), cf AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE term = 'data') AS cd,
+         |         (SELECT count(*) FROM tok WHERE term = 'merge') AS cm
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','merge') AND doc_id <= 120
          |), tfe AS (
          |  SELECT doc_id,
          |    count(*) FILTER (WHERE term = 'data' AND pos <= 10) AS tfd,

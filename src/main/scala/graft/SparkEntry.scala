@@ -493,6 +493,28 @@ object SparkEntry {
       |  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM d
       |)""".stripMargin
 
+  /** shared by q_decontaminate and its Bloom-pre-filtered twin — the
+    * Bloom pass must be output-identical to the exact operator
+    */
+  private val DecontaminateSql =
+    """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS gr
+        |  FROM d
+        |), pg AS (
+        |  SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id < 5
+        |), dg AS (
+        |  SELECT doc_id, unnest(gr) AS gram FROM g
+        |), hits AS (
+        |  SELECT dg.doc_id, count(*) AS hit_grams FROM dg JOIN pg USING(gram) GROUP BY dg.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(h.hit_grams, 0)::BIGINT AS hit_grams,
+        |       (CASE WHEN coalesce(h.hit_grams, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+        |FROM d LEFT JOIN hits h USING(doc_id) ORDER BY doc_id""".stripMargin
+
   private def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("(", ",", ")")
 
   /** Greedy non-overlap occurrence fold over a (doc_id, mb, me) match
@@ -2220,6 +2242,15 @@ object SparkEntry {
       // corpus doc sharing an 8-gram with it (probe docs self-match)
       val docs = documents(s, dir)
       TextPipeline.ngramContamination(docs, "doc_id", "text",
+        probes = docs.where(col("doc_id") < 5), probeTextCol = "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // the Bloom-pre-filtered variant MUST equal the exact operator
+      // (false positives die in the verify join) — same oracle SQL
+      val docs = documents(s, dir)
+      TextPipeline.ngramContaminationBloom(docs, "doc_id", "text",
         probes = docs.where(col("doc_id") < 5), probeTextCol = "text", n = 8)
         .orderBy("doc_id")
     }),
@@ -4407,24 +4438,9 @@ object SparkEntry {
 
     // 8-gram overlap vs the doc_id<5 probe set; shingle window i runs
     // 1..len-7 (range end len-6 exclusive), matching Spark offsets 0..len-8
-    "q_decontaminate" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
-        |), g AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
-        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS gr
-        |  FROM d
-        |), pg AS (
-        |  SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id < 5
-        |), dg AS (
-        |  SELECT doc_id, unnest(gr) AS gram FROM g
-        |), hits AS (
-        |  SELECT dg.doc_id, count(*) AS hit_grams FROM dg JOIN pg USING(gram) GROUP BY dg.doc_id
-        |)
-        |SELECT d.doc_id, coalesce(h.hit_grams, 0)::BIGINT AS hit_grams,
-        |       (CASE WHEN coalesce(h.hit_grams, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
-        |FROM d LEFT JOIN hits h USING(doc_id) ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_bloom" -> DecontaminateSql,
+
+    "q_decontaminate" -> DecontaminateSql,
 
     // bigram window i runs 1..len-1 (range end len exclusive)
     "q_repetition" ->

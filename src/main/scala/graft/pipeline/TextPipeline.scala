@@ -511,6 +511,42 @@ object TextPipeline {
         (coalesce(col("hit_grams"), lit(0L)) > 0).cast(LongType).as("contaminated"))
   }
 
+  /** [[ngramContamination]] with a Bloom-filter pre-pass — the shape for
+    * probe sets too large to broadcast raw at 100 TB (many benchmarks ×
+    * many grams): a fixed-size Bloom filter over the probe grams
+    * broadcasts instead (≈ 1.44·n·log2(1/fpp) bits regardless of gram
+    * length), candidate document grams pre-filter through it, and only
+    * the survivors (true hits + ~fpp false positives) reach the exact
+    * probe join. Results are IDENTICAL to the exact operator — the
+    * Bloom filter only bounds the verify join's left side.
+    */
+  def ngramContaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+                              probes: DataFrame, probeTextCol: String,
+                              n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val probeGrams = probes
+      .select(expr(s"regexp_extract_all(lower($probeTextCol), '[a-z0-9]+', 0)").as("__toks"))
+      .select(explode(array_distinct(shinglesCol(col("__toks"), n))).as("gram")).distinct()
+      .persist()
+    val nProbe = math.max(probeGrams.count(), 1L)
+    val bf = probeGrams.stat.bloomFilter("gram", nProbe, fpp)
+    val bcBf = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bcBf.value.mightContain(g))
+    val docGrams = withTokens(docs, idCol, textCol)
+      .select(col(idCol), explode(array_distinct(shinglesCol(col("__toks"), n))).as("gram"))
+      .where(mightContain(col("gram")))
+    // exact verify over the (tiny) surviving gram set — false positives
+    // from the filter die here, so the output matches ngramContamination
+    val hits = docGrams.join(probeGrams, Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("hit_grams"))
+    val out = docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        (coalesce(col("hit_grams"), lit(0L)) > 0).cast(LongType).as("contaminated"))
+      .localCheckpoint()
+    probeGrams.unpersist()
+    out
+  }
+
   /** Repetition signals (the Gopher-style repetition filters): fraction
     * of duplicate non-empty lines, and the share of all word bigrams
     * taken by the single most frequent one. One scan + a per-doc bigram

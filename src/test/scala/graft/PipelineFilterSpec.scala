@@ -60,6 +60,24 @@ class PipelineFilterSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9) // ~80% within md5-uniformity slack
   }
 
+  test("ngramContaminationBloom is output-identical to the exact operator") {
+    val docs = (1L to 60L).map { i =>
+      val text =
+        if (i % 7 == 0) "shared benchmark phrase one two three four five six"
+        else s"doc $i " + Seq.tabulate(12)(j => s"w${i}x$j").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val probes = docs.where(col("doc_id") === 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = rows(TextPipeline.ngramContamination(
+      docs, "doc_id", "text", probes, "text", n = 8))
+    val bloom = rows(TextPipeline.ngramContaminationBloom(
+      docs, "doc_id", "text", probes, "text", n = 8))
+    assert(bloom == exact) // false positives die in the verify join
+    assert(exact.count(_._3 == 1L) == 60 / 7) // the planted shared docs
+  }
+
   test("sampleStrata: per-stratum rates, layout-invariance, monotone growth") {
     val rows = (1L to 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)

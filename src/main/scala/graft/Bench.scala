@@ -443,10 +443,28 @@ object Bench {
     val qr = results.map { case (k, _, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_reps":$qr,"sf":"$sfDir",""" +
       s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
       s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
-      scalingJson + coresScalingJson + skewJson + pipelineJson + "}")
+      scalingJson + coresScalingJson + skewJson + pipelineJson + "}"
+    // full detail (per-query medians + every rep) goes to a FILE — at
+    // 134 queries × R reps the line is ~10 KB, larger than the driver's
+    // stdout tail window, which is why rounds 1-4 recorded parsed:null
+    val detailPath = java.nio.file.Paths.get("bench/BENCH_LAST.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath, fullJson.getBytes("UTF-8"))
+    println(fullJson)
+    // …and a COMPACT summary line prints LAST (fits the tail window
+    // whole): aggregates + scaling medians, per-query detail by pointer
+    val scalingCompact = scalingJson
+      .replaceAll(""","reps":\[.*?\]\}""", "}") // strip rep arrays only
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""queries_run":${results.size},"queries_total_sec":$total,""" +
+      s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
+      s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
+      scalingCompact +
+      s""","detail":"bench/BENCH_LAST.json"}""")
   }
 }

@@ -4522,21 +4522,27 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // same pre-aggregated shape as TextPipeline.unigramLogProb: per-
+    // (doc, tok) counts first, vocab join on distinct rows, count-
+    // weighted average — identical arithmetic on both engines
     "q_unigram_lp" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
         |), tok AS (
         |  SELECT doc_id, unnest(toks) AS tok FROM d
+        |), pd AS (
+        |  SELECT doc_id, tok, count(*)::BIGINT AS k FROM tok GROUP BY doc_id, tok
         |), c AS (
-        |  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        |  SELECT tok, sum(k)::BIGINT AS c FROM pd GROUP BY tok
         |), t AS (
         |  SELECT sum(c)::DOUBLE AS tt FROM c
         |)
-        |SELECT tok.doc_id,
-        |  round(avg(log10(c.c::DOUBLE / t.tt)), 6) AS mean_log10p,
-        |  count(*)::BIGINT AS n_tokens
-        |FROM tok JOIN c USING (tok) CROSS JOIN t
-        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT pd.doc_id,
+        |  round(sum(pd.k::DOUBLE * log10(c.c::DOUBLE / t.tt)) / sum(pd.k::DOUBLE), 6)
+        |    AS mean_log10p,
+        |  sum(pd.k)::BIGINT AS n_tokens
+        |FROM pd JOIN c USING (tok) CROSS JOIN t
+        |GROUP BY pd.doc_id ORDER BY doc_id""".stripMargin,
 
     // same RE2-subset regexes as TextPipeline.redactPii, applied in the
     // same order; DuckDB regexp_replace needs the 'g' flag for

@@ -179,6 +179,16 @@ object RunQuery {
     case None => p.rule.getOrElse("method:dirichlet")
   }
 
+  /** true when a rule string carries a SmoothingAnnotatorWalker
+    * selector key (node:/field:/operator:) — such rules must go
+    * through the per-scorer matching list even when alone
+    */
+  private[graft] def hasSelector(ruleText: String): Boolean =
+    ruleText.split(",").iterator.map(_.trim).exists { part =>
+      val k = part.split(":", 2)(0).trim
+      k == "node" || k == "field" || k == "operator"
+    }
+
   // ------------------------------------------------------------------
   // environment assembly
   // ------------------------------------------------------------------
@@ -264,8 +274,14 @@ object RunQuery {
     require(!(p.baseline.isDefined && p.rules.nonEmpty),
       "Smoothing rules may not be specified when running a baseline.")
     val eng = new Engine(spark, idx, az, ScoringRule.parse(scoringSpec(p)))
-    // two or more <rule> entries → the selector-matching list
-    if (p.baseline.isEmpty && p.rules.size > 1) eng.setScoringRules(p.rules)
+    // the selector-matching list engages for two or more <rule> entries
+    // OR any single rule carrying a node:/field:/operator: selector —
+    // the reference SmoothingAnnotatorWalker matches selectors even
+    // with one rule (non-matching scorers keep the mu-2500 default);
+    // only a lone selector-free rule takes the global fast path
+    if (p.baseline.isEmpty &&
+        (p.rules.size > 1 || p.rules.exists(hasSelector)))
+      eng.setScoringRules(p.rules)
     if (p.singleBackgroundModel) eng.setSingleBackgroundModel(true)
     p.maxWildcardTerms.foreach(eng.setMaxWildcardTerms)
     eng

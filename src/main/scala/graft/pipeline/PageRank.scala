@@ -64,16 +64,47 @@ object PageRank {
     * bin), and ties order by (rounded score desc, id asc) (the
     * reference's std::sort on equal floats is unspecified).
     *
-    * The global row_number is a total order over scores — inherent to
-    * the binning (the reference sorts the whole corpus too). At
-    * 100 TB the same bins come from range-partitioned sort + partition
-    * row-count offsets; corpus-sized rank tables here are bounded by
-    * the PageRank output, which is one row per document.
+    * The binning needs a total order over scores (the reference sorts
+    * the whole corpus too), but NOT a single-reducer sort: the global
+    * row number comes from a range-partitioned sort plus per-partition
+    * row-count offsets — the same distributed zipWithIndex shape as
+    * `IndexBuilder.assignDocIdsScalable`. No single-partition Exchange
+    * anywhere in the plan (pinned by PlanAuditSpec).
     */
   def toIntRanks(scores: DataFrame, maxPr: Int = 10): DataFrame = {
+    val (out, cache) = toIntRanksPlan(scores, maxPr)
+    // eager checkpoint so the range-partitioned cache (whose sampled
+    // boundaries the offsets depend on) can release before returning
+    val res = out.localCheckpoint(true)
+    cache.unpersist(false)
+    res
+  }
+
+  /** The lazy plan behind [[toIntRanks]] plus the range-partitioned
+    * cache it pins (the offset pass and the numbering pass must see the
+    * SAME sampled partition boundaries). Exposed for plan audits.
+    */
+  private[graft] def toIntRanksPlan(scores: DataFrame,
+                                    maxPr: Int = 10): (DataFrame, DataFrame) = {
     val idCol = scores.columns(0)
     val prCol = scores.columns(1)
-    val n = scores.count()
+    val spark = scores.sparkSession
+    val nPart =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sortKeys = Seq(round(col(prCol), 6).desc, col(idCol).asc)
+    val ranged = scores.repartitionByRange(nPart, sortKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // one tiny collect: nPart rows → per-partition offsets AND the
+    // total N the bin boundaries need (no separate count pass)
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.valuesIterator.sum
+    val offsets = (0 until nPart).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    }.toArray
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val offUdf = udf { (pid: Int) => bcOff.value(pid) }
     val b0 = math.pow(n + 1.0, 1.0 / maxPr)
     var binSize = math.max(1L, (b0 - 1.0).toLong)
     val bounds = Seq.newBuilder[(Long, Int)] // (cumulative upper bound, rank)
@@ -86,13 +117,14 @@ object PageRank {
       r -= 1
     }
     val rn = row_number().over(org.apache.spark.sql.expressions.Window
-      .orderBy(round(col(prCol), 6).desc, col(idCol).asc))
+      .partitionBy("__pid").orderBy(sortKeys: _*))
+      .cast(LongType) + offUdf(col("__pid"))
     val bs = bounds.result()
     val rankCol =
       if (bs.isEmpty) lit(1)
       else bs.tail.foldLeft(when(rn <= bs.head._1, bs.head._2)) {
         case (acc, (up, rk)) => acc.when(rn <= up, rk)
       }.otherwise(1)
-    scores.select(col(idCol), col(prCol), rankCol.as("rank"))
+    (ranged.select(col(idCol), col(prCol), rankCol.as("rank")), ranged)
   }
 }

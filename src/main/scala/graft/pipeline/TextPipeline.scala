@@ -648,22 +648,32 @@ object TextPipeline {
     * CCNet-style perplexity filter: mean per-token log10 probability of
     * a document's tokens under the CORPUS unigram distribution. Very
     * low scores flag gibberish/OOV-heavy documents, very high ones flag
-    * boilerplate. One count pass + one scoring join keyed on term; the
-    * count table is vocabulary-sized (broadcastable for natural-language
+    * boilerplate. Shuffle-minimal shape: token occurrences pre-aggregate
+    * to per-(doc, tok) counts BEFORE anything crosses a shuffle (the
+    * groupBy's map-side partial combine collapses every repeat of a hot
+    * token inside its input partition), the corpus vocabulary derives
+    * from those counts without re-scanning the text, and the vocab join
+    * carries |doc × distinct-token| rows instead of every occurrence —
+    * the mean tf is the shuffle-shrink factor. The per-doc mean is then
+    * the count-weighted average, identical arithmetic. The count table
+    * is vocabulary-sized (broadcastable for natural-language
     * vocabularies, shuffle-joined for web-scale code vocabularies —
     * Catalyst/AQE picks by size).
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
-    val exploded = df.select(col(idCol), explode(toks).as("tok"))
-    val counts = exploded.groupBy("tok").agg(count(lit(1)).as("c"))
+    val perDoc = df.select(col(idCol), explode(toks).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("k"))
+    val counts = perDoc.groupBy("tok").agg(sum(col("k")).as("c"))
     val total = counts.agg(sum(col("c")).cast(DoubleType).as("tt"))
-    exploded
+    perDoc
       .join(counts, "tok")
       .crossJoin(broadcast(total))
       .groupBy(idCol)
-      .agg(round(avg(log10(col("c").cast(DoubleType) / col("tt"))), 6).as("mean_log10p"),
-        count(lit(1)).cast(LongType).as("n_tokens"))
+      .agg(round(
+        sum(col("k").cast(DoubleType) * log10(col("c").cast(DoubleType) / col("tt"))) /
+          sum(col("k").cast(DoubleType)), 6).as("mean_log10p"),
+        sum(col("k")).cast(LongType).as("n_tokens"))
   }
 
   /** PII redaction — the standard pretraining scrub: emails, IPv4

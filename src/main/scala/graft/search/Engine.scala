@@ -282,7 +282,12 @@ final class Engine(
       var node = "RawScorerNode"; var fld = "*"; var op = "*"
       val smoothing = new StringBuilder
       ruleText.split(",").iterator.map(_.trim).filter(_.nonEmpty).foreach { p =>
-        val Array(k, v) = p.split(":", 2)
+        val (k, v) = p.split(":", 2) match {
+          case Array(key, value) => (key, value)
+          case _ => throw new IllegalArgumentException(
+            s"malformed scoring-rule component '$p' in rule '$ruleText' " +
+              "(expected key:value)")
+        }
         k.trim match {
           case "node" => node = v.trim
           case "field" => fld = v.trim
@@ -3084,6 +3089,9 @@ final class Engine(
     * [begin, end), written `/f[i]/g[j]/…` where each index counts
     * same-type siblings under the same parent in document order;
     * results with no containing extent take the reference's empty path.
+    * Note whole-document [0,0) results are contained by any extent with
+    * begin 0, so they take that extent's path — matching findLeaf, which
+    * descends into any child whose begin ≤ 0 < end-or-equal bound.
     *
     * Input columns: docId, begin, end (extra columns pass through).
     */
@@ -3119,13 +3127,17 @@ final class Engine(
       d
     }
     val depthUdf = udf((f: String) => if (f == null) -1 else fieldDepth(f))
+    // deduplicate PER RESULT ROW: the window partitions on a unique row
+    // key, not (docId, begin, end) — two ranked results sharing an
+    // extent must both survive with their own path
+    val keyed = results.withColumn("__rid", monotonically_increasing_id())
     val dwin = org.apache.spark.sql.expressions.Window
-      .partitionBy("docId", "begin", "end")
+      .partitionBy("__rid")
       .orderBy(depthUdf(col("field")).desc, col("fb").asc,
         (col("fe") - col("fb")).asc, col("field").asc)
-    var chain = results
-      .join(ex, results("docId") === ex("docId") &&
-        ex("fb") <= results("begin") && results("end") <= ex("fe"), "left")
+    var chain = keyed
+      .join(ex, keyed("docId") === ex("docId") &&
+        ex("fb") <= keyed("begin") && keyed("end") <= ex("fe"), "left")
       .drop(ex("docId"))
       .withColumn("rk", row_number().over(dwin))
       .where(col("rk") === 1).drop("rk")

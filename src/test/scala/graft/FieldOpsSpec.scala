@@ -72,6 +72,12 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(DateParse.parseFieldDate("11-XYZ-2004") == 0L)
     assert(DateParse.parseFieldDate("1600-06-01") == 0L)
     assert(DateParse.parseFieldDate("garbage") == 0L)
+    // reference substr(6,2) tolerance: a 7-digit string parses with the
+    // single trailing char as the day ("2004011" → 1 Jan 2004); 6 chars
+    // yield an empty day → 0; below 6 the reference substr throws — we 0
+    assert(DateParse.parseFieldDate("2004011") == expect - 10L)
+    assert(DateParse.parseFieldDate("200401") == 0L)
+    assert(DateParse.parseFieldDate("20040") == 0L)
     // month-name prefix table incl. jan/jun/jul disambiguation
     assert(DateParse.parseMonth("June") == 6)
     assert(DateParse.parseMonth("jul") == 7)

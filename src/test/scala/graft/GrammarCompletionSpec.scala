@@ -185,6 +185,12 @@ class GrammarCompletionSpec extends AnyFunSuite {
     // a subsequent single-spec call clears the list (back-compat)
     eng.setScoringRules("method:dirichlet")
     assert(results(eng.runQuery("qax", 10)) == got3)
+    // malformed rule component (no colon) → a NAMED parse error,
+    // not a MatchError
+    val err = intercept[IllegalArgumentException] {
+      eng.setScoringRules(Seq("method:dirichlet,banana"))
+    }
+    assert(err.getMessage.contains("banana"))
   }
 
   // ------------------------------------------------------------------

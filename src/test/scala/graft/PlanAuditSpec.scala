@@ -166,4 +166,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected shuffle before aggregation:\n$plan")
   }
+
+  test("pagerank toIntRanks: no single-partition Exchange (range-partitioned global numbering)") {
+    import graft.pipeline.PageRank
+    // ties on the rounded score exercise the (score desc, id asc) order
+    val scores = (1L to 500L).map(i => (i, (i % 7).toDouble / 10.0))
+      .toDF("doc_id", "pr")
+    val (lazyRanks, cache) = PageRank.toIntRanksPlan(scores, maxPr = 10)
+    try {
+      lazyRanks.collect()
+      val plan = lazyRanks.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"global single-reducer sort in the ranks plan:\n$plan")
+      assert(plan.contains("Exchange rangepartitioning") ||
+        plan.contains("InMemoryTableScan"), // cached range partitioning
+        s"expected a range-partitioned numbering shape:\n$plan")
+      // parity with the specification form: one global row_number window
+      val rnWin = org.apache.spark.sql.expressions.Window
+        .orderBy(round(col("pr"), 6).desc, col("doc_id").asc)
+      val n = 500L
+      val b0 = math.pow(n + 1.0, 1.0 / 10)
+      var binSize = math.max(1L, (b0 - 1.0).toLong)
+      var cum = 0L
+      val bounds = Seq.newBuilder[(Long, Int)]
+      var r = 10
+      while (r >= 2) { cum += binSize; bounds += ((cum, r)); binSize = math.ceil(b0 * binSize).toLong; r -= 1 }
+      val bs = bounds.result()
+      val rn = row_number().over(rnWin)
+      val refRank = bs.tail.foldLeft(when(rn <= bs.head._1, bs.head._2)) {
+        case (acc, (up, rk)) => acc.when(rn <= up, rk)
+      }.otherwise(1)
+      val expected = scores.select(col("doc_id"), refRank.as("rank"))
+        .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+      val got = PageRank.toIntRanks(scores, maxPr = 10)
+        .collect().map(row => row.getLong(0) -> row.getInt(2)).toMap
+      assert(got == expected, "range-partitioned ranks diverge from the global-window specification")
+    } finally cache.unpersist()
+  }
 }

@@ -132,6 +132,30 @@ class RunQuerySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("Can't run baseline on this query"))
   }
 
+  test("a SINGLE rule with a selector engages the per-scorer matching list") {
+    // reference SmoothingAnnotatorWalker matches selectors even with one
+    // <rule>: 'operator:window,…' must smooth ONLY window scorers, while
+    // term scorers keep the walker's mu-2500 dirichlet default — a
+    // selector rule applied globally would shift every term score
+    val q = "#combine(#1(return license) class)"
+    val p = RunQuery.Params(indexPaths = Seq("x"),
+      rule = Some("operator:window,method:dirichlet,documentMu:3000"),
+      rules = Seq("operator:window,method:dirichlet,documentMu:3000"),
+      count = 10, queries = Seq(RunQuery.QuerySpec(None, q)))
+    val eng = RunQuery.environmentFor(spark, idx, p, graft.analysis.Analyzer())
+    val got = RunQuery.execute(eng, p).head._2.collect()
+    // the explicit selector-list engine is the specification
+    val ref = new graft.search.Engine(spark, idx, graft.analysis.Analyzer(),
+      graft.search.ScoringRule(method = "dirichlet"))
+    ref.setScoringRules(Seq("operator:window,method:dirichlet,documentMu:3000"))
+    val expect = ref.runQuery(q, 10).collect()
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+    // and a selector-FREE single rule still takes the global fast path
+    assert(!RunQuery.hasSelector("method:dirichlet,mu:2500"))
+    assert(RunQuery.hasSelector("operator:window,method:dirichlet,documentMu:3000"))
+    assert(RunQuery.hasSelector("field:head,method:jm,lambda:0.3"))
+  }
+
   test("baseline + fbDocs routes through the TFIDF expander") {
     // reference: IndriRunQuery.cpp:584-594 — baseline feedback swaps
     // RMExpander for TFIDFExpander with rule method:<baseline>
@@ -327,9 +351,17 @@ class RunQuerySpec extends AnyFunSuite {
       (1L, 2, 4, -2.0),  // inside lead but past kick
       (1L, 5, 7, -2.5),  // inside head only
       (1L, 12, 14, -3.0), // outside every field → empty path
-      (2L, 0, 1, -4.0))  // doc2: kick[0,2) again (3-token doc)
+      (2L, 0, 1, -4.0),  // doc2: kick[0,2) again (3-token doc)
+      (1L, 0, 2, -9.9))  // DUPLICATE extent at another rank — must survive
       .toDF("docId", "begin", "end", "score")
-    val paths = eng.pathNames(res).collect()
+    val pathRows = eng.pathNames(res).collect()
+    // per-result-row dedup: two ranked results sharing an extent both
+    // come back, each with its own path
+    assert(pathRows.length == res.count(),
+      "pathNames dropped a result row sharing an extent with another")
+    assert(pathRows.count(r => r.getLong(0) == 1L && r.getInt(1) == 0 &&
+      r.getString(4) == "/head[1]/lead[1]/kick[1]") == 2)
+    val paths = pathRows
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(4)).toMap
     assert(paths((1L, 0)) == "/head[1]/lead[1]/kick[1]")
     assert(paths((1L, 2)) == "/head[1]/lead[1]")
@@ -340,7 +372,8 @@ class RunQuerySpec extends AnyFunSuite {
     val p = RunQuery.Params(indexPaths = Seq("x"), runID = "graftrun",
       inex = true, inexDescription = "desc line")
     val lines = RunQuery.inexLines(eng, "T1",
-      res.where(col("docId") === 1L && col("begin") === 0), p,
+      res.where(col("docId") === 1L && col("begin") === 0 &&
+        col("score") === -1.5), p,
       fixedPrecision = Some(6)).collect()
     assert(lines.length == 1)
     assert(lines(0).getString(3) ==

@@ -1482,6 +1482,19 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "q_utf8_case" -> ((s, dir) => {
+      // UTF8 case-normalization chain (strip ./' + ASCII downcase + the
+      // reference's 893-pair codepoint table) vs golden vectors from the
+      // COMPILED reference transform (reference:
+      // src/UTF8CaseNormalizationTransformation.cpp; generator
+      // tools/gen_utf8_case_golden.py). Terms normalizing to empty
+      // ("...") come back NULL — matching csv null parsing on both sides.
+      val normUdf = udf { (w: String) => graft.analysis.Normalizer.normalize(w) }
+      goldenWords(s, "utf8_case_golden.tsv")
+        .select(col("word"), normUdf(col("word")).as("norm"))
+        .orderBy("word")
+    }),
+
     "q_working_set" -> ((s, dir) => {
       // runQuery against a working set: FilterNode semantics — score only
       // docs in the supplied docId set (reference:
@@ -3825,6 +3838,14 @@ object SparkEntry {
       s"""SELECT word, stem_ref AS stem
          |FROM read_csv('$GoldenDir/arabic_light10_golden.tsv', header=false, delim='\t',
          |              columns={'word': 'VARCHAR', 'stem_ref': 'VARCHAR'})
+         |ORDER BY word""".stripMargin,
+
+    "q_utf8_case" ->
+      // the golden norm column IS the oracle (reference transform output);
+      // empty norm fields ("..." strips to nothing) parse as NULL
+      s"""SELECT word, norm_ref AS norm
+         |FROM read_csv('$GoldenDir/utf8_case_golden.tsv', header=false, delim='\t',
+         |              columns={'word': 'VARCHAR', 'norm_ref': 'VARCHAR'})
          |ORDER BY word""".stripMargin,
 
     // okapi scores, restricted to the working set AFTER scoring

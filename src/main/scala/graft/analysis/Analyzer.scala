@@ -13,19 +13,23 @@ package graft.analysis
   */
 object Normalizer {
 
-  /** Remove '.' and '\'' then lowercase
-    * (reference: src/NormalizationTransformation.cpp:45-92 for ASCII,
-    * src/UTF8CaseNormalizationTransformation.cpp for the rest).
+  /** Remove '.' and '\'', ASCII-downcase, then map non-ASCII codepoints
+    * through the reference's 893-entry case table
+    * (reference: src/NormalizationTransformation.cpp:45-92 for the strip
+    * + ASCII downcase, src/UTF8CaseNormalizationTransformation.cpp for
+    * the table — chain order src/Repository.cpp:137-177).
     * Returns null when the token normalizes to empty.
     */
   def normalize(term: String): String = {
     if (term == null) return null
     var needs = false
+    var hasHigh = false
     var i = 0
     val n = term.length
-    while (i < n && !needs) {
+    while (i < n && !(needs && hasHigh)) {
       val c = term.charAt(i)
-      if ((c >= 'A' && c <= 'Z') || c == '.' || c == '\'' || c >= 0x80) needs = true
+      if ((c >= 'A' && c <= 'Z') || c == '.' || c == '\'') needs = true
+      if (c >= 0x80) { needs = true; hasHigh = true }
       i += 1
     }
     if (!needs) return if (n == 0) null else term
@@ -33,11 +37,63 @@ object Normalizer {
     i = 0
     while (i < n) {
       val c = term.charAt(i)
-      if (c != '.' && c != '\'') sb.append(c)
+      if (c != '.' && c != '\'') {
+        if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+        else sb.append(c)
+      }
       i += 1
     }
     if (sb.length == 0) return null
-    sb.toString.toLowerCase(java.util.Locale.ROOT)
+    if (!hasHigh) return sb.toString
+    Utf8Case.downcase(sb.toString)
+  }
+}
+
+/** The reference's UTF8 case-normalization table — applied per CODEPOINT
+  * to terms containing any non-ASCII character; codepoints absent from
+  * the table pass through UNCHANGED (reference:
+  * src/UTF8CaseNormalizationTransformation.cpp caseMap, 893 pairs).
+  *
+  * This deliberately diverges from Unicode toLowerCase where the
+  * reference does: capital dotted I (U+0130) → plain 'i' (no combining
+  * dot), capital sigma → medial σ ALWAYS (no contextual final ς),
+  * unmapped uppercase (U+1E9E ẞ, titlecase digraphs' lowercase forms,
+  * ligatures) stay as-is. Golden-pinned against the compiled reference
+  * transform by Utf8CaseSpec (tools/gen_utf8_case_golden.py).
+  */
+object Utf8Case {
+  private val table: java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer](2048)
+    val in = getClass.getResourceAsStream("/graft/utf8_case_map.tsv")
+    require(in != null, "missing resource graft/utf8_case_map.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().foreach { line =>
+      val t = line.indexOf('\t')
+      if (t > 0)
+        m.put(Integer.parseInt(line.substring(0, t), 16),
+              Integer.parseInt(line.substring(t + 1), 16))
+    } finally src.close()
+    m
+  }
+
+  /** downcase one codepoint through the table (identity when absent) */
+  def lower(cp: Int): Int = {
+    val v = table.get(cp)
+    if (v == null) cp else v.intValue()
+  }
+
+  /** per-codepoint table map (surrogate-aware — the table reaches the
+    * Deseret block above the BMP)
+    */
+  def downcase(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(lower(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
   }
 }
 

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -217,6 +217,53 @@ object SparkEntry {
            |  <memory>500M</memory>
            |</parameters>""".stripMargin)
       BuildIndex.run(s, bp, cfg)
+      repoTmp
+    })
+
+  /** a stored repository built with a `<corpus><metadata>` offset
+    * metadata file (reference: OffsetMetadataAnnotator). The file is a
+    * DETERMINISTIC fixture derived from doc_id (generation collects the
+    * id column — fixture construction, not an engine path) and pins the
+    * loader quirks: first-pair-wins duplicates, an existing-key (docno)
+    * collision, uppercase keys, and a blank line that terminates the
+    * parse halfway through the corpus.
+    */
+  private val offsetMetaRepoCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def offsetMetaRepo(s: SparkSession, dir: String): String =
+    offsetMetaRepoCache.computeIfAbsent(dir, _ => {
+      import graft.apps.BuildIndex
+      val corpusTmp = java.nio.file.Files.createTempDirectory("graft-om-c").toString
+      val repoTmp = java.nio.file.Files.createTempDirectory("graft-om-r").toString
+      documents(s, dir).select(
+        lit("r0").as("repo"),
+        format_string("%08d", col("doc_id")).as("path"),
+        lit("c0").as("commit"),
+        col("text").as("content"))
+        .write.mode("overwrite").parquet(corpusTmp)
+      val ids = documents(s, dir).select("doc_id").as[Long](Encoders.scalaLong)
+        .collect().sorted
+      val cutoff = ids.max / 2
+      def dn(id: Long) = f"r0/$id%08d@c0"
+      val sb = new StringBuilder
+      def emit(id: Long): Unit = {
+        sb ++= s"${dn(id)}\tLANG\t${if (id % 2 == 0) "en" else "tr"}\n"
+        if (id % 3 == 0) sb ++= s"${dn(id)}\torigURL\thttp://corpus.test/$id\n"
+        if (id % 9 == 0) sb ++= s"${dn(id)}\torigurl\thttp://dup.test/$id\n" // first wins
+        if (id % 5 == 0) sb ++= s"${dn(id)}\tdocno\tOVERRIDE\n" // existing key skips
+      }
+      ids.filter(_ <= cutoff).foreach(emit)
+      sb ++= "\n" // blank line: reference loader stops HERE
+      ids.filter(_ > cutoff).foreach(emit)
+      val omFile = java.nio.file.Files.createTempFile("graft-om", ".tsv")
+      java.nio.file.Files.write(omFile, sb.toString.getBytes("UTF-8"))
+      BuildIndex.run(s, BuildIndex.parseParams(
+        s"""<parameters>
+           |  <index>$repoTmp</index>
+           |  <corpus>
+           |    <path>$corpusTmp</path>
+           |    <metadata>$omFile</metadata>
+           |  </corpus>
+           |</parameters>""".stripMargin), cfg)
       repoTmp
     })
 
@@ -811,6 +858,27 @@ object SparkEntry {
         .select(col("query_number"), col("rank").cast(LongType).as("rk"),
           col("docId").as("doc_id"), col("line"))
         .orderBy(col("rk"))
+    }),
+
+    "q_offset_metadata" -> ((s, dir) => {
+      // offset METADATA injection end-to-end (reference:
+      // src/OffsetMetadataAnnotator.cpp via <corpus><metadata>): build
+      // with the fixture file, open the stored repo through RunQuery
+      // (metadata auto-attach), serve documentIDsFromMetadata + the
+      // wide metadata surface. Quirks pinned in the output: uppercase
+      // LANG key downcased, dup origurl first-wins, docno collision
+      // skipped, everything after the mid-corpus blank line ignored.
+      import graft.apps.{BuildIndex, RunQuery}
+      val repo = offsetMetaRepo(s, dir)
+      val rp = RunQuery.Params(indexPaths = Seq(repo))
+      val eng = RunQuery.openEnvironment(s, rp, cfg.analyzer)
+      val en = eng.documentIDsFromMetadata("lang", Seq("en"))
+        .withColumn("is_en", lit(1L))
+      s.read.parquet(BuildIndex.metadataDir(repo))
+        .join(en, Seq("docId"), "left")
+        .select(col("docno"), col("origurl"), col("lang"),
+          coalesce(col("is_en"), lit(0L)).as("is_en"))
+        .orderBy("docno")
     }),
 
     "q_makeprior" -> ((s, dir) => {
@@ -3030,6 +3098,23 @@ object SparkEntry {
         |  SELECT doc_id, 'tl', 2, 4, 0::BIGINT, 1, NULL::VARCHAR, 0 FROM e
         |)
         |SELECT * FROM rows_ ORDER BY doc_id, field""".stripMargin,
+
+    "q_offset_metadata" ->
+      // rebuild the fixture file's surviving pairs in SQL: lines for
+      // doc_id <= max/2 only (blank-line termination), origurl for
+      // doc_id%3==0 with the FIRST value winning over the %9 duplicate,
+      // LANG downcased, the docno-collision line skipped entirely
+      """WITH m AS (SELECT max(doc_id) // 2 AS cutoff FROM documents)
+        |SELECT 'r0/' || printf('%08d', doc_id) || '@c0' AS docno,
+        |  CASE WHEN doc_id <= m.cutoff AND doc_id % 3 = 0
+        |       THEN 'http://corpus.test/' || doc_id END AS origurl,
+        |  CASE WHEN doc_id <= m.cutoff
+        |       THEN CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'tr' END
+        |  END AS lang,
+        |  (CASE WHEN doc_id <= m.cutoff AND doc_id % 2 = 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS is_en
+        |FROM documents CROSS JOIN m
+        |ORDER BY docno""".stripMargin,
 
     "q_makeprior" ->
       // prior docs = doc_id%3==0 (the installed table); candidates =

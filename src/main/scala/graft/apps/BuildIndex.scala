@@ -48,6 +48,9 @@ object BuildIndex {
       memoryBytes: Long = 1024L * 1024 * 1024,
       fields: Seq[FieldSpec] = Nil,
       metadataFields: Seq[String] = Nil, // docno NOT included; always written
+      // <corpus><metadata> offset metadata files (docno\tkey\tvalue),
+      // reference: IndriBuildIndex.cpp:1091-1092 setOffsetMetadataPath
+      offsetMetadataFiles: Seq[String] = Nil,
       stemmerName: String = "none",
       normalize: Boolean = true,
       stopwords: Set[String] = Set.empty)
@@ -72,6 +75,7 @@ object BuildIndex {
       }
       p
     }
+    val offsetMeta = corpora.flatMap(_.getOpt("metadata")).filter(_.nonEmpty)
     val repo = t.get("index", "")
     require(repo.nonEmpty, "required parameter <index> is missing")
     // reference: metadata names are downcased, docno auto-added
@@ -86,6 +90,7 @@ object BuildIndex {
       memoryBytes = parseMemory(t.get("memory", "1G")),
       fields = t.all("field").map(fieldSpec),
       metadataFields = meta,
+      offsetMetadataFiles = offsetMeta,
       stemmerName = stemmerFor(t.get("stemmer.name", "none")),
       normalize = t.getBool("normalize", default = true),
       stopwords = t.list("stopper.word").toSet)
@@ -182,11 +187,18 @@ object BuildIndex {
     val idx = IndexBuilder.build(docs.select(col("docId"), col("content")), cfg)
     SegmentStore.writeAll(idx, p.repoPath, cfg)
     writeChain(p.repoPath, cfg)
-    docs.select(
+    val metaBase = docs.select(
       col("docId") +:
         docno(col("repo"), col("path"), col("commit")).as("docno") +:
         p.metadataFields.map(col): _*)
-      .write.mode("overwrite").parquet(metadataDir(p.repoPath))
+    // offset metadata injection (reference: OffsetMetadataAnnotator,
+    // wired per corpus — pairs from every <corpus><metadata> file union
+    // here since docnos embed the corpus identity)
+    val metaOut =
+      if (p.offsetMetadataFiles.isEmpty) metaBase
+      else OffsetMetadata.annotate(spark, metaBase,
+        p.offsetMetadataFiles.flatMap(OffsetMetadata.parseFile))
+    metaOut.write.mode("overwrite").parquet(metadataDir(p.repoPath))
     // the CompressedCollection analogue: the raw document text persists
     // beside the index so `dumpindex dt/dd` and snippet surfaces serve
     // from the repository like the reference collection (reference:

@@ -277,6 +277,304 @@ object Daat {
 
   private def statsPlan(t: String) = TermPlan(t, null, 0.0, 0.0)
 
+  // ---------------------------------------------------------------
+  // extent-restricted / passage kernel — round 5
+  // ---------------------------------------------------------------
+
+  /** Plan for extent-restricted retrieval (`#combine[f]`, `#weight[f]`,
+    * `#combine[passageW:I]`, … over flat plain-term bags — the
+    * runExtentQuery shape). Arrays are in child (query) order and the
+    * per-extent arithmetic mirrors Engine.scoreExtentContexts' UDF
+    * bit-exactly: tf = greedy containment count inside [b, e),
+    * contextSize = e − b, children fold w·score in child order into
+    * their group, groups fold per `op`
+    * (reference: ExtentRestrictionNode/FixedPassageNode,
+    * src/InferenceNetworkBuilder.cpp:152-185; ListBeliefNode scores with
+    * the extent as context, src/ListBeliefNode.cpp:119-127).
+    *
+    * @param childTerm processed term per child; null = OOV/stopped
+    *                  (scores the background fill-in, never matches)
+    */
+  final case class ExtentPlan(
+      childTerm: Array[String],
+      fns: Array[TermScoreFunction],
+      wChild: Array[Double],
+      groupOf: Array[Int],
+      nGroups: Int,
+      op: String,
+      gw: Array[Double])
+
+  /** Extent-restricted top-k through the DAAT kernel: candidate docs =
+    * the union of the query terms' posting lists (the WeightedAnd
+    * union), every extent of a candidate is scored in-task from the
+    * segment blocks' decoded positions, and only bucket-local top-k
+    * extents reach the global merge — no per-position shuffle, no
+    * global extent sort.
+    *
+    *  - passages (`fieldExtents == null`): contexts are pure per-doc
+    *    arithmetic on doclen, so the scan keeps the bucketed
+    *    zero-Exchange path of [[topK]];
+    *  - field extents: the restriction field's (docId, begin, end) rows
+    *    co-locate with the query terms' segment blocks via ONE cogroup
+    *    on the docId-range bucket (extent rows map to buckets through a
+    *    broadcast of the blocks' [firstDoc, lastDoc] ranges — rows
+    *    outside every range belong to non-candidate docs and drop
+    *    before the shuffle). The RDD cogroup is the same
+    *    per-partition imperative kernel shape as mapPartitions, with
+    *    an explicit partition count AQE cannot re-plan.
+    *
+    * Pruning is deliberately exhaustive over candidates: the DataFrame
+    * path scores every extent of every candidate too (LM background
+    * scores make zero-match extents real results), and extent contexts
+    * invalidate the dl-monotone block bounds the WAND algebra needs.
+    */
+  def topKExtents(index: InvertedIndex, p: ExtentPlan,
+                  passage: Option[(Int, Int)],
+                  fieldExtents: DataFrame,
+                  k: Int, deleted: Set[Long] = Set.empty): DataFrame = {
+    val spark = index.segments.sparkSession
+    import spark.implicits._
+    val terms = p.childTerm.filter(_ != null).distinct.toSeq
+    def emptyResult: DataFrame =
+      Seq.empty[(Long, Int, Int, Double)].toDF("docId", "begin", "end", "score")
+    if (terms.isEmpty) return emptyResult
+    val bcPlan = spark.sparkContext.broadcast(p)
+    val bcDeleted = spark.sparkContext.broadcast(deleted)
+
+    val locals: DataFrame = passage match {
+      case Some((width, inc)) =>
+        val segs = querySegments(index, terms, withPositions = true)
+        segs.mapPartitions { rows =>
+          val byTerm = collectBlocks(rows, hasPositions = true)
+          extentLocal(bcPlan.value, byTerm, null, Some((width, inc)), k,
+            bcDeleted.value).iterator
+        }.toDF("docId", "begin", "end", "score")
+      case None =>
+        val base = Seq("term", "bucket", "firstDoc", "lastDoc", "numDocs",
+          "maxTf", "minDl", "docsDelta", "tfs", "dls", "positionsDelta")
+        val segs0 = index.segments
+          .where(col("term").isin(terms: _*))
+          .select(base.map(col): _*)
+        // candidate docId ranges per bucket from block metadata only —
+        // ≤ numBuckets rows; buckets are disjoint docId ranges by
+        // construction (IndexBuilder bucket = (docId−1)/span; federation
+        // rebases keep members' ranges disjoint)
+        val ranges = segs0.groupBy("bucket")
+          .agg(min("firstDoc").as("lo"), max("lastDoc").as("hi"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._2)
+        if (ranges.isEmpty) return emptyResult
+        val bcRanges = spark.sparkContext.broadcast(ranges)
+        val exRdd = fieldExtents
+          .select(col("docId").cast("long"), col("begin").cast("int"),
+            col("end").cast("int"))
+          .rdd.flatMap { r =>
+            val d = r.getLong(0)
+            val rs = bcRanges.value
+            // greatest j with lo(j) <= d
+            var lo = 0; var hi = rs.length - 1; var j = -1
+            while (lo <= hi) {
+              val m = (lo + hi) >>> 1
+              if (rs(m)._2 <= d) { j = m; lo = m + 1 } else hi = m - 1
+            }
+            if (j >= 0 && d <= rs(j)._3) Some((rs(j)._1, (d, r.getInt(1), r.getInt(2))))
+            else None // the doc matches no query term — not a candidate
+          }
+        val segRdd = segs0.rdd.map(r => (r.getInt(1), r))
+        val co = segRdd.cogroup(exRdd, math.max(1, ranges.length))
+        co.flatMap { case (_, (segRows, exs)) =>
+          val byTerm = collectBlocks(segRows.iterator, hasPositions = true)
+          val grouped = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+          exs.foreach { case (d, b, e) =>
+            var buf = grouped.get(d)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+              grouped.put(d, buf)
+            }
+            buf += ((b, e))
+          }
+          val exMap = new java.util.HashMap[Long, (Array[Int], Array[Int])](grouped.size)
+          grouped.forEach { (d, buf) =>
+            // mirror of the DataFrame path's sort_array(struct(begin,end))
+            val sorted = buf.sortBy(identity).toArray
+            exMap.put(d, (sorted.map(_._1), sorted.map(_._2)))
+          }
+          extentLocal(bcPlan.value, byTerm, exMap, None, k, bcDeleted.value)
+        }.toDF("docId", "begin", "end", "score")
+    }
+    locals.orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+      col("end").asc).limit(k)
+  }
+
+  /** One bucket task's extent scoring: union-merge the term cursors over
+    * docIds; per candidate, enumerate the doc's extents (field map or
+    * sliding-passage arithmetic over doclen) and offer each scored
+    * extent to the local heap. Passage begins replicate the DataFrame
+    * path's sequence(0, max(dl−1, 0), inc); ends clamp to dl.
+    */
+  private def extentLocal(p: ExtentPlan, byTerm: Map[String, TermBlocks],
+                          exMap: java.util.HashMap[Long, (Array[Int], Array[Int])],
+                          passage: Option[(Int, Int)],
+                          k: Int, deleted: Set[Long]): Seq[(Long, Int, Int, Double)] = {
+    val distinct = p.childTerm.filter(_ != null).distinct
+    val cursors = distinct.map(t =>
+      new Cursor(byTerm.getOrElse(t, TermBlocks.empty), statsPlan(t)))
+    val childrenOf: Array[Array[Int]] = distinct.map(t =>
+      p.childTerm.indices.filter(ci => t == p.childTerm(ci)).toArray)
+    val n = p.childTerm.length
+    val heap = new ExtentHeap(k)
+    val tfPos = new Array[Array[Int]](n)
+    val groupScore = new Array[Double](p.nGroups)
+    var done = cursors.isEmpty
+    while (!done) {
+      var d = Long.MaxValue
+      var i = 0
+      while (i < cursors.length) {
+        val c = cursors(i)
+        if (!c.exhausted && c.doc < d) d = c.doc
+        i += 1
+      }
+      if (d == Long.MaxValue) done = true
+      else {
+        if (!deleted.contains(d)) {
+          java.util.Arrays.fill(tfPos.asInstanceOf[Array[AnyRef]], null)
+          var dl = 1
+          i = 0
+          while (i < cursors.length) {
+            val c = cursors(i)
+            if (!c.exhausted && c.doc == d) {
+              dl = c.dl
+              val ps = c.positions
+              val cs = childrenOf(i)
+              var j = 0
+              while (j < cs.length) { tfPos(cs(j)) = ps; j += 1 }
+            }
+            i += 1
+          }
+          passage match {
+            case Some((width, inc)) =>
+              val last = math.max(dl - 1, 0)
+              var b = 0
+              var go = true
+              while (go) {
+                scoreExtent(p, tfPos, groupScore, d, b, math.min(b + width, dl), heap)
+                b += inc
+                if (b > last) go = false
+              }
+            case None =>
+              val ex = exMap.get(d)
+              if (ex != null) {
+                val (bs, es) = ex
+                var j = 0
+                while (j < bs.length) {
+                  scoreExtent(p, tfPos, groupScore, d, bs(j), es(j), heap)
+                  j += 1
+                }
+              }
+          }
+        }
+        i = 0
+        while (i < cursors.length) {
+          val c = cursors(i)
+          if (!c.exhausted && c.doc == d) c.next()
+          i += 1
+        }
+      }
+    }
+    heap.results
+  }
+
+  /** Score one extent [b, e) — the bit-exact mirror of the
+    * scoreExtentContexts UDF: greedy non-overlap containment count
+    * (len = 1 plain terms), 2-arg score at contextSize = e − b, children
+    * fold in child order, groups fold per op.
+    */
+  private def scoreExtent(p: ExtentPlan, tfPos: Array[Array[Int]],
+                          groupScore: Array[Double], d: Long, b: Int, e: Int,
+                          heap: ExtentHeap): Unit = {
+    val ctx = e - b
+    java.util.Arrays.fill(groupScore, 0.0)
+    var child = 0
+    while (child < p.fns.length) {
+      val ps = tfPos(child)
+      var tf = 0
+      if (ps != null) {
+        var lastEnd = 0
+        var j = 0
+        while (j < ps.length) {
+          val pp = ps(j)
+          if (pp >= b && pp + 1 <= e && pp >= lastEnd) { tf += 1; lastEnd = pp + 1 }
+          j += 1
+        }
+      }
+      val sc = p.fns(child).scoreOccurrence(tf.toDouble, ctx)
+      groupScore(p.groupOf(child)) += p.wChild(child) * sc
+      child += 1
+    }
+    val nG = p.nGroups
+    val acc = p.op match {
+      case "or" | "combine" if nG == 1 => groupScore(0)
+      case "or" =>
+        var notAny = 1.0; var g = 0
+        while (g < nG) { notAny *= (1.0 - math.exp(groupScore(g))); g += 1 }
+        math.log(1.0 - notAny)
+      case "max" =>
+        var m = Double.NegativeInfinity; var g = 0
+        while (g < nG) { if (groupScore(g) > m) m = groupScore(g); g += 1 }
+        m
+      case "wsum" =>
+        var s = 0.0; var g = 0
+        while (g < nG) { s += p.gw(g) * math.exp(groupScore(g)); g += 1 }
+        math.log(s)
+      case "not" => math.log1p(-math.exp(groupScore(0)))
+      case _ =>
+        if (nG == 1) groupScore(0)
+        else {
+          var s = 0.0; var g = 0
+          while (g < nG) { s += groupScore(g) / nG; g += 1 }
+          s
+        }
+    }
+    heap.offer(d, b, e, acc)
+  }
+
+  /** Bounded extent heap, worst-first; final order (score desc, docId
+    * asc, begin asc, end asc) matches the DataFrame path's sort.
+    */
+  final class ExtentHeap(k: Int) {
+    private val q = new java.util.PriorityQueue[(Long, Int, Int, Double)](
+      math.min(k, 1024) + 1,
+      (a: (Long, Int, Int, Double), b: (Long, Int, Int, Double)) => {
+        val c = java.lang.Double.compare(a._4, b._4)
+        if (c != 0) c
+        else {
+          val cd = java.lang.Long.compare(b._1, a._1)
+          if (cd != 0) cd
+          else {
+            val cb = Integer.compare(b._2, a._2)
+            if (cb != 0) cb else Integer.compare(b._3, a._3)
+          }
+        }
+      })
+    def offer(docId: Long, begin: Int, end: Int, score: Double): Unit = {
+      if (q.size < k) q.add((docId, begin, end, score))
+      else {
+        val w = q.peek()
+        val better = score > w._4 ||
+          (score == w._4 && (docId < w._1 ||
+            (docId == w._1 && (begin < w._2 ||
+              (begin == w._2 && end < w._3)))))
+        if (better) { q.poll(); q.add((docId, begin, end, score)) }
+      }
+    }
+    def results: Seq[(Long, Int, Int, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Double)]
+      val it = q.iterator()
+      while (it.hasNext) out += it.next()
+      out.sortBy { case (d, b, e, s) => (-s, d, b, e) }.toSeq
+    }
+  }
+
   /** Shared per-query segment scan: filter to the query's terms, select
     * the block columns (positions only when the plan needs them — the
     * flat path never ships position bytes), co-locate by bucket.

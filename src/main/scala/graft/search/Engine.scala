@@ -1722,7 +1722,7 @@ final class Engine(
     * the okapi/tfidf baseline rejects extent restrictions exactly like
     * the reference (src/QueryEnvironment.cpp:912-918).
     */
-  def runExtentQuery(query: String, k: Int): DataFrame = {
+  def runExtentQuery(query: String, k: Int, useDaat: Boolean = true): DataFrame = {
     val ast = QueryParser.parse(query)
     val er = ast match {
       case e: ExtentRestrictNode => e
@@ -1763,6 +1763,37 @@ final class Engine(
         case other => throw new IllegalArgumentException(
           s"extent restriction supports flat term bags, got $other")
       }
+    // per-field rule lists see the restriction field as the scorer
+    // context; FixedPassageNode contexts are not fields → "?"
+    val ctxF = if (er.passage.isEmpty) er.field else "?"
+    // round 5: the extent-enumerating DAAT kernel is the default plan —
+    // positions decode in-task from the segment blocks and only
+    // bucket-local top-k extents reach the merge. Falls back to the
+    // DataFrame path when the delete list outgrows the kernel bitmap.
+    if (useDaat && daatDeletedSet.isDefined) {
+      val prep = prepLeaves(childGroups.flatten.map(NexiParser.PlainTerm), ctxF)
+      val nChildren = prep.fns.length
+      val childTerm = new Array[String](nChildren)
+      prep.keyIdx.foreach { case (t, cis) => cis.foreach(ci => childTerm(ci) = t) }
+      val wChild: Array[Double] = weights match {
+        case Some(ws) => ws.toArray
+        case None => childGroups.flatMap(g => g.map(_ => 1.0 / g.length)).toArray
+      }
+      val groupOf: Array[Int] = childGroups.zipWithIndex
+        .flatMap { case (g, gi) => g.map(_ => gi) }.toArray
+      val nGroups = childGroups.length
+      val gw: Array[Double] = gweights
+        .map(_.toArray).getOrElse(Array.fill(nGroups)(1.0 / nGroups))
+      val plan = Daat.ExtentPlan(childTerm, prep.fns, wChild, groupOf, nGroups,
+        groupOp.getOrElse("combine"), gw)
+      val fxRows = er.passage match {
+        case Some(_) => null
+        case None => fieldExtents.where(col("field") === er.field)
+          .select("docId", "begin", "end")
+      }
+      return Daat.topKExtents(index, plan, er.passage, fxRows, k,
+        daatDeletedSet.get)
+    }
     val fx = er.passage match {
       case Some(_) => null
       case None =>
@@ -1772,9 +1803,7 @@ final class Engine(
     }
     scoreExtentContexts(childGroups.map(_.map(NexiParser.PlainTerm)), groupOp, fx,
       er.passage, k, weightsOverride = weights, groupWeights = gweights,
-      // per-field rule lists see the restriction field as the scorer
-      // context; FixedPassageNode contexts are not fields → "?"
-      ctxField = if (er.passage.isEmpty) er.field else "?")
+      ctxField = ctxF)
   }
 
   /** Score every extent (or sliding passage) of candidate documents as

@@ -336,4 +336,64 @@ class WandPropertySpec extends AnyFunSuite {
     assert(decodedPruned < decodedFull,
       s"pruning decoded $decodedPruned blocks, exhaustive $decodedFull — no skipping happened")
   }
+
+  // -----------------------------------------------------------------
+  // round 5: extent restriction / passages through the DAAT kernel
+  // -----------------------------------------------------------------
+
+  private lazy val fieldedIndex = IndexBuilder.build(docsDf,
+    IndexConfig(blockSize = 16, numBuckets = 8),
+    annotate = df => graft.index.FieldAnnotators.headField(7)(df))
+
+  private val extentQueries = Seq(
+    "#combine[head](return license)",
+    "#weight[head](0.7 return 0.3 license)",
+    "#or[head](return license)",
+    "#max[head](return license)",
+    "#sum[head](return license)",
+    "#wsum[head](2.0 return 1.0 license)",
+    "#not[head](return)",
+    "#combine[head](zzznotaword return)", // OOV child scores background
+    "#combine[passage8:4](return license)",
+    "#weight[passage8:4](0.6 val 0.4 import)")
+
+  private def runExtents(engine: Engine, q: String, k: Int,
+                         useDaat: Boolean): Seq[(Long, Int, Int, Double)] =
+    engine.runExtentQuery(q, k, useDaat = useDaat).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+
+  test("extent kernel: field + passage contexts == DataFrame path, all restricted ops and LM rules") {
+    for (method <- Seq("method:dirichlet", "method:jm,collectionLambda:0.4",
+                       "method:two,mu:2500,lambda:0.4")) {
+      val engine = new Engine(spark, fieldedIndex, Analyzer(), ScoringRule.parse(method))
+      for (q <- extentQueries; k <- Seq(10, 1000)) {
+        val kernel = runExtents(engine, q, k, useDaat = true)
+        val dfp = runExtents(engine, q, k, useDaat = false)
+        assert(kernel == dfp,
+          s"extent kernel != DataFrame for '$q' k=$k ($method)\n k=${kernel.take(5)}\n d=${dfp.take(5)}")
+      }
+    }
+  }
+
+  test("extent kernel: all-OOV bags return the empty result on both paths") {
+    val engine = new Engine(spark, fieldedIndex, Analyzer(), ScoringRule(method = "dirichlet"))
+    val q = "#combine[head](zzznotaword qqqalsonotaword)"
+    assert(runExtents(engine, q, 10, useDaat = true).isEmpty)
+    assert(runExtents(engine, q, 10, useDaat = false).isEmpty)
+  }
+
+  test("extent kernel honors the delete set (dirichlet)") {
+    val engine = new Engine(spark, fieldedIndex, Analyzer(), ScoringRule(method = "dirichlet"))
+    engine.deleteDocuments {
+      import spark.implicits._
+      (1L to 600L).filter(_ % 5 == 0).toDF("docId")
+    }
+    for (q <- Seq("#weight[head](0.7 return 0.3 license)",
+                  "#combine[passage8:4](return license)"); k <- Seq(10, 100)) {
+      val kernel = runExtents(engine, q, k, useDaat = true)
+      val dfp = runExtents(engine, q, k, useDaat = false)
+      assert(kernel == dfp, s"deleted-aware extent kernel != DataFrame for '$q' k=$k")
+      assert(kernel.forall(_._1 % 5 != 0), s"deleted doc leaked for '$q'")
+    }
+  }
 }

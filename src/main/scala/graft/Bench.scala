@@ -63,7 +63,8 @@ object Bench {
     * threads in one JVM would instead measure single-JVM GC contention.
     */
   private def clusterSession(executors: Int, coresPerExec: Int = 4,
-                             memMb: Int = 6144): SparkSession = {
+                             memMb: Int = 6144,
+                             shufflePartitions: Int = 0): SparkSession = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -82,7 +83,9 @@ object Bench {
       // 3× cores: keeps per-partition cache/shuffle buffers bounded and
       // gives the scheduler slack — coarse partitions leave agg buffers whose
       // columnar cache batches OOM a 12g executor
-      .config("spark.sql.shuffle.partitions", executors * coresPerExec * 6)
+      .config("spark.sql.shuffle.partitions",
+        if (shufflePartitions > 0) shufflePartitions
+        else executors * coresPerExec * 6)
       .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       // cache batches of wide array columns (token slots, positions)
       // blow past the executor heap at the default 10000 rows/batch
@@ -130,9 +133,22 @@ object Bench {
   private def engineBench(executors: Int, nDocs: Int,
                           coresPerExec: Int = 4): (Double, Double, Long) = {
     val cpus = executors * coresPerExec
-    val spark = clusterSession(executors, coresPerExec)
+    // scale-aware knobs (round 5, VERDICT r4 task 5): shuffle partition
+    // count and the salt bucket count track the input size so per-task
+    // shuffle/sort buffers stay flat as the corpus grows — with both
+    // FIXED, the r4 10× (2M-doc) run's partitions carried 10× the
+    // payload and spilled past the 4×6 GiB executor budget. ~20k docs
+    // per shuffle partition ≈ the 200k-doc working set that fits; the
+    // salt spread grows with the corpus so a hot term's single
+    // (term, bucket) reducer group stays bounded (~25k docs of
+    // positions) instead of growing linearly with corpus size.
+    val shufflePartitions = math.max(executors * coresPerExec * 6, nDocs / 20000)
+    val saltBuckets = math.max(8, math.min(256, nDocs / 25000))
+    val spark = clusterSession(executors, coresPerExec,
+      shufflePartitions = shufflePartitions)
     try {
-      val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024, numBuckets = 8)
+      val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024,
+        numBuckets = saltBuckets)
       // in-session warmup: executor JVMs are fresh per level — let them
       // register and JIT the tokenize/shuffle/encode paths untimed, or
       // the level with fewer rows-per-JVM pays proportionally more
@@ -438,6 +454,127 @@ object Bench {
         } finally sp.stop()
       }.getOrElse("")
 
+    // ---- optional: similarity family at scale ----
+    // SPARK_GRAFT_SIM_DOCS=N synthesizes N deterministic dim-64 unit-ish
+    // embeddings (plus N/1000 planted exact duplicates), builds the
+    // persisted LSH and IVF indexes ONCE, and times the
+    // build-once/query-many serving path (planted-query external search)
+    // with the rep-median protocol. The bucket/cell population
+    // histograms are the banding-bounds evidence: a query's candidate
+    // volume = Σ probed populations, so mean/p99/max populations bound
+    // the worst-case candidate set — the number that decides whether
+    // the shape survives 100 TB. SemDeDup + embedding near-dup run at
+    // N/10: their within-cell / within-bucket PAIR volume is the
+    // quadratic term the histograms bound (Σ|cell|² ≈ N²/ncells).
+    val simJson =
+      sys.env.get("SPARK_GRAFT_SIM_DOCS").map(_.toInt).filter(_ > 0).map { simDocs =>
+        val sp = session(cpus)
+        try {
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.DataFrame
+          import graft.pipeline.Similarity
+          val dim = 64
+          val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+          // deterministic pseudo-random vectors from xxhash64(key, j);
+          // ids n+1..n+planted duplicate ids 1..planted bit-exactly
+          def synth(n: Long, planted: Long): DataFrame = {
+            val keyed = sp.range(1L, n + planted + 1).toDF("vec_id")
+              .withColumn("k", when(col("vec_id") > n, col("vec_id") - n)
+                .otherwise(col("vec_id")))
+            keyed.withColumn("embedding",
+                transform(sequence(lit(0), lit(dim - 1)),
+                  j => ((xxhash64(col("k"), j) % 10000L) / lit(5000.0))
+                    .cast("float")))
+              .select("vec_id", "embedding")
+          }
+          def hist(counts0: DataFrame): String = {
+            val counts = counts0.withColumnRenamed("count", "pop")
+            val r = counts.agg(
+              count(lit(1)).as("n"), avg("pop").as("mean"),
+              expr("percentile(pop, array(0.5, 0.99))").as("pct"),
+              max("pop").as("max")).head()
+            val pct = r.getSeq[Double](2)
+            s"""{"groups":${r.getLong(0)},"mean":${r.getDouble(1)},""" +
+              s""""p50":${pct(0)},"p99":${pct(1)},"max":${r.getLong(3)}}"""
+          }
+          def timed(f: () => Long): (Double, Seq[Double], Long) = {
+            var rows = 0L
+            val ts = (1 to reps).map { _ =>
+              val t0 = System.nanoTime(); rows = f(); (System.nanoTime() - t0) / 1e9
+            }
+            (medianD(ts), ts, rows)
+          }
+          val planted = math.max(simDocs / 1000L, 10L)
+          val emb = synth(simDocs, planted).persist(ser)
+          emb.count()
+          val queries = emb.where(col("vec_id") > simDocs).persist(ser)
+          queries.count()
+
+          // LSH: rowsPerBand scales with log2(N) so bucket populations
+          // stay O(1) as the corpus grows — the banding-bounds knob
+          val rowsPerBand = math.max(6,
+            (math.log(simDocs / 8.0) / math.log(2)).ceil.toInt)
+          val tL = System.nanoTime()
+          val lsh = Similarity.buildLsh(emb, "vec_id", "embedding", dim,
+            bands = 8, rowsPerBand = rowsPerBand)
+          lsh.banded.count()
+          val lshBuildSec = (System.nanoTime() - tL) / 1e9
+          val lshHist = hist(lsh.banded.groupBy("band", "bucket").count())
+          val (lshMed, lshReps, _) = timed(() =>
+            Similarity.lshSearchFor(lsh, queries, "vec_id", "embedding", 10).count())
+          // planted recall@1: the twin (sim 1.0) must surface at rk=1
+          val lshHits = Similarity.lshSearchFor(lsh, queries, "vec_id", "embedding", 1)
+            .where(col("rk") === 1 && col("nid") === col("qid") - simDocs).count()
+
+          // IVF: cells ~N/2000 keep Lloyd's driver-side training flat
+          // (bounded sample) while the histogram shows cell balance
+          val ncells = math.max(16, (simDocs / 2000L).toInt)
+          val tI = System.nanoTime()
+          val ivf = Similarity.buildIvf(emb, "vec_id", "embedding", dim,
+            ncells = ncells, nProbe = 2, trainPerCell = 32)
+          ivf.assigned.count()
+          val ivfBuildSec = (System.nanoTime() - tI) / 1e9
+          val cellHist = hist(ivf.assigned.groupBy("cell").count())
+          val (ivfMed, ivfReps, _) = timed(() =>
+            Similarity.ivfSearchFor(ivf, queries, "vec_id", "embedding", 10).count())
+          val ivfHits = Similarity.ivfSearchFor(ivf, queries, "vec_id", "embedding", 1)
+            .where(col("rk") === 1 && col("nid") === col("qid") - simDocs).count()
+
+          // SemDeDup + near-dup pairs at N/10 — the within-cell pair
+          // volume Σ|cell|² ≈ N²/ncells is the quadratic term; planted
+          // exact duplicates are provably co-celled, so dups == planted
+          val nSem = math.max(simDocs / 10L, 1000L)
+          val semPlanted = math.max(nSem / 1000L, 10L)
+          val embS = synth(nSem, semPlanted).persist(ser)
+          embS.count()
+          val ivfS = Similarity.buildIvf(embS, "vec_id", "embedding", dim,
+            ncells = math.max(16, (nSem / 200L).toInt), nProbe = 1,
+            trainPerCell = 32)
+          ivfS.assigned.count()
+          val (semMed, semReps, semDups) = timed(() =>
+            Similarity.semanticDedup(ivfS, 0.9).where(col("is_dup") === 1).count())
+          val rpbS = math.max(6, (math.log(nSem / 8.0) / math.log(2)).ceil.toInt)
+          val (ndMed, ndReps, ndPairs) = timed(() =>
+            Similarity.embeddingNearDups(embS, "vec_id", "embedding", dim,
+              threshold = 0.9, bands = 8, rowsPerBand = rpbS).count())
+
+          emb.unpersist(); queries.unpersist(); embS.unpersist()
+          lsh.unpersist(); ivf.unpersist(); ivfS.unpersist()
+          s""","similarity_scale":{"docs":$simDocs,"dim":$dim,"planted":$planted,
+             |"lsh":{"bands":8,"rows_per_band":$rowsPerBand,"build_sec":$lshBuildSec,
+             |"bucket_hist":$lshHist,"search_sec":$lshMed,"search_reps":${lshReps.mkString("[", ",", "]")},
+             |"planted_recall_at1":${lshHits.toDouble / planted}},
+             |"ivf":{"ncells":$ncells,"nprobe":2,"build_sec":$ivfBuildSec,
+             |"cell_hist":$cellHist,"search_sec":$ivfMed,"search_reps":${ivfReps.mkString("[", ",", "]")},
+             |"planted_recall_at1":${ivfHits.toDouble / planted}},
+             |"semdedup":{"docs":$nSem,"planted":$semPlanted,"dups_found":$semDups,
+             |"sec":$semMed,"reps":${semReps.mkString("[", ",", "]")}},
+             |"emb_neardup":{"docs":$nSem,"pairs":$ndPairs,
+             |"sec":$ndMed,"reps":${ndReps.mkString("[", ",", "]")}}}"""
+            .stripMargin.replace("\n", "")
+        } finally sp.stop()
+      }.getOrElse("")
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qr = results.map { case (k, _, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
@@ -447,7 +584,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_reps":$qr,"sf":"$sfDir",""" +
       s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
       s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
-      scalingJson + coresScalingJson + skewJson + pipelineJson + "}"
+      scalingJson + coresScalingJson + skewJson + pipelineJson + simJson + "}"
     // full detail (per-query medians + every rep) goes to a FILE — at
     // 134 queries × R reps the line is ~10 KB, larger than the driver's
     // stdout tail window, which is why rounds 1-4 recorded parsed:null

@@ -382,9 +382,10 @@ object Similarity {
     * plus its `nProbe` nearest probe cells in ONE distributed pass.
     */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-               ncells: Int = 16, nProbe: Int = 2, iters: Int = 5): IvfIndex = {
+               ncells: Int = 16, nProbe: Int = 2, iters: Int = 5,
+               trainPerCell: Int = 256): IvfIndex = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = ivfCentroids(df, idCol, vecCol, dim, ncells, iters)
+    val cents = ivfCentroids(df, idCol, vecCol, dim, ncells, iters, trainPerCell)
     val assigned = ivfAssignCells(base, cents, nProbe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     IvfIndex(cents, assigned)

@@ -575,6 +575,62 @@ object Bench {
         } finally sp.stop()
       }.getOrElse("")
 
+    // ---- optional: extent/passage kernel at scale ----
+    // SPARK_GRAFT_EXTENT_DOCS=N builds an N-doc positional index once
+    // and times #combine[passageW:I] retrieval through the DAAT extent
+    // kernel (Daat.topKExtents, the r5 default — cursor-union
+    // candidates, in-task position decode, bucket-local heaps) against
+    // the DataFrame per-passage-explode path it replaced. Sliding
+    // passages are the heaviest extent workload: every W/I window of
+    // every candidate doc is a scoring context, so the explode path's
+    // row volume grows with corpus size × doclen/I while the kernel
+    // never materializes a passage row outside its bucket-local heap.
+    val extentJson =
+      sys.env.get("SPARK_GRAFT_EXTENT_DOCS").map(_.toInt).filter(_ > 0).map { eDocs =>
+        val sp = session(cpus)
+        try {
+          val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024,
+            numBuckets = math.max(8, math.min(256, eDocs / 25000)))
+          val corpus = CorpusSynthesizer.corpus(sp, eDocs)
+          val shm = java.nio.file.Paths.get("/dev/shm")
+          val outDir = (if (java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.createTempDirectory(shm, "bench-extent")
+          else java.nio.file.Files.createTempDirectory("bench-extent")).toString
+          val idx = IndexBuilder.buildFromCorpus(corpus, cfg)
+          SegmentStore.writeAll(idx, outDir, cfg)
+          idx.postings.unpersist(); idx.segments.unpersist()
+          val stored = SegmentStore.open(sp, outDir)
+          val idxQ = graft.index.InvertedIndex(null,
+            stored.dictionary.coalesce(4).cache(),
+            stored.doclens, stored.stats, stored.segments.cache(),
+            numBuckets = stored.numBuckets, segmentsBucketed = true)
+          idxQ.dictionary.count(); idxQ.segments.count()
+          val eng = new Engine(sp, idxQ, cfg.analyzer,
+            ScoringRule(method = "dirichlet"))
+          val pq = Seq(
+            "#combine[passage50:25](return license)",
+            "#combine[passage10:5](query parse)",
+            "#weight[passage25:10](2 merge 1 sort 1 scan)")
+          def run(useDaat: Boolean): Long =
+            pq.map(q => eng.runExtentQuery(q, 1000, useDaat = useDaat).count()).sum
+          run(useDaat = true); run(useDaat = false) // untimed JIT warmup
+          def timed(useDaat: Boolean): (Double, Seq[Double]) = {
+            val ts = (1 to reps).map { _ =>
+              val t0 = System.nanoTime(); run(useDaat)
+              (System.nanoTime() - t0) / 1e9
+            }
+            (medianD(ts), ts)
+          }
+          val (kMed, kReps) = timed(useDaat = true)
+          val (dMed, dReps) = timed(useDaat = false)
+          rmTree(outDir)
+          s""","extent_scale":{"docs":$eDocs,"queries":${pq.size},"k":1000,
+             |"kernel_sec":$kMed,"kernel_reps":${kReps.mkString("[", ",", "]")},
+             |"dataframe_sec":$dMed,"dataframe_reps":${dReps.mkString("[", ",", "]")},
+             |"kernel_speedup":${dMed / kMed}}""".stripMargin.replace("\n", "")
+        } finally sp.stop()
+      }.getOrElse("")
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qr = results.map { case (k, _, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
@@ -584,7 +640,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_reps":$qr,"sf":"$sfDir",""" +
       s""""build":{"docs":$nDocs,"postings":$postings,"docs_per_sec":$bHi},""" +
       s""""query_batch":{"queries":${benchQueries.size},"k":1000,"qps":$qHi}""" +
-      scalingJson + coresScalingJson + skewJson + pipelineJson + simJson + "}"
+      scalingJson + coresScalingJson + skewJson + pipelineJson + simJson +
+      extentJson + "}"
     // full detail (per-query medians + every rep) goes to a FILE — at
     // 134 queries × R reps the line is ~10 KB, larger than the driver's
     // stdout tail window, which is why rounds 1-4 recorded parsed:null

@@ -96,15 +96,19 @@ object OffsetMetadata {
       .agg(min_by(col("value"), col("ix")).as("value"))
     val wide = firsts.groupBy("__omj_key")
       .pivot("key", keys).agg(first(col("value")))
+    // file-supplied key names are arbitrary strings (the reference only
+    // ASCII-downcases them) — backtick-quote every col() reference so a
+    // key like "og.url" is a column name, not a nested-field access
+    def qcol(name: String) = col("`" + name.replace("`", "``") + "`")
     val w = broadcast(wide.select(
-      col("__omj_key") +: keys.map(k => col(k).as(s"__om_$k")): _*))
+      col("__omj_key") +: keys.map(k => qcol(k).as(s"__om_$k")): _*))
     val joined = metadata.join(w,
       metadata("docno") === w("__omj_key"), "left")
     val existing = metadata.columns.toSet
     val merged = keys.foldLeft(joined) { (df, k) =>
-      val offv = col(s"__om_$k")
+      val offv = qcol(s"__om_$k")
       if (existing.contains(k)) // per-doc skip: fill only missing values
-        df.withColumn(k, coalesce(col(k), offv))
+        df.withColumn(k, coalesce(qcol(k), offv))
       else df.withColumn(k, offv)
     }
     merged.drop("__omj_key" +: keys.map(k => s"__om_$k"): _*)

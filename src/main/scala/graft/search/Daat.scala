@@ -337,7 +337,7 @@ object Daat {
     val terms = p.childTerm.filter(_ != null).distinct.toSeq
     def emptyResult: DataFrame =
       Seq.empty[(Long, Int, Int, Double)].toDF("docId", "begin", "end", "score")
-    if (terms.isEmpty) return emptyResult
+    if (terms.isEmpty || k <= 0) return emptyResult
     val bcPlan = spark.sparkContext.broadcast(p)
     val bcDeleted = spark.sparkContext.broadcast(deleted)
 
@@ -557,6 +557,7 @@ object Daat {
         }
       })
     def offer(docId: Long, begin: Int, end: Int, score: Double): Unit = {
+      if (k <= 0) return // zero-capacity heap: peek() below would NPE
       if (q.size < k) q.add((docId, begin, end, score))
       else {
         val w = q.peek()

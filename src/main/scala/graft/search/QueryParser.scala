@@ -455,8 +455,12 @@ object QueryParser {
             s"extent restriction not allowed on #$base (indrilang.g belief ops only)")
           val child = opBody(base, num)
           if (spec.startsWith("passage")) {
-            // passageW:I (reference: FixedPassageNode)
+            // passageW:I (reference: FixedPassageNode); a zero or
+            // negative increment would never advance the sliding
+            // window — fail fast instead of hanging the scoring task
             val Array(w, inc) = spec.stripPrefix("passage").split(":", 2)
+            require(w.toInt > 0 && inc.toInt > 0,
+              s"passage width/increment must be positive: [$spec]")
             ExtentRestrictNode("", Some((w.toInt, inc.toInt)), child)
           } else ExtentRestrictNode(spec, None, child)
         case Op(name, num) =>

@@ -58,6 +58,20 @@ class OffsetMetadataSpec extends AnyFunSuite {
     assert(out.length == 3)
   }
 
+  test("annotate: keys with Column-syntax characters are plain names") {
+    // the reference accepts arbitrary key strings (only ASCII-downcased)
+    // — a dotted key must become a column NAMED "og.url", not a
+    // nested-field access that fails analysis
+    val meta = Seq((1L, "d1", "s")).toDF("docId", "docno", "src")
+    val pairs = Seq(
+      ("d1", "og.url", "u1"),
+      ("d1", "a`b", "v2"))
+    val out = OffsetMetadata.annotate(spark, meta, pairs)
+    assert(out.columns.toSeq == Seq("docId", "docno", "src", "og.url", "a`b"))
+    val r = out.collect().head
+    assert(r.getString(3) == "u1" && r.getString(4) == "v2")
+  }
+
   test("build with <corpus><metadata> serves documentIDsFromMetadata") {
     val corpusDir = java.nio.file.Files.createTempDirectory("om-c").toString
     val repoDir = java.nio.file.Files.createTempDirectory("om-r").toString

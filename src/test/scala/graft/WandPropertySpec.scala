@@ -382,6 +382,22 @@ class WandPropertySpec extends AnyFunSuite {
     assert(runExtents(engine, q, 10, useDaat = false).isEmpty)
   }
 
+  test("extent kernel guards: k=0 empty on both paths, non-positive passage increment rejected") {
+    val engine = new Engine(spark, fieldedIndex, Analyzer(), ScoringRule(method = "dirichlet"))
+    // k=0: the DataFrame path limits to nothing; the kernel's
+    // zero-capacity heap must not NPE on its first offer
+    assert(runExtents(engine, "#combine[head](return)", 0, useDaat = true).isEmpty)
+    assert(runExtents(engine, "#combine[passage8:4](return)", 0, useDaat = true).isEmpty)
+    // increment 0 never advances the sliding window — the kernel would
+    // loop forever where the old explode path's sequence() errored;
+    // both now fail fast at parse
+    for (bad <- Seq("#combine[passage10:0](return)",
+                    "#combine[passage10:-2](return)",
+                    "#combine[passage0:5](return)")) {
+      intercept[IllegalArgumentException](engine.runExtentQuery(bad, 10))
+    }
+  }
+
   test("extent kernel honors the delete set (dirichlet)") {
     val engine = new Engine(spark, fieldedIndex, Analyzer(), ScoringRule(method = "dirichlet"))
     engine.deleteDocuments {

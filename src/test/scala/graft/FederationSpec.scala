@@ -134,6 +134,21 @@ class FederationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Federation.combine(Seq(h1, h2.copy(fieldExtents = null)))
     }
+    // extent restriction / passages through the DAAT kernel (the r5
+    // default) — the kernel's candidate ranges come from the REBASED
+    // firstDoc/lastDoc block metadata, so a missed patch would silently
+    // drop every member-2 extent; pin both paths vs the whole build
+    for (q <- Seq("#combine[sec](alpha beta)",
+                  "#weight[par](0.7 beta 0.3 gamma)",
+                  "#combine[passage4:2](alpha delta)");
+         daat <- Seq(true, false)) {
+      val want = w.runExtentQuery(q, 50, useDaat = daat).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+      val got = f.runExtentQuery(q, 50, useDaat = daat).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+      assert(got == want, s"federated extent mismatch for '$q' daat=$daat")
+      assert(got.nonEmpty, s"empty federated extent result for '$q' daat=$daat")
+    }
   }
 
   test("explicit documentBases: overlap is rejected, disjoint bases remap results") {

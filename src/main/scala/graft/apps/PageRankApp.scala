@@ -157,7 +157,9 @@ object PageRankApp {
   /** convert mode: bin an external score-sorted (doc, score) text file
     * (convertPriors, pagerank.cpp:84-131). numDocs sets B — the
     * reference bins against the COLLECTION size, not the file's row
-    * count.
+    * count. The global position comes from the same range-partitioned
+    * row-number shape as `PageRank.toIntRanks` (a prior file is
+    * corpus-sized — no single-reducer sort).
     */
   def convert(spark: SparkSession, p: Params): Unit = {
     val in = spark.read.text(p.input)
@@ -165,26 +167,16 @@ object PageRankApp {
       .where(size(col("f")) >= 2)
       .select(element_at(col("f"), 1).as("doc"),
         element_at(col("f"), 2).cast("double").as("val"))
-    val b0 = math.pow(p.numDocs + 1.0, 1.0 / 10)
-    var binSize = math.max(1L, (b0 - 1.0).toLong)
-    val bounds = Seq.newBuilder[(Long, Int)]
-    var cum = 0L
-    var r = 10
-    while (r >= 2) {
-      cum += binSize; bounds += ((cum, r))
-      binSize = math.ceil(b0 * binSize).toLong; r -= 1
-    }
-    val rn = row_number().over(org.apache.spark.sql.expressions.Window
-      .orderBy(col("val").desc, col("doc").asc))
-    val bs = bounds.result()
-    val rankCol = bs.tail.foldLeft(when(rn <= bs.head._1, bs.head._2)) {
-      case (acc, (up, rk)) => acc.when(rn <= up, rk)
-    }.otherwise(1)
+    val (numbered, ranged, _) =
+      PageRank.globalRowNumber(in, Seq(col("val").desc, col("doc").asc))
+    val rankCol =
+      PageRank.rankFromBounds(col("__rn"), PageRank.binBounds(p.numDocs, 10))
     val prob = udf((r: Int) => PageRank.IntToProb(r))
-    in.select(col("doc"), col("val"), prob(rankCol).as("lp"))
+    numbered.select(col("doc"), col("val"), prob(rankCol).as("lp"))
       .repartition(1).sortWithinPartitions(col("val").desc, col("doc").asc)
       .select(concat_ws(" ", col("doc"), col("lp").cast("string")).as("value"))
       .write.mode("overwrite").text(p.output)
+    ranged.unpersist(false)
   }
 
   def main(args: Array[String]): Unit = {

@@ -88,11 +88,25 @@ object PageRank {
                                     maxPr: Int = 10): (DataFrame, DataFrame) = {
     val idCol = scores.columns(0)
     val prCol = scores.columns(1)
-    val spark = scores.sparkSession
+    val sortKeys = Seq(round(col(prCol), 6).desc, col(idCol).asc)
+    val (numbered, ranged, n) = globalRowNumber(scores, sortKeys)
+    val rankCol = rankFromBounds(col("__rn"), binBounds(n, maxPr))
+    (numbered.select(col(idCol), col(prCol), rankCol.as("rank")), ranged)
+  }
+
+  /** Distributed global row number (1-based) of `df` under a total order
+    * `sortKeys` — range-partitioned sort + per-partition row-count
+    * offsets, the same zipWithIndex shape as
+    * `IndexBuilder.assignDocIdsScalable`. No single-partition Exchange.
+    * Returns (df + `__pid`/`__rn` columns, the pinned range-partitioned
+    * cache — unpersist once consumed, observed row count).
+    */
+  private[graft] def globalRowNumber(df: DataFrame, sortKeys: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, DataFrame, Long) = {
+    val spark = df.sparkSession
     val nPart =
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sortKeys = Seq(round(col(prCol), 6).desc, col(idCol).asc)
-    val ranged = scores.repartitionByRange(nPart, sortKeys: _*)
+    val ranged = df.repartitionByRange(nPart, sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // one tiny collect: nPart rows → per-partition offsets AND the
@@ -105,9 +119,21 @@ object PageRank {
     }.toArray
     val bcOff = spark.sparkContext.broadcast(offsets)
     val offUdf = udf { (pid: Int) => bcOff.value(pid) }
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortKeys: _*))
+      .cast(LongType) + offUdf(col("__pid"))
+    (ranged.withColumn("__rn", rn), ranged, n)
+  }
+
+  /** (cumulative upper bound, rank) pairs of the _raw2int geometric
+    * bins for a collection of `n` docs: B = (n+1)^(1/maxPr), top
+    * int(B−1) docs rank maxPr, next ceil(B·prev) rank maxPr−1, …;
+    * rank 1 absorbs the tail (no bound).
+    */
+  private[graft] def binBounds(n: Double, maxPr: Int): Seq[(Long, Int)] = {
     val b0 = math.pow(n + 1.0, 1.0 / maxPr)
     var binSize = math.max(1L, (b0 - 1.0).toLong)
-    val bounds = Seq.newBuilder[(Long, Int)] // (cumulative upper bound, rank)
+    val bounds = Seq.newBuilder[(Long, Int)]
     var cum = 0L
     var r = maxPr
     while (r >= 2) {
@@ -116,15 +142,14 @@ object PageRank {
       binSize = math.ceil(b0 * binSize).toLong
       r -= 1
     }
-    val rn = row_number().over(org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(sortKeys: _*))
-      .cast(LongType) + offUdf(col("__pid"))
-    val bs = bounds.result()
-    val rankCol =
-      if (bs.isEmpty) lit(1)
-      else bs.tail.foldLeft(when(rn <= bs.head._1, bs.head._2)) {
-        case (acc, (up, rk)) => acc.when(rn <= up, rk)
-      }.otherwise(1)
-    (ranged.select(col(idCol), col(prCol), rankCol.as("rank")), ranged)
+    bounds.result()
   }
+
+  /** Fold a global row number into its integer rank via [[binBounds]]. */
+  private[graft] def rankFromBounds(rn: org.apache.spark.sql.Column,
+                                    bs: Seq[(Long, Int)]): org.apache.spark.sql.Column =
+    if (bs.isEmpty) lit(1)
+    else bs.tail.foldLeft(when(rn <= bs.head._1, bs.head._2)) {
+      case (acc, (up, rk)) => acc.when(rn <= up, rk)
+    }.otherwise(1)
 }

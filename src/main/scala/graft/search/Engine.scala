@@ -3175,8 +3175,12 @@ final class Engine(
           .otherwise(concat(lit("/"), col("field"), lit("["),
             col("sibIx"), lit("]"))))
     // climb parent links, prepending one segment per round (field trees
-    // are shallow — bounded by the annotator config)
-    var remaining = chain.where(col("parentField").isNotNull).count()
+    // are shallow — bounded by the annotator config). The round count is
+    // the tree depth, already known driver-side from parentOf — no
+    // per-round count() job (each one would recompute the uncached
+    // join chain from scratch)
+    var remaining =
+      if (parentOf.isEmpty) 0L else parentOf.keysIterator.map(fieldDepth).max.toLong
     var guard = 0
     while (remaining > 0 && guard < 16) {
       val par = ex.select(col("docId").as("p_docId"), col("field").as("p_field"),
@@ -3196,7 +3200,7 @@ final class Engine(
         .withColumn("field", col("p_field"))
         .drop("p_docId", "p_field", "p_ordinal", "p_parentField",
           "p_parentOrdinal", "p_sibIx")
-      remaining = chain.where(col("parentField").isNotNull).count()
+      remaining -= 1
       guard += 1
     }
     val keep = results.columns :+ "path"

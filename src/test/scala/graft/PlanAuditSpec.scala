@@ -203,4 +203,28 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(got == expected, "range-partitioned ranks diverge from the global-window specification")
     } finally cache.unpersist()
   }
+
+  test("pagerank convert mode numbering: no single-partition Exchange") {
+    import graft.pipeline.PageRank
+    // convert's key shape: raw (unrounded) score desc, STRING doc asc —
+    // an external prior file is corpus-sized, same scale posture needed
+    val in = (1 to 300).map(i => (f"doc$i%03d", (i % 11).toDouble / 11.0))
+      .toDF("doc", "val")
+    val (numbered, cache, n) =
+      PageRank.globalRowNumber(in, Seq(col("val").desc, col("doc").asc))
+    try {
+      val rows = numbered.select("doc", "__rn").collect()
+      assert(n == 300L && rows.length == 300)
+      val plan = numbered.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"global single-reducer sort in the convert numbering plan:\n$plan")
+      // the distributed row number IS the global sort position
+      val expected = in.collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy { case (d, v) => (-v, d) }
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1L) }.toMap
+      assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expected,
+        "distributed numbering diverges from the global sort position")
+    } finally cache.unpersist()
+  }
 }

@@ -127,10 +127,12 @@ object PageRankApp {
 
   /** run + write the requested files; returns (docno, id, pr, rank,
     * logprob) for callers/tests. Output files are written DISTRIBUTED
-    * (single sorted text part under `<output><suffix>/`) — the prior
-    * file of a web-scale corpus is corpus-sized, it must never collect;
-    * MakePrior.readInput and spark.read.text consume the directory
-    * exactly like the reference's flat file.
+    * (range-partitioned sorted text parts under `<output><suffix>/`;
+    * part files in name order = the reference's sorted flat file) — the
+    * prior file of a web-scale corpus is corpus-sized, it must never
+    * collect or funnel through one reducer; MakePrior.readInput and
+    * spark.read.text consume the directory exactly like the
+    * reference's flat file.
     */
   def run(spark: SparkSession, p: Params): DataFrame = {
     val scores = computeScores(spark, p)
@@ -140,8 +142,12 @@ object PageRankApp {
       .select(col("docno"), col("id"), col("pr"), col("rank"),
         prob(col("rank")).as("logprob"))
       .cache()
+    // globally-sorted DISTRIBUTED write: range partitions are assigned
+    // ascending partition ids, so the part files concatenated in name
+    // order ARE the reference's sorted flat file — no single reducer
+    // funnels a corpus-sized prior file
     def write(suffix: String, line: org.apache.spark.sql.Column): Unit =
-      full.repartition(1)
+      full.repartitionByRange(round(col("pr"), 6).desc, col("id").asc)
         .sortWithinPartitions(round(col("pr"), 6).desc, col("id").asc)
         .select(line.cast("string").as("value"))
         .write.mode("overwrite").text(p.output + suffix)
@@ -172,8 +178,11 @@ object PageRankApp {
     val rankCol =
       PageRank.rankFromBounds(col("__rn"), PageRank.binBounds(p.numDocs, 10))
     val prob = udf((r: Int) => PageRank.IntToProb(r))
+    // `numbered` is already range-partitioned on the sort keys (that is
+    // how the global row number was built), so a within-partition sort
+    // yields globally-ordered part files — distributed, no repartition(1)
     numbered.select(col("doc"), col("val"), prob(rankCol).as("lp"))
-      .repartition(1).sortWithinPartitions(col("val").desc, col("doc").asc)
+      .sortWithinPartitions(col("val").desc, col("doc").asc)
       .select(concat_ws(" ", col("doc"), col("lp").cast("string")).as("value"))
       .write.mode("overwrite").text(p.output)
     ranged.unpersist(false)

@@ -90,7 +90,11 @@ object MakePrior {
       .groupBy("docno").agg(min(col("docId")).as("docId"),
         first(col("logPrior")).as("logPrior"))
       .select(col("docId"), col("logPrior"))
-    resolved.coalesce(1).write.mode("overwrite")
+    // distributed write, range-clustered by docId: a pagerank prior is
+    // one row per corpus document, so a coalesce(1) here would funnel
+    // the whole resolve join through one task; range clustering gives
+    // each parquet file a tight docId min/max for scan pruning
+    resolved.repartitionByRange(col("docId")).write.mode("overwrite")
       .parquet(priorDir(indexPath, name))
   }
 

@@ -139,6 +139,25 @@ class PageRankAppSpec extends AnyFunSuite {
     priorRows.foreach { case (dn, lp) =>
       assert(math.abs(lp - expProb(dn)) < 1e-12, dn)
     }
+    // the distributed write claim: part files concatenated in NAME order
+    // are the reference's globally sorted flat file
+    val prByDoc = full.select(col("docno"), round(col("pr"), 6))
+      .as[(String, Double)].collect().toMap
+    val partLines = java.nio.file.Files.list(
+        java.nio.file.Paths.get(prOut + ".raw")).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val lines = scala.jdk.CollectionConverters.IteratorHasAsScala(partLines)
+      .asScala.filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .flatMap(p => scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala)
+    assert(lines.size == n)
+    val keys = lines.map { l =>
+      val doc = l.split(" ")(0)
+      (-prByDoc(doc), doc.toLong)
+    }
+    assert(keys == keys.sorted,
+      "part files in name order do not form the global (pr desc, id asc) sort")
   }
 
   test("convert mode bins an external score file with numDocs semantics") {

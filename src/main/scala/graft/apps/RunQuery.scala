@@ -507,8 +507,11 @@ object RunQuery {
     * topic header with the hardwired ieee collection, :468-474 the
     * per-result file/path/rsv block). The `path` is the deepest field
     * extent containing the result extent (QueryEnvironment::pathNames);
-    * whole-document results (begin = end = 0) take the empty path like
-    * the reference's findLeaf miss. Returns (rank, docId, block) rows.
+    * whole-document results get begin = end = 0, which any extent
+    * starting at 0 contains — so they take that extent's path exactly
+    * like the reference's findLeaf descent (only documents with no
+    * position-0 extent get the empty path). Returns (rank, docId,
+    * block) rows.
     */
   def inexLines(engine: Engine, number: String, results: DataFrame,
                 p: Params, fixedPrecision: Option[Int] = None): DataFrame = {

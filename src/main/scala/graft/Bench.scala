@@ -146,6 +146,7 @@ object Bench {
     val saltBuckets = math.max(8, math.min(256, nDocs / 25000))
     val spark = clusterSession(executors, coresPerExec,
       shufflePartitions = shufflePartitions)
+    var cleanupDir: String = null // tmpfs index dir — removed on ANY exit
     try {
       val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024,
         numBuckets = saltBuckets)
@@ -173,6 +174,7 @@ object Bench {
       val outDir = (if (java.nio.file.Files.isWritable(shm))
         java.nio.file.Files.createTempDirectory(shm, s"bench-idx-$cpus")
       else java.nio.file.Files.createTempDirectory(s"bench-idx-$cpus")).toString
+      cleanupDir = outDir
       val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
       def lap(tag: String, t: Long): Long = {
         val now = System.nanoTime()
@@ -222,9 +224,13 @@ object Bench {
       futures.foreach(_.get())
       pool.shutdown()
       val querySec = (System.nanoTime() - tq) / 1e9
-      rmTree(outDir)
       (nDocs / buildSec, work.size / querySec, postings)
-    } finally spark.stop()
+    } finally {
+      spark.stop()
+      // a multi-GB /dev/shm index left behind by a failed rep would eat
+      // host RAM and skew every subsequent paired rep — always remove
+      if (cleanupDir != null) rmTree(cleanupDir)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -588,6 +594,7 @@ object Bench {
     val extentJson =
       sys.env.get("SPARK_GRAFT_EXTENT_DOCS").map(_.toInt).filter(_ > 0).map { eDocs =>
         val sp = session(cpus)
+        var cleanupDir: String = null
         try {
           val cfg = IndexConfig(analyzerMode = "indri", blockSize = 1024,
             numBuckets = math.max(8, math.min(256, eDocs / 25000)))
@@ -596,6 +603,7 @@ object Bench {
           val outDir = (if (java.nio.file.Files.isWritable(shm))
             java.nio.file.Files.createTempDirectory(shm, "bench-extent")
           else java.nio.file.Files.createTempDirectory("bench-extent")).toString
+          cleanupDir = outDir
           val idx = IndexBuilder.buildFromCorpus(corpus, cfg)
           SegmentStore.writeAll(idx, outDir, cfg)
           idx.postings.unpersist(); idx.segments.unpersist()
@@ -623,12 +631,15 @@ object Bench {
           }
           val (kMed, kReps) = timed(useDaat = true)
           val (dMed, dReps) = timed(useDaat = false)
-          rmTree(outDir)
           s""","extent_scale":{"docs":$eDocs,"queries":${pq.size},"k":1000,
              |"kernel_sec":$kMed,"kernel_reps":${kReps.mkString("[", ",", "]")},
              |"dataframe_sec":$dMed,"dataframe_reps":${dReps.mkString("[", ",", "]")},
              |"kernel_speedup":${dMed / kMed}}""".stripMargin.replace("\n", "")
-        } finally sp.stop()
+        } finally {
+          sp.stop()
+          // tmpfs index must not outlive a failed rep (RAM on the bench box)
+          if (cleanupDir != null) rmTree(cleanupDir)
+        }
       }.getOrElse("")
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -104,12 +104,22 @@ object OffsetMetadata {
       col("__omj_key") +: keys.map(k => qcol(k).as(s"__om_$k")): _*))
     val joined = metadata.join(w,
       metadata("docno") === w("__omj_key"), "left")
-    val existing = metadata.columns.toSet
+    // existing-key lookup must be CASE-INSENSITIVE: withColumn resolves
+    // case-insensitively under Spark's default resolver, so a file key
+    // "docid" would otherwise silently REPLACE the Long docId column
+    // with a mostly-null string column. Map each key to the existing
+    // column's real name (preserving its spelling) and cast the file
+    // value to its type so per-doc fill never widens the schema.
+    val existingByLower = metadata.columns
+      .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     val merged = keys.foldLeft(joined) { (df, k) =>
       val offv = qcol(s"__om_$k")
-      if (existing.contains(k)) // per-doc skip: fill only missing values
-        df.withColumn(k, coalesce(qcol(k), offv))
-      else df.withColumn(k, offv)
+      existingByLower.get(k.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(orig) => // per-doc skip: fill only missing values
+          df.withColumn(orig,
+            coalesce(qcol(orig), offv.cast(metadata.schema(orig).dataType)))
+        case None => df.withColumn(k, offv)
+      }
     }
     merged.drop("__omj_key" +: keys.map(k => s"__om_$k"): _*)
   }

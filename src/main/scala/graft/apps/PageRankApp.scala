@@ -178,10 +178,12 @@ object PageRankApp {
     val rankCol =
       PageRank.rankFromBounds(col("__rn"), PageRank.binBounds(p.numDocs, 10))
     val prob = udf((r: Int) => PageRank.IntToProb(r))
-    // `numbered` is already range-partitioned on the sort keys (that is
-    // how the global row number was built), so a within-partition sort
-    // yields globally-ordered part files — distributed, no repartition(1)
+    // the numbering window hash-shuffles on __pid (ENSURE_REQUIREMENTS),
+    // so `numbered` is NOT in range order anymore — re-range-partition
+    // on the sort keys like run()'s writers so part files concatenated
+    // in name order form the global sort; distributed, no repartition(1)
     numbered.select(col("doc"), col("val"), prob(rankCol).as("lp"))
+      .repartitionByRange(col("val").desc, col("doc").asc)
       .sortWithinPartitions(col("val").desc, col("doc").asc)
       .select(concat_ws(" ", col("doc"), col("lp").cast("string")).as("value"))
       .write.mode("overwrite").text(p.output)

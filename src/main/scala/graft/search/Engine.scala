@@ -2024,7 +2024,13 @@ final class Engine(
       .withColumn("scored", explode(scoreUdf(col("tp"), col("ex.begin"), col("ex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
-      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      // full tiebreak (score, docId, begin, END) — the DAAT extent
+      // kernel's heap orders on this 4-tuple; without `end`, two nested
+      // same-begin extents with equal scores could resolve differently
+      // at the k boundary between the kernel and DataFrame paths (the
+      // same 4-key order applies at every extent-result sort below)
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+        col("end").asc)
       .limit(k)
   }
 
@@ -2338,7 +2344,8 @@ final class Engine(
         col("relx"), col("ex.begin"), col("ex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
-      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+        col("end").asc)
       .limit(k)
   }
 
@@ -2418,7 +2425,8 @@ final class Engine(
         col("aex.begin"), col("aex.end"), col("sex.begin"), col("sex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
-      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+        col("end").asc)
       .limit(k)
   }
 
@@ -2558,7 +2566,8 @@ final class Engine(
         col("aex.begin"), col("aex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
-      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+        col("end").asc)
       .limit(k)
   }
 
@@ -2716,7 +2725,8 @@ final class Engine(
         col("aex.begin"), col("aex.end"), col("bex.begin"), col("bex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
-      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+        col("end").asc)
       .limit(k)
   }
 
@@ -2850,7 +2860,8 @@ final class Engine(
         col("aex.begin"), col("aex.end"), col("bex.begin"), col("bex.end"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
-      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+        col("end").asc)
       .limit(k)
   }
 
@@ -3059,7 +3070,8 @@ final class Engine(
       .withColumn("scored", explode(scoreUdf(col("tp"), col("doclen"), col("tree"))))
       .select(col("docId"), col("scored._1").as("begin"),
         col("scored._2").as("end"), col("scored._3").as("score"))
-      .orderBy(col("score").desc, col("docId").asc, col("begin").asc)
+      .orderBy(col("score").desc, col("docId").asc, col("begin").asc,
+        col("end").asc)
       .limit(k)
   }
 

@@ -58,6 +58,27 @@ class OffsetMetadataSpec extends AnyFunSuite {
     assert(out.length == 3)
   }
 
+  test("annotate: a key case-colliding with an existing column fills, never replaces") {
+    // withColumn resolves case-insensitively: a file key "docid" used to
+    // REPLACE the Long docId column with a mostly-null string column
+    val meta = Seq(
+      (1L, "d1", null.asInstanceOf[java.lang.Long]),
+      (2L, "d2", java.lang.Long.valueOf(9L)))
+      .toDF("docId", "docno", "pageRank")
+    val pairs = Seq(
+      ("d1", "docid", "42"),        // collides with docId — never null → skip
+      ("d1", "pagerank", "7"),      // d1's pageRank is NULL → filled, cast LONG
+      ("d2", "pagerank", "ignored"))// d2 already has one → skipped
+    val out = OffsetMetadata.annotate(spark, meta, pairs)
+    // schema keeps the ORIGINAL spelling and types — no new columns
+    assert(out.columns.toSeq == Seq("docId", "docno", "pageRank"))
+    assert(out.schema("docId").dataType.typeName == "long")
+    assert(out.schema("pageRank").dataType.typeName == "long")
+    val rows = out.orderBy("docId").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(7L, 9L))
+  }
+
   test("annotate: keys with Column-syntax characters are plain names") {
     // the reference accepts arbitrary key strings (only ASCII-downcased)
     // — a dotted key must become a column NAMED "og.url", not a

@@ -170,7 +170,29 @@ class PageRankAppSpec extends AnyFunSuite {
     val p = PageRankApp.Params(convert = true, input = in.toString,
       output = out, numDocs = n)
     PageRankApp.validate(p)
-    PageRankApp.convert(spark, p)
+    // keep AQE from coalescing the range shuffle to one partition so
+    // the multi-part global-order property below is actually exercised
+    // (AQE coalescing merges only ADJACENT partitions, so order is
+    // preserved when it IS on — this just de-vacuates the check)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try PageRankApp.convert(spark, p)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // part files in NAME order are the reference's sorted flat file
+    // (score desc, doc asc) — the numbering window hash-shuffles on
+    // __pid, so the writer must re-range-partition (regression pin)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val lines = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+      .asScala.filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .flatMap(f => scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f)).asScala)
+      .filter(_.nonEmpty)
+    assert(lines.size == n)
+    val fileDocs = lines.map(_.split(" ")(0))
+    // input scores descend with doc number, so name-order == doc order
+    assert(fileDocs == fileDocs.sorted,
+      "convert part files in name order do not form the global sort")
     val got = MakePrior.readInput(spark, out).as[(String, Double)].collect()
       .sortBy(_._1)
     assert(got.length == n)

@@ -4142,9 +4142,11 @@ object SparkEntry {
         |    list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh3
         |  FROM s
         |), banded AS (
-        |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+        |  -- docs below the shingle width (all-NULL signature) do not
+        |  -- band at all, mirroring minhashBands' mh0 IS NOT NULL filter
+        |  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig WHERE mh0 IS NOT NULL
         |  UNION ALL
-        |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig
+        |  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS bucket FROM sig WHERE mh0 IS NOT NULL
         |), bm AS (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS mn FROM banded
         |)

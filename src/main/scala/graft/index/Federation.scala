@@ -55,13 +55,18 @@ object Federation {
     * contribute nothing and inherit the running base.
     */
   def derivedBases(indexes: Seq[InvertedIndex]): Seq[Long] = {
-    var acc = 0L
+    var top = 0L // global max docId placed so far
+    var first = true
     indexes.map { ix =>
-      if (ix.stats.totalDocs == 0) acc
+      if (ix.stats.totalDocs == 0) { if (first) 0L else top } // no rows to rebase
       else {
         val r = ix.doclens.agg(min(col("docId")), max(col("docId"))).head()
-        val base = acc
-        acc = acc + r.getLong(1) + (if (r.getLong(0) >= 1L) 0L else 1L)
+        // the 0-based +1 adjustment keys on the member BEING PLACED (its
+        // own min), not the previous one — keying on the previous member
+        // would collide a 0-based member following a 1-based one
+        val base = if (first) 0L else top + (if (r.getLong(0) >= 1L) 0L else 1L)
+        first = false
+        top = base + r.getLong(1)
         base
       }
     }
@@ -89,9 +94,19 @@ object Federation {
     }
 
     val bases: Seq[Long] = bases0.getOrElse {
-      ranges.scanLeft(0L) { case (acc, (mn, mx)) =>
-        acc + mx + (if (mn >= 1L) 0L else 1L)
-      }.init
+      // tight packing: each member's base puts its local min just past
+      // the previous member's global max. The 0-based +1 adjustment
+      // keys on the member BEING PLACED — keyed on the previous member
+      // (the old scanLeft) a 0-based member following a 1-based one
+      // landed ON the previous max and the disjointness check threw.
+      var top = 0L
+      var first = true
+      ranges.map { case (mn, mx) =>
+        val base = if (first) 0L else top + (if (mn >= 1L) 0L else 1L)
+        first = false
+        top = base + mx
+        base
+      }
     }
     val globalRanges = ranges.zip(bases).map { case ((mn, mx), b) => (mn + b, mx + b) }
     globalRanges.sortBy(_._1).sliding(2).foreach {

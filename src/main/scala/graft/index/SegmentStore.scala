@@ -150,7 +150,42 @@ object SegmentStore {
     written
   }
 
+  /** Roll a crashed [[rewriteFields]] swap forward (or back): a crash
+    * between its two renames leaves NO `fields` table on the canonical
+    * path — the old data parked at `fields.old`, the complete new table
+    * at `fields.rewrite`. Without recovery open() would silently serve
+    * fieldExtents = null and every field-restricted query would degrade.
+    */
+  private def recoverFieldsSwap(dir: String): Unit = {
+    val fields = Paths.get(dir, "fields")
+    if (Files.exists(fields)) return
+    val rewrite = Paths.get(dir, "fields.rewrite")
+    val aside = Paths.get(dir, "fields.old")
+    if (Files.exists(rewrite) && Files.exists(rewrite.resolve("_SUCCESS"))) {
+      // the new table was fully written before the swap began — finish it
+      Files.move(rewrite, fields)
+      RepositorySurgery.rmTree(aside)
+    } else if (Files.exists(aside)) {
+      Files.move(aside, fields) // swap never reached the forward-safe point
+    }
+  }
+
   def open(spark: SparkSession, dir: String): StoredIndex = {
+    recoverFieldsSwap(dir)
+    // a writeAll that died mid-rewrite over an existing store leaves
+    // tables committed under DIFFERENT fingerprints (e.g. new segments
+    // beside the old dictionary/stats) — refuse the silently-inconsistent
+    // view; rerunning writeAll with the intended config completes the
+    // rewrite via the per-table resume. `fields` is excluded: a
+    // rewriteFields commit appends "+rewrite" to its fingerprint by design.
+    val coreFps = Seq("segments", "dictionary", "doclens", "stats", "manifest")
+      .map(t => t -> marker(dir, t)).filter(p => Files.exists(p._2))
+      .map { case (t, m) => t -> Files.readString(m).trim }
+    if (coreFps.map(_._2).distinct.size > 1)
+      throw new IllegalStateException(
+        s"store $dir is half-rewritten — table fingerprints disagree (" +
+          coreFps.map { case (t, f) => s"$t=$f" }.mkString(", ") +
+          "); rerun writeAll with the intended config to complete the rewrite")
     val stats = spark.read.parquet(s"$dir/stats").head()
     // stores written before the bucketed-table change have no _BUCKETS
     // file — open those as a plain (unbucketed) parquet read instead of
@@ -194,6 +229,7 @@ object SegmentStore {
   def rewriteFields(spark: SparkSession, dir: String,
                     remove: Seq[String] = Nil,
                     add: DataFrame = null): Unit = {
+    recoverFieldsSwap(dir) // finish any crashed previous swap first
     val fieldsPath = Paths.get(dir, "fields")
     val schema = "docId BIGINT, field STRING, begin INT, end INT, " +
       "number BIGINT, ordinal INT, parentField STRING, parentOrdinal INT"
@@ -229,18 +265,10 @@ object SegmentStore {
     // one is in place (a delete-then-move would lose the table if the
     // JVM dies between the two steps)
     val aside = Paths.get(s"$dir/fields.old")
-    if (Files.exists(aside)) {
-      Files.walk(aside)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
+    RepositorySurgery.rmTree(aside)
     if (Files.exists(fieldsPath)) Files.move(fieldsPath, aside)
     Files.move(Paths.get(tmp), fieldsPath)
-    if (Files.exists(aside)) {
-      Files.walk(aside)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
+    RepositorySurgery.rmTree(aside)
     commit(dir, "fields", s"$oldFp+rewrite")
   }
 }
@@ -330,8 +358,7 @@ object RepositorySurgery {
         .join(del.get, Seq("docId"), "left_anti")
         .write.parquet(tmp.resolve("collection").toString)
     }
-    val written = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
-      .map(_.getFileName.toString).toSet
+    val written = listEntries(tmp).map(_.getFileName.toString).toSet
     copyAux(dirPath, tmp, exclude = written + "deleted")
     Files.move(dirPath, old)
     Files.move(tmp, dirPath)
@@ -351,7 +378,7 @@ object RepositorySurgery {
                              only: Set[String] = null): Unit = {
     if (!Files.exists(from)) return
     Files.createDirectories(to)
-    Files.list(from).toArray.map(_.asInstanceOf[Path]).foreach { p =>
+    listEntries(from).foreach { p =>
       val name = p.getFileName.toString
       val wanted = if (only != null) only.contains(name) else !exclude.contains(name)
       if (wanted && !Files.exists(to.resolve(name))) copyTree(p, to.resolve(name))
@@ -361,14 +388,23 @@ object RepositorySurgery {
   private def copyTree(from: Path, to: Path): Unit = {
     if (Files.isDirectory(from)) {
       Files.createDirectories(to)
-      Files.list(from).toArray.map(_.asInstanceOf[Path])
-        .foreach(p => copyTree(p, to.resolve(p.getFileName.toString)))
+      listEntries(from).foreach(p => copyTree(p, to.resolve(p.getFileName.toString)))
     } else Files.copy(from, to)
   }
 
-  private def rmTree(p: Path): Unit =
+  /** Files.list with the directory stream closed (an un-closed stream
+    * holds its fd until GC — repeated surgery cycles would leak fds).
+    */
+  private def listEntries(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.toArray.map(_.asInstanceOf[Path]).toSeq finally s.close()
+  }
+
+  private[index] def rmTree(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.delete)
     }
 }

@@ -126,9 +126,15 @@ object TextPipeline {
   def minhashBands(sigs: DataFrame, idCol: String,
                    numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // docs shorter than the shingle width have an all-null signature —
+    // they carry no content evidence and must not band at all (concat_ws
+    // would collapse every such doc into one shared '' bucket, pairing
+    // unrelated short docs; a SQL equi-join on the NULL bucket pairs
+    // nothing, so the filter is also what keeps both engines agreeing)
+    val defined = sigs.where(col("mh0").isNotNull)
     (0 until bands).map { bnd =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      sigs.select(col(idCol).as("id"), lit(bnd).as("band"),
+      defined.select(col(idCol).as("id"), lit(bnd).as("band"),
         concat_ws("|", bandCols: _*).as("bucket"))
     }.reduce(_ union _)
   }

@@ -50,7 +50,14 @@ object IncrementalIndexer {
   private def writeMarker(dir: String, gen: String, fingerprint: String,
                           consumed: Seq[String] = Nil): Unit = {
     val body = (fingerprint +: consumed.map(g => s"consumed:$g")).mkString("\n")
-    Files.writeString(marker(dir, gen), body)
+    // the marker IS the commit point — stage + atomic rename so a crash
+    // mid-write can never commit a truncated consumed list (which would
+    // leave some sources visible ALONGSIDE the merge that absorbed them,
+    // double-counting their documents)
+    val m = marker(dir, gen)
+    val tmp = m.resolveSibling(m.getFileName.toString + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, m, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Write one micro-batch of (docId, content) rows as a generation.
@@ -118,6 +125,16 @@ object IncrementalIndexer {
   def open(spark: SparkSession, dir: String, cfg: IndexConfig): InvertedIndex = {
     val gens = completedGens(dir)
     require(gens.nonEmpty, s"no committed generations under $dir")
+    // every generation must have been built under THIS analyzer config —
+    // generations tokenized under different stemmers/stopwords would
+    // merge into one dictionary with silently wrong df/ctf
+    gens.foreach { g =>
+      val genFp = Files.readString(marker(dir, g)).linesIterator.next()
+      require(genFp == cfg.fingerprint,
+        s"generation $g was built with config fingerprint $genFp, " +
+          s"but open() got ${cfg.fingerprint} — reopen with the original " +
+          "config or rebuild")
+    }
     val postings = spark.read.parquet(gens.map(g => s"${genDir(dir, g)}/postings"): _*)
     val doclens = spark.read.parquet(gens.map(g => s"${genDir(dir, g)}/doclens"): _*)
     val dictionary = IndexBuilder.buildDictionary(postings)
@@ -137,6 +154,11 @@ object IncrementalIndexer {
     * generations deleted. A crash at ANY point leaves either the old view
     * (merge uncommitted) or the new view (sources hidden via the consumed
     * list, their directories mere garbage) — never both.
+    *
+    * Handles returned by [[open]] read generation files LAZILY — re-open
+    * after a compact; a handle opened before it references source files
+    * the GC below deletes (same contract as [[graft.index.SegmentStore]]'s
+    * `invalidate` after an in-place rewrite).
     */
   def compact(spark: SparkSession, dir: String, cfg: IndexConfig): Unit = {
     val gens = completedGens(dir)
@@ -161,12 +183,24 @@ object IncrementalIndexer {
         .filter(_.startsWith("consumed:")).map(_.stripPrefix("consumed:"))
     }).distinct.sorted
     writeMarker(dir, mergedGen, cfg.fingerprint, consumed = transitive)
-    // garbage-collect the consumed sources (already invisible)
-    gens.foreach { g =>
+    // garbage-collect EVERY consumed generation directory still on disk —
+    // this round's sources plus any orphan left by a crash between a
+    // previous merge's commit and its deletion loop (those stay hidden
+    // via the consumed list but their directories would leak forever)
+    val dead = consumedGens(dir)
+    val root = Paths.get(dir)
+    val listing = Files.list(root)
+    val present =
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(_.getFileName.toString).filter(_.startsWith("gen=")).toSeq
+      finally listing.close()
+    present.map(_.stripPrefix("gen=")).filter(dead).foreach { g =>
       val gd = Paths.get(genDir(dir, g))
       Files.deleteIfExists(marker(dir, g))
-      Files.walk(gd).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val walk = Files.walk(gd)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }

@@ -49,7 +49,15 @@ object StreamNearDedup {
                 state.update(r.docId)
                 ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
                 BucketClaim(r.docId, r.docId)
-              } else BucketClaim(r.docId, math.min(state.get, r.docId))
+              } else {
+                // an out-of-order SMALLER docId takes over keepership —
+                // without the state update, docIds between it and the
+                // stale larger claimant would emit min(stale, id) = id
+                // and escape detection entirely
+                val m = math.min(state.get, r.docId)
+                if (m < state.get) state.update(m)
+                BucketClaim(r.docId, m)
+              }
             }
           }
       }

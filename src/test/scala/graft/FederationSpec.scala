@@ -164,4 +164,27 @@ class FederationSpec extends AnyFunSuite {
     assert(ids.forall(id => id <= 50 || (id > 1000 && id <= 1050)))
     assert(ids.exists(_ <= 50) && ids.exists(_ > 1000))
   }
+
+  test("a 0-based member following a 1-based one rebases tightly, bit-exact vs the whole") {
+    val whole = IndexBuilder.build(docsDf, cfg)
+    val half1 = IndexBuilder.build(docsDf.where(col("docId") <= 200), cfg)
+    // member 2 carries 0-BASED local ids (docs 201..400 shifted to
+    // 0..199): its derived base must be half1's max + 1 = 201 so local 0
+    // lands just past 200. The old scanLeft keyed the 0-based +1 on the
+    // PREVIOUS member's min, landing this member ON 200 — a collision
+    // the disjointness require rejected for a documented-legal input.
+    val half2 = IndexBuilder.build(
+      docsDf.where(col("docId") > 200).withColumn("docId", col("docId") - 201), cfg)
+    assert(Federation.derivedBases(Seq(half1, half2)) == Seq(0L, 201L))
+    val fed = Federation.combine(Seq(half1, half2))
+    assert(fed.stats == whole.stats)
+    val w = new Engine(spark, whole, Analyzer(), ScoringRule(method = "okapi"))
+    val f = new Engine(spark, fed, Analyzer(), ScoringRule(method = "okapi"))
+    val want = w.runQuery("#combine(return license def)", 40).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = f.runQuery("#combine(return license def)", 40).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "0-based member federation != whole-corpus engine")
+    assert(got.exists(_._1 <= 200) && got.exists(_._1 > 200))
+  }
 }

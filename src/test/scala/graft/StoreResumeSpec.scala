@@ -64,4 +64,43 @@ class StoreResumeSpec extends AnyFunSuite {
     val totalPostings = manifest.agg(sum("postings")).head().getLong(0)
     assert(totalPostings == idx.postings.count())
   }
+
+  test("open() refuses a half-rewritten store (mixed table fingerprints)") {
+    val dir = java.nio.file.Files.createTempDirectory("segstore-mixed").toString
+    SegmentStore.writeAll(buildIdx(), dir, cfg)
+    // simulate a writeAll under a NEW config dying after rewriting only
+    // the segments table: its marker carries the new fingerprint while
+    // dictionary/doclens/stats still carry the old one — serving that
+    // view would score with stats that disagree with the postings
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "segments", "_GRAFT_SUCCESS"), "new-config-fp")
+    val e = intercept[IllegalStateException] { SegmentStore.open(spark, dir) }
+    assert(e.getMessage.contains("half-rewritten"))
+  }
+
+  test("a crashed rewriteFields swap rolls forward at open()") {
+    val dir = java.nio.file.Files.createTempDirectory("segstore-swap").toString
+    val fcfg = IndexConfig(analyzerMode = "indri", blockSize = 8, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par")))
+    val rows = (1L to 6L)
+      .map(i => (i, s"<sec>alpha w$i <par>beta gamma</par></sec>"))
+      .toDF("docId", "content")
+    SegmentStore.writeAll(IndexBuilder.build(rows, fcfg), dir, fcfg)
+    val fields = spark.read.parquet(s"$dir/fields")
+    val total = fields.count()
+    assert(total > 1)
+    // simulate the crash window between rewriteFields' two renames: the
+    // complete NEW table (one extent removed) sits at fields.rewrite,
+    // the old table is parked at fields.old, and the canonical path is
+    // EMPTY — before recovery, open() silently served fieldExtents=null
+    val keep = fields.orderBy("docId", "field", "begin").limit((total - 1).toInt)
+    keep.write.parquet(s"$dir/fields.rewrite")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "fields"), java.nio.file.Paths.get(dir, "fields.old"))
+    val stored = SegmentStore.open(spark, dir)
+    assert(stored.fieldExtents != null, "fields table lost after crashed swap")
+    assert(stored.fieldExtents.count() == total - 1) // the NEW table won
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "fields.old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "fields.rewrite")))
+  }
 }

@@ -151,6 +151,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rT.exists(r => r._1 == 2L || r._1 == 5L))
   }
 
+  test("open() rejects a generation stack built under a different analyzer config") {
+    val dir = Files.tmp("inc-fp")
+    IncrementalIndexer.appendBatch(
+      allDocs.slice(0, 2).toDF("docId", "content"), 0L, dir, cfg)
+    // same directory opened under a different tokenization — merging its
+    // dictionary with new generations would silently corrupt df/ctf
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndexer.open(spark, dir, cfg.copy(analyzerMode = "indri"))
+    }
+    assert(e.getMessage.contains("fingerprint"))
+  }
+
+  test("compact garbage-collects consumed generation dirs orphaned by a crashed GC") {
+    val dir = Files.tmp("inc-orphan")
+    val docs = allDocs.toDF("docId", "content")
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(1L, 2L)), 0L, dir, cfg)
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(3L)), 1L, dir, cfg)
+    IncrementalIndexer.compact(spark, dir, cfg) // merged-1 consumes 0,1
+    // crash simulation: gen=0's data resurfaces WITHOUT its marker (the
+    // GC died between the marker delete and the tree delete) — invisible
+    // to queries, but before the scrub it leaked on disk forever
+    val orphan = java.nio.file.Paths.get(s"$dir/gen=0/postings")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("stale.parquet"), "leak")
+    IncrementalIndexer.appendBatch(docs.where(col("docId").isin(4L)), 2L, dir, cfg)
+    IncrementalIndexer.compact(spark, dir, cfg) // scrub removes the orphan too
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/gen=0")))
+    assert(IncrementalIndexer.open(spark, dir, cfg).doclens.count() == 4)
+  }
+
   test("streaming exact-dedup (flatMapGroupsWithState) matches batch exactDedup") {
     import graft.pipeline.TextPipeline
     import graft.streaming.StreamDedup

@@ -17,6 +17,11 @@ import org.apache.spark.sql.types._
   * UDF): each accumulator (dot, |a|², |b|²) folds in index order in
   * DOUBLE precision; result = dot / (√na · √nb). Bit-identical to the
   * scalar loop, so oracle hash-matches are unaffected.
+  *
+  * Zero-norm guard: a zero vector has no direction, so its cosine with
+  * anything is defined as 0.0 — NEVER the raw 0/0 = NaN, which Spark
+  * orders ABOVE +Infinity: one all-zero embedding in a corpus would
+  * silently rank #1 for every query in every top-k window.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -38,7 +43,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,7 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = (double) $b.getFloat($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

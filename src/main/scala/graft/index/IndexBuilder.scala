@@ -176,24 +176,43 @@ object IndexBuilder {
   private[graft] def assignDocIdsScalableCached(
       corpus: DataFrame, keyCols: Seq[String],
       partitions: Int = 0): (DataFrame, DataFrame) = {
-    val keys = keyCols.map(col)
-    val n = if (partitions > 0) partitions
-            else corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = corpus.repartitionByRange(n, keys: _*)
+    val (numbered, ranged, _) = globalRowNumber(corpus, keyCols.map(col), partitions)
+    (numbered.withColumn("docId", col("__rn")).drop("__pid", "__rn"), ranged)
+  }
+
+  /** Distributed global row number (1-based) of `df` under a total order
+    * `sortKeys` — range-partition by the keys, count rows per partition
+    * (one tiny collect, which also yields N), then number within
+    * partitions and add the partition offset: the DataFrame zipWithIndex.
+    * No single-partition Exchange anywhere in the plan. The ONE home of
+    * this shape — docId assignment and the pagerank rank binning both
+    * route through it, so a fix to the sampled-boundary pinning
+    * invariant lands everywhere at once.
+    * Returns (df + `__pid`/`__rn` columns, the pinned range-partitioned
+    * cache — unpersist once the numbering is consumed downstream (the
+    * offset pass and the numbering pass must see the SAME sampled
+    * partition boundaries), observed row count).
+    */
+  private[graft] def globalRowNumber(df: DataFrame, sortKeys: Seq[Column],
+                                     partitions: Int = 0)
+      : (DataFrame, DataFrame, Long) = {
+    val spark = df.sparkSession
+    val nPart = if (partitions > 0) partitions
+                else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val counts = ranged.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
+    val n = counts.valuesIterator.sum
+    val offsets = (0 until nPart).scanLeft(0L) { (acc, p) =>
       acc + counts.getOrElse(p, 0L)
     }.toArray // offsets(p) = rows before partition p
-    val bcOff = corpus.sparkSession.sparkContext.broadcast(offsets)
+    val bcOff = spark.sparkContext.broadcast(offsets)
     val offUdf = udf { (pid: Int) => bcOff.value(pid) }
-    val w = Window.partitionBy("__pid").orderBy(keys: _*)
-    val numbered = ranged
-      .withColumn("docId", (row_number().over(w).cast(LongType) + offUdf(col("__pid"))))
-      .drop("__pid")
-    (numbered, ranged)
+    val rn = row_number().over(Window.partitionBy("__pid").orderBy(sortKeys: _*))
+      .cast(LongType) + offUdf(col("__pid"))
+    (ranged.withColumn("__rn", rn), ranged, n)
   }
 
   /** (docId, content) → (docId, slots) where slots has one entry per token

@@ -73,6 +73,9 @@ object Multimodal {
     * would emit one row per decoded keyframe with the same shape.
     */
   def frameSample(media: DataFrame, stride: Int): DataFrame = {
+    // fail at the driver, not per-row on executors (Range.by(0) throws;
+    // a negative stride silently yields zero frames for every row)
+    require(stride > 0, s"frameSample stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.select("id", "media").mapPartitions { rows =>
@@ -130,6 +133,10 @@ object Multimodal {
     var samples: Array[Short] = null
     while (off + 8 <= b.length) {
       val id = tag(off); val len = le32(off + 4)
+      // a negative (overflowing) le32 length is malformed: advancing by
+      // it would loop forever (len = -8 advances 0) or walk backwards —
+      // bail to the documented sentinel row instead
+      if (len < 0) return None
       if (id == "fmt " && off + 8 + 16 <= b.length) {
         val fmt = le16(off + 8)
         ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
@@ -140,7 +147,10 @@ object Multimodal {
         var i = 0
         while (i < n) { samples(i) = le16(off + 8 + i * 2).toShort; i += 1 }
       }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      // word-aligned chunk walk in LONG arithmetic: a large positive len
+      // ends the walk (truncated final chunk), never wraps `off` negative
+      val next = off.toLong + 8L + len.toLong + (len & 1)
+      off = if (next > b.length.toLong) b.length else next.toInt
     }
     if (rate < 0 || samples == null) None else Some((rate, ch, samples))
   }
@@ -212,9 +222,13 @@ object Multimodal {
     val bottomUp = hRaw > 0
     val h = math.abs(hRaw)
     if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return None
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length) return None
-    val px = new Array[Int](w * h)
+    // bounds in LONG arithmetic: an adversarial width (w·3 wrapping
+    // negative) must fail the check, not pass it and then crash/OOM on
+    // the pixel allocation below
+    val rowBytesL = ((w.toLong * 3L + 3L) / 4L) * 4L
+    if (dataOff < 0 || dataOff.toLong + rowBytesL * h.toLong > b.length.toLong) return None
+    val rowBytes = rowBytesL.toInt // ≤ b.length after the check
+    val px = new Array[Int](w * h) // w·h ≤ b.length/3 after the check
     var y = 0
     while (y < h) {
       val srcRow = if (bottomUp) h - 1 - y else y
@@ -309,7 +323,9 @@ object Multimodal {
     while (!done && off + 8 <= b.length) {
       val len = be32(off)
       val typ = new String(b, off + 4, 4, "US-ASCII")
-      if (len < 0 || off + 8 + len + 4 > b.length) return None
+      // LONG arithmetic: a len near 2^31 wraps the int sum negative and
+      // would pass the bound, then crash on the IDAT copy
+      if (len < 0 || off.toLong + 8L + len.toLong + 4L > b.length.toLong) return None
       typ match {
         case "IHDR" =>
           if (len < 13) return None
@@ -325,6 +341,13 @@ object Multimodal {
     }
     if (w <= 0 || h <= 0 || bitDepth != 8 || (colorType != 2 && colorType != 6)) return None
     val bpp = if (colorType == 2) 3 else 4
+    // header-claimed decoded size must be allocatable AND plausible:
+    // zlib expands at most ~1032:1, so a tiny IDAT claiming a multi-GB
+    // image is malformed (an unchecked w·h would wrap the array size
+    // negative or OOM the executor on a few-KB adversarial payload)
+    val needL = (w.toLong * bpp + 1L) * h.toLong
+    if (needL > Int.MaxValue.toLong - 8L ||
+        needL > idat.size().toLong * 1032L + 64L) return None
     val stride = w * bpp
     val raw = new Array[Byte]((stride + 1) * h)
     val inf = new java.util.zip.Inflater()

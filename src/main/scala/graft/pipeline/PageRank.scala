@@ -29,8 +29,13 @@ object PageRank {
     val eCached = e.persist()
     var pr = nodes.select(col(node).as("id"), lit(base).as("pr"))
     for (_ <- 1 to iterations) {
-      val contrib = eCached.join(pr, eCached("src") === pr("id"), "inner")
-        .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("w"))
+      // LEFT join: a source outside the node universe still contributes —
+      // the reference's _readPageRankFromFile returns the initial
+      // (1−c)/N for a doc absent from the pr file (PageRank.cpp:76-83),
+      // so its links carry base/outdeg every iteration
+      val contrib = eCached.join(pr, eCached("src") === pr("id"), "left")
+        .select(col("dst").as("id"),
+          (coalesce(col("pr"), lit(base)) / col("outdeg")).as("w"))
         .groupBy("id").agg(sum("w").as("acc"))
       pr = pr.select(col("id")).join(contrib, Seq("id"), "left")
         .select(col("id"), (lit(c) * coalesce(col("acc"), lit(0.0)) + base).as("pr"))
@@ -95,35 +100,15 @@ object PageRank {
   }
 
   /** Distributed global row number (1-based) of `df` under a total order
-    * `sortKeys` — range-partitioned sort + per-partition row-count
-    * offsets, the same zipWithIndex shape as
-    * `IndexBuilder.assignDocIdsScalable`. No single-partition Exchange.
-    * Returns (df + `__pid`/`__rn` columns, the pinned range-partitioned
-    * cache — unpersist once consumed, observed row count).
+    * `sortKeys` — delegates to the ONE shared zipWithIndex implementation
+    * ([[graft.index.IndexBuilder.globalRowNumber]], the same shape docId
+    * assignment uses). Returns (df + `__pid`/`__rn` columns, the pinned
+    * range-partitioned cache — unpersist once consumed, observed row
+    * count).
     */
   private[graft] def globalRowNumber(df: DataFrame, sortKeys: Seq[org.apache.spark.sql.Column])
-      : (DataFrame, DataFrame, Long) = {
-    val spark = df.sparkSession
-    val nPart =
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(nPart, sortKeys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // one tiny collect: nPart rows → per-partition offsets AND the
-    // total N the bin boundaries need (no separate count pass)
-    val counts = ranged.groupBy("__pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = counts.valuesIterator.sum
-    val offsets = (0 until nPart).scanLeft(0L) { (acc, p) =>
-      acc + counts.getOrElse(p, 0L)
-    }.toArray
-    val bcOff = spark.sparkContext.broadcast(offsets)
-    val offUdf = udf { (pid: Int) => bcOff.value(pid) }
-    val rn = row_number().over(org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(sortKeys: _*))
-      .cast(LongType) + offUdf(col("__pid"))
-    (ranged.withColumn("__rn", rn), ranged, n)
-  }
+      : (DataFrame, DataFrame, Long) =
+    graft.index.IndexBuilder.globalRowNumber(df, sortKeys)
 
   /** (cumulative upper bound, rank) pairs of the _raw2int geometric
     * bins for a collection of `n` docs: B = (n+1)^(1/maxPr), top

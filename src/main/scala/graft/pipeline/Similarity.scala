@@ -64,6 +64,15 @@ object Similarity {
     val pairs = c.crossJoin(broadcast(q)).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
+    topKBySim(pairs, k)
+  }
+
+  /** Shared ranking tail: top-k per qid over (qid, nid, sim) rows by
+    * (sim desc, nid asc) — ONE definition so the rounding/tie-break
+    * contract (oracle-critical: both engines must round and order
+    * identically) lives in one place.
+    */
+  private def topKBySim(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     pairs.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
@@ -102,19 +111,24 @@ object Similarity {
     */
   def int8BruteForceTopK(queries: DataFrame, candidates: DataFrame,
                          idCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col("qvec").as("qv"))
-    val c = candidates.select(col(idCol).as("nid"), col("qvec").as("cv"))
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x * y).cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)
-    val sim = dot(col("qv"), col("cv")) /
-      (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))
+    // norms are pair-invariant: project them ONCE per side before the
+    // cross join (the inlined form walked each vector 3× per PAIR).
+    // sqrt(qq)·sqrt(cc) is the same doubles in the same order, so sim
+    // stays bit-identical to the previous shape and the SQL oracle.
+    val q = queries.select(col(idCol).as("qid"), col("qvec").as("qv"),
+      sqrt(dot(col("qvec"), col("qvec"))).as("qn"))
+    val c = candidates.select(col(idCol).as("nid"), col("qvec").as("cv"),
+      sqrt(dot(col("qvec"), col("qvec"))).as("cn"))
+    // zero-quantized vectors (absmax 0) have no direction: cosine 0.0,
+    // never 0/0 = NaN (which Spark would rank above every real score)
+    val sim = when(col("qn") === 0.0 || col("cn") === 0.0, lit(0.0))
+      .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val pairs = c.crossJoin(broadcast(q)).where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), round(sim, 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    pairs.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("qid", "nid", "sim", "rk")
+    topKBySim(pairs, k)
   }
 
   /** deterministic hyperplanes: planes(band * rowsPerBand + r)(dim) */
@@ -195,10 +209,7 @@ object Similarity {
       .join(cBase.select(col("id").as("nid"), col("v").as("cv")), "nid")
       .select(col("qid"), col("nid"),
         round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    pairs.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("qid", "nid", "sim", "rk")
+    topKBySim(pairs, k)
   }
 
   /** A built LSH index: the persisted banded projection (band, bucket,
@@ -404,10 +415,7 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    pairs.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("qid", "nid", "sim", "rk")
+    topKBySim(pairs, k)
   }
 
   /** Search a built IVF index with an EXTERNAL query set (the serving
@@ -430,10 +438,7 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(cosineCol(col("qv"), col("cv")), 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    pairs.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("qid", "nid", "sim", "rk")
+    topKBySim(pairs, k)
   }
 
   /** IVF approximate top-k: corpus partitioned into per-centroid lists;
@@ -441,11 +446,19 @@ object Similarity {
     * exact cosine. One-shot convenience over buildIvf + ivfSearch (the
     * single corpus-assignment pass serves both the corpus and the query
     * side — the previous shape assigned twice); callers issuing repeated
-    * searches should hold the IvfIndex instead.
+    * searches should hold the IvfIndex instead. Self-releasing like
+    * [[lshCandidates]]: the result materializes eagerly so the index's
+    * persisted assignment can be dropped before returning — otherwise
+    * every one-shot call pinned a serialized corpus copy for the session
+    * lifetime (the handle was discarded, so nothing could unpersist it).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-              ncells: Int = 16, nProbe: Int = 2, iters: Int = 5): DataFrame =
-    ivfSearch(buildIvf(df, idCol, vecCol, dim, ncells, nProbe, iters), k)
+              ncells: Int = 16, nProbe: Int = 2, iters: Int = 5): DataFrame = {
+    val index = buildIvf(df, idCol, vecCol, dim, ncells, nProbe, iters)
+    val out = ivfSearch(index, k).localCheckpoint()
+    index.unpersist()
+    out
+  }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic dedup keyed on

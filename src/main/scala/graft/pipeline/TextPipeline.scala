@@ -125,6 +125,12 @@ object TextPipeline {
     */
   def minhashBands(sigs: DataFrame, idCol: String,
                    numHashes: Int, bands: Int): DataFrame = {
+    // rowsPerBand = 0 would band every doc into one '' bucket (the
+    // all-pairs collapse the null filter below exists to prevent), and a
+    // non-divisible split would silently ignore trailing hash columns,
+    // quietly lowering recall below the configured operating point
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
     // docs shorter than the shingle width have an all-null signature —
     // they carry no content evidence and must not band at all (concat_ws
@@ -272,6 +278,11 @@ object TextPipeline {
     * cluster, drop the rest. Closure runs on the large-star/small-star
     * path (logarithmic rounds); the propagation variant stays available
     * for diameter-bounded graphs.
+    *
+    * Docs below the shingle width are INVISIBLE to this operator (no
+    * signature → no candidate pairs): they come back keeper=self even
+    * when byte-identical to each other — pair with [[exactDedup]] to
+    * cover short documents.
     */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): DataFrame = {

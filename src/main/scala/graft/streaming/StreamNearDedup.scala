@@ -63,9 +63,11 @@ object StreamNearDedup {
       }
   }
 
-  /** Static/batch entry: per-doc (docId, keeper, isDup) over the full
-    * banding. keeper = smallest docId sharing ANY band bucket (itself
-    * when none).
+  /** Static/batch entry: (docId, keeper, isDup) over the full banding.
+    * keeper = smallest docId sharing ANY band bucket (itself when none).
+    * Docs below the shingle width have no signature, band nowhere, and
+    * are ABSENT from the output (they carry no content evidence — run
+    * [[graft.pipeline.TextPipeline.exactDedup]] alongside for them).
     */
   def neardupStream(docs: DataFrame, idCol: String, contentCol: String,
                     numHashes: Int = 4, bands: Int = 2,

@@ -105,6 +105,50 @@ class AuxOpsSpec extends AnyFunSuite {
     assert(feats(2L) == ((-1, -1, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("adversarial payloads: overflowing chunk/dimension fields parse to None, never hang or crash") {
+    // WAV chunk length le32 = -8 advances the walk by 0 bytes (infinite
+    // loop before the guard); a huge positive length wrapped `off`
+    // negative (StringIndexOutOfBounds); both must yield the sentinel
+    def wavWithChunkLen(len: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(len)
+      bb.array()
+    }
+    assert(Multimodal.parseWav(wavWithChunkLen(-8)).isEmpty)
+    assert(Multimodal.parseWav(wavWithChunkLen(-10)).isEmpty)
+    assert(Multimodal.parseWav(wavWithChunkLen(0x7FFFFFF0)).isEmpty)
+
+    // BMP claiming w = 715827883: w*3 wraps negative, the old int bound
+    // check passed, and the pixel allocation attempted ~2.8 GB
+    val bmp = Multimodal.synthBmpBytes(1, 1, Array(0x112233))
+    val bb = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 715827883)
+    assert(Multimodal.parseBmp(bmp).isEmpty)
+
+    // PNG IDAT length near 2^31: the int bound check wrapped negative and
+    // the chunk copy threw; huge claimed dimensions must also fail (a
+    // few-KB payload may not claim a multi-GB decode)
+    val png = Multimodal.synthPngBytes(3, 3, Array.fill(9)(0x010203), filterType = 0)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = png.clone(); f(c); c
+    }
+    val idatOff = (0 until png.length - 4)
+      .find(o => new String(png, o, 4, "US-ASCII") == "IDAT").get - 4
+    assert(Multimodal.parsePng(patched { c =>
+      java.nio.ByteBuffer.wrap(c).putInt(idatOff, 0x7FFFFF00)
+    }).isEmpty)
+    assert(Multimodal.parsePng(patched { c =>
+      val b2 = java.nio.ByteBuffer.wrap(c)
+      b2.putInt(16, 50000); b2.putInt(20, 50000) // IHDR w,h (big-endian)
+    }).isEmpty)
+
+    // frameSample stride must fail fast at the driver, not per-row
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(Seq((1L, Array[Byte](1, 2))).toDF("id", "media"), 0)
+    }
+  }
+
   test("hand-rolled BMP/PNG parsers match the JDK ImageIO reference decoder") {
     val px = Array(0x010203, 0x405060, 0xFF0080, 0x112233, 0x99AABB, 0x000000)
     def viaImageIO(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
@@ -239,5 +283,19 @@ class AuxOpsSpec extends AnyFunSuite {
     pr.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"node $k") }
     // node 4 is isolated: stays at the base score
     assert(math.abs(got(4L) - base) < 1e-15)
+  }
+
+  test("PageRank: a source outside the node universe contributes the initial (1-c)/N") {
+    // reference _readPageRankFromFile returns (1-c)/colLen for a doc
+    // absent from the pr file (PageRank.cpp:76-83) — its out-links carry
+    // base/outdeg every iteration; an inner join dropped them entirely
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((3L, 1L), (3L, 2L)).toDF("src", "dst") // src 3 ∉ nodes
+    val got = PageRank.compute(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = (1.0 - 0.7) / 2.0
+    val want = 0.7 * (base / 2.0) + base // src 3 stays at base forever
+    assert(math.abs(got(1L) - want) < 1e-15, s"got ${got(1L)}, want $want")
+    assert(math.abs(got(2L) - want) < 1e-15)
   }
 }

@@ -205,6 +205,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 recall@5 $recall")
   }
 
+  test("zero-norm vectors score cosine 0.0 — never NaN, never rank-1") {
+    // Spark orders NaN ABOVE +Infinity: an unguarded 0/0 would make one
+    // all-zero embedding rank #1 for every query in every top-k window
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(-1f, 0.2f, 0f)),
+      (9L, Seq(0f, 0f, 0f)) // zero vector: no direction
+    ).toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(rows, rows, "id", "vec", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(!top.exists(_._3.isNaN))
+    assert(top.filter(t => t._1 == 1L && t._4 == 1).map(_._2).toSeq == Seq(2L))
+    // every pair involving the zero vector scores exactly 0.0
+    assert(top.filter(t => t._1 == 9L || t._2 == 9L).forall(_._3 == 0.0))
+    // int8 path: a zero vector quantizes to all-zero and shares the guard
+    val q = Similarity.quantizeInt8(rows, "id", "vec")
+    val itop = Similarity.int8BruteForceTopK(q, q, "id", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(!itop.exists(_._3.isNaN))
+    assert(itop.filter(t => t._1 == 1L && t._4 == 1).map(_._2).toSeq == Seq(2L))
+    assert(itop.filter(t => t._1 == 9L || t._2 == 9L).forall(_._3 == 0.0))
+  }
+
   test("recall@5 vs brute force on natural neighbors; candidate set far below all-pairs") {
     val natural = df.where(col("vec_id") < 10000L)
     val brute = Similarity.bruteForceTopK(natural, natural, "vec_id", "embedding", 5)

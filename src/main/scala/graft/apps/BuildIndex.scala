@@ -215,9 +215,13 @@ object BuildIndex {
 
   def collectionDir(repoPath: String): String = s"$repoPath/collection"
 
-  /** the stored collection (docId, content), when this repo has one */
+  /** the stored collection (docId, content), when this repo has one —
+    * gated on the write's _SUCCESS marker like [[openMetadata]], so a
+    * build killed mid-collection-write is not silently served truncated
+    */
   def openCollection(spark: SparkSession, repoPath: String): Option[DataFrame] =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(collectionDir(repoPath))))
+    if (java.nio.file.Files.exists(
+      java.nio.file.Paths.get(collectionDir(repoPath), "_SUCCESS")))
       Some(spark.read.parquet(collectionDir(repoPath)))
     else None
 

@@ -33,7 +33,8 @@ object ClarityApp {
       documents: Int = 5,
       terms: Int = 10,
       smoothing: String = "method:jm",
-      rule: Option[String] = None)
+      rule: Option[String] = None,
+      rules: Seq[String] = Nil)
 
   /** tolerant rule parse: comma-separated tokens, only `key:value`
     * shaped tokens survive (the factory's int-truncation parse drops
@@ -56,7 +57,8 @@ object ClarityApp {
     documents = t.getInt("documents", 5),
     terms = t.getInt("terms", 10),
     smoothing = t.get("smoothing", "method:jm"),
-    rule = t.getOpt("rule"))
+    rule = t.getOpt("rule"),
+    rules = t.list("rule"))
 
   def overlay(p: Params, args: Seq[String]): Params =
     args.foldLeft(p) { (acc, a) =>
@@ -70,7 +72,7 @@ object ClarityApp {
         case "documents" => acc.copy(documents = v.toInt)
         case "terms" => acc.copy(terms = v.toInt)
         case "smoothing" => acc.copy(smoothing = v)
-        case "rule" => acc.copy(rule = Some(v))
+        case "rule" => acc.copy(rule = Some(v), rules = acc.rules :+ v)
         case _ => acc
       }
     }
@@ -123,7 +125,10 @@ object ClarityApp {
       .appName("graft-clarity")
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
-    val rq = RunQuery.Params(indexPaths = p.indexPaths, rule = p.rule)
+    // rules (plural) ride along so a selector-carrying rule engages the
+    // per-scorer matching list instead of applying globally
+    val rq = RunQuery.Params(indexPaths = p.indexPaths, rule = p.rule,
+      rules = p.rules)
     val engine = RunQuery.openEnvironment(spark, rq, Analyzer())
     for (q <- p.queries; line <- clarityLines(q, clarityRows(engine, q, p)))
       println(line)

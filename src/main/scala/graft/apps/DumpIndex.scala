@@ -114,8 +114,12 @@ object DumpIndex {
     val dl = st.doclens.agg(
       count(lit(1)), min(col("docId")), max(col("docId")),
       sum(col("length").cast(LongType))).head()
-    val (nDocs, mnId, mxId, sumLen) =
-      (dl.getLong(0), dl.getLong(1), dl.getLong(2), dl.getLong(3))
+    val nDocs = dl.getLong(0)
+    // zero-row doclens aggregate min/max/sum to SQL NULL — the validate
+    // verb must report the violations, not die on getLong(null)
+    val (mnId, mxId, sumLen) =
+      if (nDocs == 0L) (0L, 0L, 0L)
+      else (dl.getLong(1), dl.getLong(2), dl.getLong(3))
     val denseBad =
       (if (nDocs == st.stats.totalDocs) 0L else 1L) +
       (if (mnId == 1L && mxId == nDocs) 0L else 1L)
@@ -170,13 +174,13 @@ object DumpIndex {
     */
   def documentId(spark: SparkSession, repoPath: String, field: String,
                  values: Seq[String]): DataFrame = {
-    val eng = openEngine(spark, repoPath, None)
+    val eng = openEngine(spark, repoPath, None, withDeletes = false)
     eng.documentIDsFromMetadata(field, values).orderBy("docId")
   }
 
   def documentName(spark: SparkSession, repoPath: String,
                    docIds: Seq[Long]): DataFrame = {
-    val eng = openEngine(spark, repoPath, None)
+    val eng = openEngine(spark, repoPath, None, withDeletes = false)
     import spark.implicits._
     eng.documentMetadata(docIds.toDF("docId"), Seq("docno"))
       .select(col("docId"), col("docno")).orderBy("docId")
@@ -275,8 +279,16 @@ object DumpIndex {
     * the decoded blocks of that expression's term leaves only (the
     * pruned scan); else kernel-only (metadata verbs don't read postings).
     */
+  /** `withDeletes`: pending deletes apply only to the QUERY/expression
+    * verbs (e/x/dx) — the metadata/collection verbs (dn/di/dd) read the
+    * raw tables until compaction like the reference, whose
+    * print_document_name/_text go straight to the CompressedCollection
+    * (dumpindex.cpp:308-322) while only inference-network evaluation
+    * consults the DeletedDocumentList.
+    */
   private def openEngine(spark: SparkSession, repoPath: String,
-                         forExpr: Option[String]): Engine = {
+                         forExpr: Option[String],
+                         withDeletes: Boolean = true): Engine = {
     val st = SegmentStore.open(spark, repoPath)
     val az = analyzerOf(repoPath)
     val postings = forExpr match {
@@ -299,8 +311,9 @@ object DumpIndex {
     BuildIndex.openMetadata(spark, repoPath).foreach(m => eng.setMetadata(m))
     // pending deletes persist under the repo (dumpindex del): the query
     // surfaces consult the DeletedDocumentList like the reference
-    graft.index.RepositorySurgery.readDeletes(spark, repoPath)
-      .foreach(eng.deleteDocuments)
+    if (withDeletes)
+      graft.index.RepositorySurgery.readDeletes(spark, repoPath)
+        .foreach(eng.deleteDocuments)
     eng
   }
 
@@ -350,7 +363,7 @@ object DumpIndex {
       .select(col("docId"), col("content").as("text"))
     if (!withMeta) picked.orderBy("docId")
     else {
-      val eng = openEngine(spark, repoPath, None)
+      val eng = openEngine(spark, repoPath, None, withDeletes = false)
       picked.join(
           eng.documentMetadata(picked.select("docId"), Seq("docno")),
           Seq("docId"), "left")

@@ -84,11 +84,18 @@ object MakePrior {
       throw new IllegalArgumentException(
         s"repository $indexPath has no docno metadata — cannot resolve priors"))
     val resolved = input
+      // input-file order: a repeated docno keeps its FIRST line's score,
+      // deterministically (an unordered first() could install different
+      // values across reruns). Defined deviation: the reference's merge
+      // writes BOTH duplicate scores positionally and corrupts every
+      // later doc's slot (makeprior.cpp:139-162 never skips equal keys
+      // after an unstable qsort) — undefined behavior we replace.
+      .withColumn("__line", monotonically_increasing_id())
       .join(meta.select(col("docId"), col("docno")), Seq("docno"))
       // first matching document per docno (documentIDsFromMetadata
       // result[0], makeprior.cpp:282)
       .groupBy("docno").agg(min(col("docId")).as("docId"),
-        first(col("logPrior")).as("logPrior"))
+        min_by(col("logPrior"), col("__line")).as("logPrior"))
       .select(col("docId"), col("logPrior"))
     // distributed write, range-clustered by docId: a pagerank prior is
     // one row per corpus document, so a coalesce(1) here would funnel

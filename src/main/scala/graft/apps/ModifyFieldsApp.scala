@@ -160,8 +160,15 @@ object ModifyFieldsApp {
     val docnoOf =
       if (corpus.columns.contains("docno")) col("docno")
       else BuildIndex.docno(col("repo"), col("path"), col("commit"))
-    val texts = corpus.select(docnoOf.as("docno"),
-      col(corpus.columns.intersect(Seq("content", "text", "html")).head).as("text"))
+    // PRIORITY order content > text > html (Seq.intersect would follow
+    // the table's column order instead — a corpus listing html first
+    // would tokenize the wrong surface and land every converted extent
+    // on wrong token positions)
+    val textCol = Seq("content", "text", "html").find(corpus.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        "corpus has no text column (expected one of content/text/html), " +
+          s"got: ${corpus.columns.mkString(", ")}"))
+    val texts = corpus.select(docnoOf.as("docno"), col(textCol).as("text"))
     val az = analyzer
     tags
       .join(meta.select(col("docId"), col("docno")), Seq("docno"))

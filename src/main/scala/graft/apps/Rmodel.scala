@@ -27,7 +27,8 @@ object Rmodel {
       queries: Seq[String] = Nil,
       documents: Int = 10,
       maxGrams: Int = 1,
-      rule: Option[String] = None)
+      rule: Option[String] = None,
+      rules: Seq[String] = Nil)
 
   def parseParams(xml: String): Params = fromTree(ParamTree.parseXml(xml))
 
@@ -39,7 +40,8 @@ object Rmodel {
       q.first("text").map(_.value).getOrElse(q.value)),
     documents = t.getInt("documents", 10),
     maxGrams = t.getInt("maxGrams", 1),
-    rule = t.getOpt("rule"))
+    rule = t.getOpt("rule"),
+    rules = t.list("rule"))
 
   def overlay(p: Params, args: Seq[String]): Params =
     args.foldLeft(p) { (acc, a) =>
@@ -52,7 +54,7 @@ object Rmodel {
         case "query" => acc.copy(queries = acc.queries :+ v)
         case "documents" => acc.copy(documents = v.toInt)
         case "maxGrams" => acc.copy(maxGrams = v.toInt)
-        case "rule" => acc.copy(rule = Some(v))
+        case "rule" => acc.copy(rule = Some(v), rules = acc.rules :+ v)
         case _ => acc
       }
     }
@@ -100,7 +102,10 @@ object Rmodel {
       .appName("graft-rmodel")
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
-    val rq = RunQuery.Params(indexPaths = p.indexPaths, rule = p.rule)
+    // rules (plural) ride along so a selector-carrying rule engages the
+    // per-scorer matching list instead of applying globally
+    val rq = RunQuery.Params(indexPaths = p.indexPaths, rule = p.rule,
+      rules = p.rules)
     val engine = RunQuery.openEnvironment(spark, rq, Analyzer())
     for ((q, grams) <- execute(engine, p); line <- gramLines(q, grams))
       println(line)

@@ -153,6 +153,15 @@ object RunQuery {
         case "singleBackgroundModel" =>
           acc.copy(singleBackgroundModel = v == "true" || v == "1")
         case "maxWildcardTerms" => acc.copy(maxWildcardTerms = Some(v.toInt))
+        // the reference's loadCommandLine overlays ANY dotted key —
+        // dropping the inex family here silently printed TREC lines
+        // instead of the <inex-submission> wrapper
+        case "inex" => acc.copy(inex = true) // existence check, like fromTree
+        case "inex.participantID" => acc.copy(inexParticipantID = v)
+        case "inex.task" => acc.copy(inexTask = v)
+        case "inex.topicPart" => acc.copy(inexTopicPart = v)
+        case "inex.description" => acc.copy(inexDescription = v)
+        case "inex.query" => acc.copy(inexQuery = v)
         case "printQuery" => acc.copy(printQuery = v == "true" || v == "1")
         case "printDocuments" => acc.copy(printDocuments = v == "true" || v == "1")
         case "printPassages" => acc.copy(printPassages = v == "true" || v == "1")
@@ -214,10 +223,17 @@ object RunQuery {
     // when every member agrees, query through THAT chain — stemming or
     // stopping queries differently than the postings is always wrong
     val chains = p.indexPaths.flatMap(BuildIndex.storedAnalyzer)
-    val az =
-      if (chains.size == p.indexPaths.size && chains.distinct.size == 1)
-        chains.head
-      else analyzer
+    // all-or-nothing: when SOME members record a chain, they must all
+    // record the same one — silently falling back to the caller default
+    // would stem queries differently than the postings (zero/wrong
+    // results with no error); DumpIndex.merge requires the same
+    require(chains.isEmpty ||
+      (chains.size == p.indexPaths.size && chains.distinct.size == 1),
+      "federated members' recorded analysis chains are absent or " +
+        s"disagree across ${p.indexPaths.mkString(", ")} — querying " +
+        "through one chain against postings built with another is " +
+        "always wrong; rebuild the odd member or align the chains")
+    val az = if (chains.nonEmpty) chains.head else analyzer
     val eng = environmentFor(spark, idx, p, az)
     val metas = p.indexPaths.map(BuildIndex.openMetadata(spark, _))
     if (metas.forall(_.isDefined)) {
@@ -344,16 +360,24 @@ object RunQuery {
         else if (q.workingSet.nonEmpty)
           engine.runQuery(q.text, p.count, resolveDocs(q.workingSet).toDF("docId"))
         else if (q.feedbackDocs.nonEmpty) {
-          // true relevance feedback: RM over EXACTLY the named docs
-          // (reference: relFBDocs replace the retrieval as the feedback
-          // set, runquery/IndriRunQuery.cpp:385-400)
+          // true relevance feedback: expansion over EXACTLY the named
+          // docs (reference: relFBDocs replace the retrieval as the
+          // feedback set, runquery/IndriRunQuery.cpp:385-400). The
+          // expander is whichever the environment built: TFIDF whenever
+          // baseline is set, RM otherwise (IndriRunQuery.cpp:584-598)
           val top = resolveDocs(q.feedbackDocs).map(_ -> 0.0)
           val rm = RelevanceModel.Params(fbDocs = top.size,
             fbTerms = p.fbTerms, fbOrigWeight = p.fbOrigWeight)
-          val probs = RelevanceModel.rm1FromResults(engine, top, rm)
-            .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-          engine.runQuery(
-            RelevanceModel.expandedQuery(q.text, probs, rm), p.count)
+          if (p.baseline.isDefined)
+            engine.runQuery(
+              graft.search.Expanders.tfidfExpandFromResults(
+                engine, q.text, top, rm), p.count)
+          else {
+            val probs = RelevanceModel.rm1FromResults(engine, top, rm)
+              .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+            engine.runQuery(
+              RelevanceModel.expandedQuery(q.text, probs, rm), p.count)
+          }
         } else if (p.baseline.isDefined) {
           // baseline + fbDocs: the reference swaps in the TFIDF expander
           // with rule = method:<baseline> (IndriRunQuery.cpp:584-594)

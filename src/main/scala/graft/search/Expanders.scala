@@ -90,6 +90,16 @@ object Expanders {
                   p: Params = Params(), k1: Double = 1.2, b: Double = 0.75): String = {
     val top = engine.runQuery(query, math.max(k, p.fbDocs)).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    tfidfExpandFromResults(engine, query, top, p, k1, b)
+  }
+
+  /** [[tfidfExpand]] over a GIVEN feedback set instead of a fresh
+    * retrieval — the relFBDocs path (the reference feeds named docs to
+    * the same expander as score-0 results, IndriRunQuery.cpp:385-395).
+    */
+  def tfidfExpandFromResults(engine: Engine, query: String,
+                             top: Seq[(Long, Double)], p: Params = Params(),
+                             k1: Double = 1.2, b: Double = 0.75): String = {
     val exp = tfidfTerms(engine, top, p, k1, b).collect()
       .map(r => r.getString(0) -> r.getDouble(1))
     // original query term weights: idf·1000·qtf/(qtf+1000)

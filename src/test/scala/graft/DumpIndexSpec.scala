@@ -174,6 +174,11 @@ class DumpIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(7L))
     assert(DumpIndex.command(spark, dir, "t", Seq("merge"))
       .collect().exists(_.getLong(1) == 7L)) // raw dump: still visible
+    // metadata verbs too: dn/di/dd read the raw tables until compaction
+    // (reference print_document_name goes straight to the
+    // CompressedCollection, dumpindex.cpp:308-313 — only inference-
+    // network evaluation consults the DeletedDocumentList)
+    assert(DumpIndex.command(spark, dir, "dn", Seq("7")).count() == 1L)
     assert(!queryDocs().contains(7L)) // query open: deleted
 
     // c: compaction releases the pending deletes — stable docIds, stats

@@ -52,6 +52,32 @@ class MakePriorSpec extends AnyFunSuite {
     assert(rows == Map("docA" -> -1.25, "docB" -> -0.5, "docC" -> -2.0))
   }
 
+  test("a repeated docno installs its FIRST line's score, deterministically") {
+    // defined deviation: the reference merge writes BOTH duplicate
+    // scores positionally and corrupts every later doc's slot
+    // (makeprior.cpp:139-162) — undefined behavior replaced by
+    // first-line-wins (an unordered first() could flip across reruns)
+    val meta = spark.read.parquet(BuildIndex.metadataDir(repoDir))
+      .select("docId", "docno").as[(Long, String)].collect().sortBy(_._1)
+    val (docId, docno) = meta.head
+    val f = java.nio.file.Files.createTempFile("graft-mp-dup", ".txt")
+    java.nio.file.Files.writeString(f, s"$docno -1.5\n$docno -9.0\n")
+    try for (_ <- 1 to 3) {
+      MakePrior.install(spark, repoDir, "dup",
+        MakePrior.readInput(spark, f.toString))
+      val stored = MakePrior.open(spark, repoDir, "dup")
+        .as[(Long, Double)].collect().toMap
+      assert(stored == Map(docId -> -1.5))
+    } finally {
+      // the shared repoDir's prior list is asserted by a later test
+      val d = java.nio.file.Paths.get(MakePrior.priorDir(repoDir, "dup"))
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("install resolves docnos (silent skip), replace works, RunQuery attaches") {
     val meta = spark.read.parquet(BuildIndex.metadataDir(repoDir))
       .select("docId", "docno").as[(Long, String)].collect().sortBy(_._1)

@@ -184,7 +184,6 @@ object Daat {
 
     val locals = segs.mapPartitions { rows =>
       val plan = bcPlan.value
-      val nTerms = plan.terms.length
       val byTerm = collectBlocks(rows, hasPositions = false)
       val cursors = plan.terms.indices.map { i =>
         new Cursor(byTerm.getOrElse(plan.terms(i).term, TermBlocks.empty),

@@ -151,30 +151,25 @@ object NexiParser {
   }
 
   private def parseFilter(s: String): NexiClause = s.trim match {
+    // field names lowercase like every other field reference: the
+    // Tokenizer lowercases tag names at index time and the extent match
+    // is verbatim — a mixed-case CAS path would silently return nothing
     case AboutRe(rel, ts) =>
-      AboutClause(Option(rel).map(_.stripPrefix("//")), termList(ts))
-    case NumericRe(f, op, v) => numeric(f, op, v.toLong)
+      AboutClause(Option(rel).map(_.stripPrefix("//")
+        .toLowerCase(java.util.Locale.ROOT)), termList(ts))
+    case NumericRe(f, op, v) =>
+      numeric(f.toLowerCase(java.util.Locale.ROOT), op, v.toLong)
     case other => throw new IllegalArgumentException(
       s"unsupported NEXI filter (subset: about(., terms) | about(.//f, terms) | .//f op n): $other")
   }
 
   private def parseOne(pathStr: String, clause0: String): NexiQuery = {
-    // filterParens (nexilang.g:360-363): strip redundant outer parens
-    // around the WHOLE clause — nesting deeper than that stays out of
-    // subset (about()'s own parens make naive stripping unsafe, so only
-    // peel when the parens are balanced across the full span)
-    var clause = clause0.trim
-    while (clause.startsWith("(") && clause.endsWith(")") && {
-      var depth = 0; var minInner = Int.MaxValue
-      clause.substring(1, clause.length - 1).foreach {
-        case '(' => depth += 1
-        case ')' => depth -= 1; minInner = math.min(minInner, depth)
-        case _ =>
-      }
-      depth == 0 && (minInner == Int.MaxValue || minInner >= 0)
-    }) clause = clause.substring(1, clause.length - 1).trim
+    // filterParens (nexilang.g:360-363) is parseClauseTree's first step
+    // (peelParens) — no need to peel here too
+    val clause = clause0.trim
     val path = pathStr.split("//").toSeq.map(_.trim).filter(_.nonEmpty)
-    require(path.nonEmpty && path.forall(_.matches("[A-Za-z0-9_]+")),
+      .map(_.toLowerCase(java.util.Locale.ROOT)) // tags index lowercased
+    require(path.nonEmpty && path.forall(_.matches("[a-z0-9_]+")),
       s"unsupported NEXI path: $pathStr")
     parseClauseTree(clause) match {
       case ClauseLeaf(f) =>
@@ -210,12 +205,19 @@ object NexiParser {
     var n = 0
     while (i < s.length) {
       val c = s.charAt(i)
+      // word characters INCLUDE '_' (field names are [A-Za-z0-9_]+, so
+      // 'q_and_a' must not split at its embedded 'and'), and a PRECEDING
+      // '/' or '.' means the match is a path step ('.//and > 5' — a
+      // field literally named and/or), never a connector
+      def wordChar(ch: Char) = ch.isLetterOrDigit || ch == '_'
       if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
-      else if (depth == 0 && (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+      else if (depth == 0 &&
+               (i == 0 || (!wordChar(s.charAt(i - 1)) &&
+                           s.charAt(i - 1) != '/' && s.charAt(i - 1) != '.')) &&
                (lower.startsWith("and", i) || lower.startsWith("or", i))) {
         val len = if (lower.startsWith("and", i)) 3 else 2
-        if (i + len >= s.length || !s.charAt(i + len).isLetterOrDigit) {
+        if (i + len >= s.length || !wordChar(s.charAt(i + len))) {
           parts += s.substring(start, i).trim
           ops += lower.substring(i, i + len)
           n += 1
@@ -246,9 +248,8 @@ object NexiParser {
     val s = peelParens(s0)
     val (parts, ops) = splitTopLevel(s)
     if (parts.length == 1) {
-      val p = parts.head
-      if (p != s) parseClauseTree(p)
-      else ClauseLeaf(parseFilter(p))
+      // a single part of a peeled, trimmed string IS the string itself
+      ClauseLeaf(parseFilter(parts.head))
     } else {
       require(parts.forall(_.nonEmpty),
         s"dangling and/or in NEXI clause: $s0")

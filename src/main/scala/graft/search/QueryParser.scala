@@ -430,7 +430,10 @@ object QueryParser {
           // multi-word quotes are an extension: exact-adjacency #1(…)
           if (ws.length == 1)
             attachQualifiers(TermNode(graft.analysis.Analyzer.StemmedMarker + ws.head))
-          else OdNode(1, ws.map(TermNode(_)))
+          // qualifiers attach to the od1 like every other raw producer —
+          // without this, `"new york".title` lexed `.title` as a literal
+          // term and silently dropped the field restriction
+          else attachQualifiers(OdNode(1, ws.map(TermNode(_))))
         case RawTerm(t, st) =>
           attachQualifiers(TermNode(
             if (st) graft.analysis.Analyzer.StemmedMarker + t else t))
@@ -458,7 +461,11 @@ object QueryParser {
             // passageW:I (reference: FixedPassageNode); a zero or
             // negative increment would never advance the sliding
             // window — fail fast instead of hanging the scoring task
-            val Array(w, inc) = spec.stripPrefix("passage").split(":", 2)
+            val (w, inc) = spec.stripPrefix("passage").split(":", 2) match {
+              case Array(a, b) => (a.trim, b.trim)
+              case _ => throw new IllegalArgumentException(
+                s"malformed passage spec [$spec] (expected passageWIDTH:INCREMENT)")
+            }
             require(w.toInt > 0 && inc.toInt > 0,
               s"passage width/increment must be positive: [$spec]")
             ExtentRestrictNode("", Some((w.toInt, inc.toInt)), child)
@@ -532,7 +539,13 @@ object QueryParser {
             case "wsum" => WsumNode(parseWeighted())
             case "sum" => SumNode(parseSequence(stopAtClose = true))
             case "or" => OrQNode(parseSequence(stopAtClose = true))
-            case "not" => NotQNode(parseSequence(stopAtClose = true).head)
+            case "not" =>
+              // exactly one child (indrilang.g notNode) — .head silently
+              // dropped extra children and NPE'd on zero
+              val kids = parseSequence(stopAtClose = true)
+              require(kids.length == 1,
+                s"#not takes exactly one child, got ${kids.length}")
+              NotQNode(kids.head)
             case "max" => MaxQNode(parseSequence(stopAtClose = true))
             case "band" => BandNode(parseSequence(stopAtClose = true))
             case "od" => OdNode(num.getOrElse(1), parseSequence(stopAtClose = true))

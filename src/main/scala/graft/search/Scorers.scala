@@ -174,10 +174,15 @@ final case class ScoringRule(
 object ScoringRule {
   /** parse "method:okapi,k1:1.2" rule strings */
   def parse(spec: String): ScoringRule = {
-    val kv = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
-      val Array(k, v) = p.split(":", 2)
-      k.trim -> v.trim
-    }.toMap
+    // tolerant like the reference factory: a colon-less component turns
+    // into a garbage key no getter ever reads (termscorefunctionfactory_
+    // parse never raises — the 'method:jm,lambda,0.5' comma-tail quirk),
+    // so skip it rather than crash on the destructuring split
+    val kv = spec.split(",").iterator.map(_.trim)
+      .filter(t => t.nonEmpty && t.contains(':')).map { p =>
+        val Array(k, v) = p.split(":", 2)
+        k.trim -> v.trim
+      }.toMap
     val base = ScoringRule(method = kv.getOrElse("method", "dirichlet"))
     base.copy(
       k1 = kv.get("k1").map(_.toDouble).getOrElse(base.k1),

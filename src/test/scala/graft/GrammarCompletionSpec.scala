@@ -396,4 +396,35 @@ class GrammarCompletionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     assert(rows.toSet == Set((1L, 0, 3, exp1), (3L, 0, 2, exp3)))
   }
+
+  test("parser hardening: phrase qualifiers, #not arity, passage/rule tolerance, NEXI case") {
+    import graft.search._
+    // DOT qualifiers attach to a multi-word quoted phrase like any raw
+    // node — previously `.title` lexed as a literal term and the field
+    // restriction was silently dropped
+    assert(QueryParser.parse("\"new york\".title") ==
+      FieldRestrictNode(OdNode(1, Seq(TermNode("new"), TermNode("york"))), "title"))
+    // #not takes exactly one child (indrilang.g notNode)
+    intercept[IllegalArgumentException](QueryParser.parse("#not(a b)"))
+    intercept[IllegalArgumentException](QueryParser.parse("#not()"))
+    // malformed passage spec → parse diagnostic, not MatchError
+    val e = intercept[IllegalArgumentException](
+      QueryParser.parse("#combine[passage50](a b)"))
+    assert(e.getMessage.contains("passage"))
+    // rule strings tolerate colon-less components like the reference
+    // factory (the 'method:jm,lambda,0.5' comma-tail quirk): garbage
+    // keys are dropped, defaults hold
+    assert(ScoringRule.parse("method:jm,lambda,0.5").lambda == 0.4)
+    assert(ScoringRule.parse("dirichlet,mu:900").method == "dirichlet")
+    assert(ScoringRule.parse("dirichlet,mu:900").mu == 900.0)
+    // NEXI paths and filter fields lowercase to match indexed tag names
+    assert(NexiParser.parse("//SEC[about(., x)]").path == Seq("sec"))
+    assert(NexiParser.parse("//art[about(.//Title, x)]")
+      .nexiClauses.head.asInstanceOf[NexiParser.AboutClause].rel == Some("title"))
+    // '_'-embedded connectors and a path-step 'and' never split a clause
+    assert(NexiParser.parse("//sec[.//q_and_a > 5]").nexiClauses ==
+      Seq(NexiParser.NumericClause("q_and_a", "greater", 5)))
+    assert(NexiParser.parse("//sec[.//and > 5]").nexiClauses ==
+      Seq(NexiParser.NumericClause("and", "greater", 5)))
+  }
 }

@@ -660,10 +660,24 @@ final class Engine(
           if (cur._1 != cur._2) out += cur
           out.toSeq
         }
+        // union-normalize ONE field's extents first: nested/overlapping
+        // extents (a <sec> inside a <sec>) merge into disjoint regions —
+        // the pairwise walk assumes monotone disjoint inputs, and a
+        // nested extent used to SHRINK the accumulated region via the
+        // else branch, dropping matches inside already-covered space
+        def norm(xs: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          xs.sorted.foreach { case (b, e) =>
+            if (out.nonEmpty && b <= out.last._2)
+              out(out.length - 1) = (out.last._1, math.max(out.last._2, e))
+            else out += ((b, e))
+          }
+          out.toSeq
+        }
         val m: Map[String, Seq[(Int, Int)]] = byField.map { r =>
           r.getString(0) -> r.getSeq[Row](1).map(x => (x.getInt(0), x.getInt(1)))
         }.toMap
-        val lists = bcFields.map(f => m(f).sortBy(identity))
+        val lists = bcFields.map(f => norm(m(f)))
         val regions = lists.reduce(and)
         val ob = scala.collection.mutable.ArrayBuffer.empty[Int]
         val oe = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -1166,7 +1180,7 @@ final class Engine(
 
     node match {
       case r if isRawNode(r) =>
-        if (baseline) childBelief(r) else childBelief(r)
+        childBelief(r)
 
       case cr: ContextRestrictNode => childBelief(cr)
 
@@ -1189,19 +1203,45 @@ final class Engine(
 
       case WsumNode(children) =>
         val beliefs = children.map(c => childBelief(c._2))
-        val total = children.map(c => math.abs(c._1)).sum
-        combineBeliefs(beliefs, children.map(_._1 / total), OpWsum)
+        if (root && baseline)
+          // WSumNode is a WeightedCombinationNode: the baseline root
+          // rewrite makes it WPlusNode — RAW weights, plain sum
+          // (reference: src/QueryEnvironment.cpp:897-915)
+          combineBeliefs(beliefs, children.map(_._1), OpSum)
+        else {
+          val total = children.map(c => math.abs(c._1)).sum
+          combineBeliefs(beliefs, children.map(_._1 / total), OpWsum)
+        }
 
       case SumNode(children) =>
-        // #sum = unweighted #wsum (reference: indrilang.g:316-329)
         val beliefs = children.map(childBelief)
-        combineBeliefs(beliefs, children.map(_ => 1.0 / children.size), OpWsum)
+        if (root && baseline)
+          // UnweightedCombinationNode root → PlusNode (plain sum)
+          combineBeliefs(beliefs, children.map(_ => 1.0), OpSum)
+        else
+          // #sum = unweighted #wsum (reference: indrilang.g:316-329)
+          combineBeliefs(beliefs, children.map(_ => 1.0 / children.size), OpWsum)
 
+      case OrQNode(children) if root && baseline =>
+        // OrNode is an UnweightedCombinationNode: baseline root → Plus
+        combineBeliefs(children.map(childBelief), children.map(_ => 1.0), OpSum)
       case OrQNode(children) =>
         combineBeliefs(children.map(childBelief), children.map(_ => 1.0), OpOr)
 
+      case MaxQNode(children) if root && baseline =>
+        // MaxNode is an UnweightedCombinationNode: baseline root → Plus
+        combineBeliefs(children.map(childBelief), children.map(_ => 1.0), OpSum)
       case MaxQNode(children) =>
         combineBeliefs(children.map(childBelief), children.map(_ => 1.0), OpMax)
+
+      case NotQNode(_) if root && baseline =>
+        // NotNode is a plain ScoredExtentNode — no baseline rewrite
+        // exists for it, the reference throws (QueryEnvironment.cpp:
+        // 897-905); without this, log(1−exp(s)) of a positive okapi
+        // score is NaN, which Spark ranks ABOVE every real score
+        throw new IllegalArgumentException(
+          "Can't run baseline on this query: " +
+            "indri query language operators are not allowed.")
 
       case NotQNode(child) =>
         val c = childBelief(child)
@@ -1264,8 +1304,15 @@ final class Engine(
     * DataFrame inference-network path. Both produce bit-identical
     * scores (WandPropertySpec).
     */
-  def runQuery(query: String, k: Int, useDaat: Boolean = true): DataFrame = {
-    val ast = QueryParser.parse(query)
+  def runQuery(query: String, k: Int, useDaat: Boolean = true): DataFrame =
+    runParsed(QueryParser.parse(query), k, useDaat)
+
+  /** AST-level entry — callers that BUILD nodes (the NEXI CO path) must
+    * not round-trip through query-string rendering: a term like
+    * 'node.js' would re-lex with indri DOT-qualifier semantics.
+    */
+  private[graft] def runParsed(ast: QueryNode, k: Int,
+                               useDaat: Boolean = true): DataFrame = {
     // selector rule lists can give different leaves different smoothing,
     // which the single-rule kernels cannot represent — belief path then
     daatBag(ast) match {
@@ -1502,6 +1549,12 @@ final class Engine(
   /** dispatch predicate shared by runQuery/runQueries */
   private def structuredServes(ast: QueryNode): Boolean =
     (baseline || lmMethod) && daatDeletedSet.isDefined &&
+      // selector rules force the belief path — checked HERE so that
+      // runQueries' batched complex-leaf stats round still covers a
+      // structured-shaped query's window leaves (runStructured would
+      // decline later and the belief fallback would otherwise pay one
+      // blocking stats job per window leaf)
+      smoothRules.isEmpty &&
       structuredShape(ast) && containsWindow(ast)
 
   private sealed trait LeafMeta
@@ -1657,10 +1710,13 @@ final class Engine(
   /** WAND threshold seeding from the topdocs lists (reference:
     * src/WeightedAndNode.cpp:119-186 seeds max-score candidates from the
     * topdocs unions). A doc's single-term contributions summed over its
-    * topdocs entries are a LOWER bound of its true score (weights and
-    * baseline scores are non-negative), so the k-th largest per-doc bound
-    * θ0 satisfies θ0 ≤ true k-th best — pruning against it stays exact
-    * (WandPropertySpec). Collect is bounded to k rows per query term.
+    * topdocs entries are a LOWER bound of its true score (weights are
+    * non-negative, and seeding is DISABLED whenever any term's occurrence
+    * score can be negative — okapi idf < 0 for df > N/2 — because partial
+    * knowledge cannot lower-bound a sum with negative terms), so the
+    * k-th largest per-doc bound θ0 satisfies θ0 ≤ true k-th best —
+    * pruning against it stays exact (WandPropertySpec). Collect is
+    * bounded to k rows per query term.
     */
   private def topdocsSeed(p: Daat.DaatPlan, k: Int,
                           deleted: Set[Long] = Set.empty): Double = {
@@ -1695,11 +1751,21 @@ final class Engine(
         }
         perDoc.update(doc, acc)
       }
-    } else rows.foreach { r =>
-      val tp = byTerm(r.getString(0))
-      val c = math.max(
-        tp.effWeight * tp.scoreFn.scoreOccurrence(r.getInt(2).toDouble, r.getInt(3)), 0.0)
-      perDoc.update(r.getLong(1), perDoc.getOrElse(r.getLong(1), 0.0) + c)
+    } else {
+      // a term whose occurrence score can be NEGATIVE (okapi idf < 0
+      // when df > N/2 — exactly the frequent terms that HAVE topdocs
+      // lists) breaks per-doc lower bounds built from PARTIAL knowledge:
+      // a matching-but-unrecorded term would have to subtract, so either
+      // omitting it or clamping it to 0 OVERSTATES the bound and pruning
+      // against θ0 would drop true results. Sign is fixed by idf
+      // (probe tf=1), so skip seeding when any term can go negative.
+      if (p.terms.exists(tp => tp.scoreFn.scoreOccurrence(1.0, 1) < 0))
+        return Double.NegativeInfinity
+      rows.foreach { r =>
+        val tp = byTerm(r.getString(0))
+        val c = tp.effWeight * tp.scoreFn.scoreOccurrence(r.getInt(2).toDouble, r.getInt(3))
+        perDoc.update(r.getLong(1), perDoc.getOrElse(r.getLong(1), 0.0) + c)
+      }
     }
     if (perDoc.size < k) Double.NegativeInfinity
     else {
@@ -1843,7 +1909,13 @@ final class Engine(
       lens: Array[Int], negs: Array[Boolean], perDoc: DataFrame)
 
   private def prepLeaves(leaves: Seq[NexiParser.NexiTerm],
-                         ctxField: String = "?"): LeafPrep = {
+                         ctxField: String = "?",
+                         ctxFields: Seq[String] = null): LeafPrep = {
+    // per-leaf scoring context for field: selector rules — a relative
+    // about's leaves score in the REL field's context, the rest in the
+    // CAS target's; one shared ctxField when the caller has one context
+    val ctxOf: Int => String =
+      if (ctxFields == null) _ => ctxField else ctxFields
     import NexiParser.{NotTerm, PhraseTerm, PlainTerm}
     val unwrapped: Seq[(NexiParser.NexiTerm, Boolean)] = leaves.map {
       case NotTerm(i) => (i, true)
@@ -1861,18 +1933,24 @@ final class Engine(
     val tstats = termStatsFor(livePlain)
     val odByChild: Map[Int, OdNode] = processed.zipWithIndex.collect {
       case (Right(ts), i) if ts.nonEmpty && ts.forall(_ != null) =>
-        i -> OdNode(1, ts.map(TermNode(_)))
+        // ts are ALREADY processed — mark them stemmed so evaluateRaw/
+        // complexStatsBatch look them up verbatim instead of re-running
+        // the chain (a stem that collides with a stopword, e.g.
+        // 'willing'→'will' with 'will' stopped, would otherwise null out
+        // and the phrase would silently never match)
+        i -> OdNode(1, ts.map(t =>
+          TermNode(graft.analysis.Analyzer.StemmedMarker + t)))
     }.toMap
     val odStats = complexStatsBatch(odByChild.values.toSeq)
     val fns: Array[TermScoreFunction] = processed.zipWithIndex.map {
-      case (Left(pt), _) =>
+      case (Left(pt), i) =>
         val ts = if (pt == null) TermStats(0, 0) else tstats.getOrElse(pt, TermStats(0, 0))
-        Scorers.forTerm(ruleFor(ctxField, "term"), ts.ctf.toDouble,
+        Scorers.forTerm(ruleFor(ctxOf(i), "term"), ts.ctf.toDouble,
           stats.totalTerms.toDouble,
           ts.df.toDouble, stats.totalDocs)
       case (Right(_), i) =>
         val (occ, df) = odByChild.get(i).flatMap(odStats.get).getOrElse((0.0, 0L))
-        Scorers.forTerm(ruleFor(ctxField, "window"), occ,
+        Scorers.forTerm(ruleFor(ctxOf(i), "window"), occ,
           stats.totalTerms.toDouble,
           df.toDouble, stats.totalDocs)
     }.toArray
@@ -1919,7 +1997,6 @@ final class Engine(
       case None => childGroups.flatMap(g => g.map(_ => 1.0 / g.length)).toArray
     }
     val nGroups = childGroups.length
-    val isOr = groupOp.contains("or")
     val op: String = groupOp.getOrElse("combine")
     val gw: Array[Double] = groupWeights
       .map(_.toArray).getOrElse(Array.fill(nGroups)(1.0 / nGroups))
@@ -2158,10 +2235,12 @@ final class Engine(
       // CO query: phrase leaves become #od1 windows, negated leaves
       // #not beliefs — the same nodes the reference's NEXI builder
       // emits (nexilang.g:439-480: MINUS → NotNode, quoted → ODNode)
-      def render(l: NexiParser.NexiTerm): String = l match {
-        case NexiParser.PlainTerm(t) => t
-        case NexiParser.PhraseTerm(ts) => s"#od1(${ts.mkString(" ")})"
-        case NexiParser.NotTerm(inner) => s"#not(${render(inner)})"
+      // build NODES directly (no query-string round-trip: a CO term
+      // like 'node.js' would re-lex with indri DOT-qualifier semantics)
+      def toNode(l: NexiParser.NexiTerm): QueryNode = l match {
+        case NexiParser.PlainTerm(t) => TermNode(t)
+        case NexiParser.PhraseTerm(ts) => OdNode(1, ts.map(TermNode(_)))
+        case NexiParser.NotTerm(inner) => NotQNode(toNode(inner))
       }
       val flat = nq.leafGroups.flatten
       // #not is log(1 − exp(s)) over a LOG-probability — okapi/tfidf
@@ -2171,10 +2250,10 @@ final class Engine(
       require(!(baseline && flat.exists(_.isInstanceOf[NexiParser.NotTerm])),
         "NEXI negated terms use the #not log-probability transform — " +
         "rejected in okapi/tfidf baseline mode; use an LM rule")
-      val leaves = flat.map(render)
+      val ast = CombineNode(flat.map(toNode))
       return workingSet match {
-        case Some(ws) => runQuery(s"#combine(${leaves.mkString(" ")})", k, ws)
-        case None => runQuery(s"#combine(${leaves.mkString(" ")})", k)
+        case Some(ws) => runParsedWs(ast, k, ws)
+        case None => runParsed(ast, k)
       }
     }
     require(!baseline, "NEXI CAS scoring uses extent contexts — rejected in " +
@@ -2191,7 +2270,9 @@ final class Engine(
           }
         if (plainLevel(nq) && plainLevel(in))
           scoreNestedContexts(nq.leafGroups, nq.op, in.leafGroups, in.op,
-            restricted(nq.path), restricted(in.path), k)
+            restricted(nq.path), restricted(in.path), k,
+            outerCtx = nq.path.lastOption.getOrElse("?"),
+            innerCtx = in.path.lastOption.getOrElse("?"))
         else
           // round 4: non-plain clauses (relative about, numeric
           // predicates, parenthesized nesting) at either level — the
@@ -2215,19 +2296,23 @@ final class Engine(
             ctxField = nq.path.lastOption.getOrElse("?"))
         else
           scoreMixedClauses(nq.nexiClauses, None, restricted(nq.path), k,
-            tree = Some(ScoreTree.from(nq.tree.get)))
+            tree = Some(ScoreTree.from(nq.tree.get)),
+            ctxField = nq.path.lastOption.getOrElse("?"))
       case None if hasNumeric(nq) =>
-        scoreMixedClauses(nq.nexiClauses, nq.op, restricted(nq.path), k)
+        scoreMixedClauses(nq.nexiClauses, nq.op, restricted(nq.path), k,
+          ctxField = nq.path.lastOption.getOrElse("?"))
       case None =>
         val abouts = nq.nexiClauses.collect { case a: AboutClause => a }
         val anyRel = abouts.exists(_.rel.isDefined)
         (anyRel, abouts.length) match {
           case (true, 1) =>
             scoreRelativeAbout(nq.leafGroups.head, restricted(nq.path),
-              restricted(Seq(abouts.head.rel.get)), k)
+              restricted(Seq(abouts.head.rel.get)), k,
+              relField = abouts.head.rel.get)
           case (true, _) =>
             // boolean clause with a relative filter (round 4)
-            scoreRelativeMixed(abouts, nq.op, restricted(nq.path), k)
+            scoreRelativeMixed(abouts, nq.op, restricted(nq.path), k,
+              ctxField = nq.path.lastOption.getOrElse("?"))
           case _ =>
             scoreExtentContexts(nq.leafGroups, nq.op, restricted(nq.path),
               passage = None, k, ctxField = nq.path.lastOption.getOrElse("?"))
@@ -2247,7 +2332,8 @@ final class Engine(
   private def scoreMixedClauses(cls: Seq[NexiParser.NexiClause],
                                 groupOp: Option[String],
                                 extentsByDoc: DataFrame, k: Int,
-                                tree: Option[ScoreTree] = None): DataFrame = {
+                                tree: Option[ScoreTree] = None,
+                                ctxField: String = "?"): DataFrame = {
     import NexiParser.{AboutClause, NumericClause}
     val nGroups = cls.length
     val isOr = groupOp.contains("or")
@@ -2257,7 +2343,11 @@ final class Engine(
       case (AboutClause(_, ls), gi) => ls.map(_ -> gi)
       case _ => Nil
     }
-    val prep = prepLeaves(termChildren.map(_._1))
+    val prep = prepLeaves(termChildren.map(_._1), ctxFields =
+      termChildren.map { case (_, gi) => cls(gi) match {
+        case AboutClause(rel, _) => rel.getOrElse(ctxField)
+        case _ => ctxField
+      } })
     val fns = prep.fns
     // child range [childStart(g), childStart(g+1)) per clause — numeric
     // clauses contribute no term children
@@ -2294,20 +2384,31 @@ final class Engine(
       gi -> Scorers.forTerm(rule, occ, stats.totalTerms.toDouble,
         df.toDouble, stats.totalDocs)
     }.toMap
-    val numExt = numNodes.map { case (gi, n) =>
-      evaluateRaw(n).df.select(col("docId"), lit(gi).as("g"),
-        col("begins"), col("ends"))
-    }.reduce(_ unionByName _)
-      .groupBy("docId")
-      .agg(collect_list(struct(col("g"), col("begins"), col("ends"))).as("numx"))
+    // guard the empty case like scoreNestedGeneral: a tree of about /
+    // relative-about leaves with NO numeric clause is legal and must not
+    // die on Seq.empty.reduce
+    val numExt =
+      if (numNodes.isEmpty) null
+      else numNodes.map { case (gi, n) =>
+        evaluateRaw(n).df.select(col("docId"), lit(gi).as("g"),
+          col("begins"), col("ends"))
+      }.reduce(_ unionByName _)
+        .groupBy("docId")
+        .agg(collect_list(struct(col("g"), col("begins"), col("ends"))).as("numx"))
 
     val perDoc = prep.perDoc
-    val cand =
-      if (perDoc == null)
-        numExt.select(col("docId"),
-          lit(null).cast("map<string,array<int>>").as("tp"), col("numx"))
-      else perDoc.join(numExt, Seq("docId"), "full_outer")
+    val cand = (Option(perDoc), Option(numExt)) match {
+      case (Some(pd), Some(nx)) => pd.join(nx, Seq("docId"), "full_outer")
         .select(col("docId"), col("tp"), col("numx"))
+      case (Some(pd), None) => pd.withColumn("numx",
+        lit(null).cast("array<struct<g:int,begins:array<int>,ends:array<int>>>"))
+      case (None, Some(nx)) => nx.select(col("docId"),
+        lit(null).cast("map<string,array<int>>").as("tp"), col("numx"))
+      case (None, None) =>
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("docId", LongType), StructField("begin", IntegerType),
+          StructField("end", IntegerType), StructField("score", DoubleType))))
+    }
     // per-doc extents of each relative-filter field (left join: an
     // extent with no contained rel extent drops under `and`, skips its
     // group under `or` — scoreRelativeMixed's defined-group semantics)
@@ -2357,8 +2458,9 @@ final class Engine(
     * aboutClause path branch, include/indri/MaxNode.hpp).
     */
   private def scoreRelativeAbout(leaves: Seq[NexiParser.NexiTerm], aExt: DataFrame,
-                                 sExt: DataFrame, k: Int): DataFrame = {
-    val prep = prepLeaves(leaves)
+                                 sExt: DataFrame, k: Int,
+                                 relField: String = "?"): DataFrame = {
+    val prep = prepLeaves(leaves, relField) // bags score in the REL context
     val fns = prep.fns
     val termIdx = prep.keyIdx
     val w = 1.0 / leaves.length
@@ -2445,9 +2547,11 @@ final class Engine(
     */
   private def scoreRelativeMixed(cls: Seq[NexiParser.AboutClause],
                                  groupOp: Option[String],
-                                 aExt: DataFrame, k: Int): DataFrame = {
+                                 aExt: DataFrame, k: Int,
+                                 ctxField: String = "?"): DataFrame = {
     val groups = cls.map(_.leaves)
-    val prep = prepLeaves(groups.flatten)
+    val prep = prepLeaves(groups.flatten, ctxFields =
+      cls.flatMap(c => c.leaves.map(_ => c.rel.getOrElse(ctxField))))
     val fns = prep.fns
     val termIdx = prep.keyIdx
     val nGroups = groups.length
@@ -2630,9 +2734,13 @@ final class Engine(
     */
   private def scoreNestedContexts(outerGroups: Seq[Seq[NexiParser.NexiTerm]], outerOp: Option[String],
                                   innerGroups: Seq[Seq[NexiParser.NexiTerm]], innerOp: Option[String],
-                                  aExt: DataFrame, bExt: DataFrame, k: Int): DataFrame = {
+                                  aExt: DataFrame, bExt: DataFrame, k: Int,
+                                  outerCtx: String = "?",
+                                  innerCtx: String = "?"): DataFrame = {
     val groups = outerGroups ++ innerGroups
-    val prep = prepLeaves(groups.flatten)
+    val prep = prepLeaves(groups.flatten, ctxFields =
+      outerGroups.flatten.map(_ => outerCtx) ++
+        innerGroups.flatten.map(_ => innerCtx))
     val fns = prep.fns
     val nOuterChildren = outerGroups.map(_.length).sum
     val groupOf: Array[Int] = groups.zipWithIndex
@@ -2756,7 +2864,15 @@ final class Engine(
       case AboutClause(_, ls) => ls
       case _ => Nil
     }
-    val prep = prepLeaves(termChildren)
+    val outerCtx = outer.path.lastOption.getOrElse("?")
+    val innerCtx = inner.path.lastOption.getOrElse("?")
+    val prep = prepLeaves(termChildren, ctxFields =
+      cls.zipWithIndex.flatMap {
+        case (AboutClause(rel, ls), gi) =>
+          val lvl = if (gi < nA) outerCtx else innerCtx
+          ls.map(_ => rel.getOrElse(lvl))
+        case _ => Nil
+      })
     val childStart: Array[Int] = cls.scanLeft(0) {
       case (acc, AboutClause(_, ls)) => acc + ls.length
       case (acc, _) => acc
@@ -3079,9 +3195,13 @@ final class Engine(
     * wrap (reference: QueryEnvironment::_scoredQuery adds FilterNode,
     * src/QueryEnvironment.cpp:694-707).
     */
-  def runQuery(query: String, k: Int, workingSet: DataFrame): DataFrame = {
+  def runQuery(query: String, k: Int, workingSet: DataFrame): DataFrame =
+    runParsedWs(QueryParser.parse(query), k, workingSet)
+
+  private[graft] def runParsedWs(ast: QueryNode, k: Int,
+                                 workingSet: DataFrame): DataFrame = {
     val ws = workingSet.select(col(workingSet.columns.head).cast(LongType).as("docId"))
-    val belief = evaluate(QueryParser.parse(query))
+    val belief = evaluate(ast)
     notDeleted(belief.df).join(ws, Seq("docId"), "left_semi")
       .select(col("docId"), col("score"))
       .orderBy(col("score").desc, col("docId").asc)

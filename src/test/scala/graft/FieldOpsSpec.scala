@@ -714,4 +714,81 @@ class FieldOpsSpec extends AnyFunSuite {
       .select("docId").as[Long].collect().toSeq
     assert(eq == Seq(2L))
   }
+
+  test("NEXI hardening: rel-about trees sans numerics, dotted CO terms, phrase stem collisions") {
+    val rows = Seq(
+      (1L, "<sec>alpha <par>beta gamma</par> delta</sec>"),
+      (2L, "<sec>alpha epsilon</sec> <par>beta</par>")
+    ).toDF("docId", "content")
+    val cfg = IndexConfig(analyzerMode = "indri", blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec"), FieldSpec("par")))
+    val eng = new Engine(spark, IndexBuilder.build(rows, cfg), cfg.analyzer,
+      ScoringRule(method = "dirichlet"))
+    // parenthesized tree with a relative-about leaf and NO numeric
+    // clause — used to die on Seq.empty.reduce in scoreMixedClauses
+    val mixed = eng.runNexi(
+      "//sec[(about(.//par, beta) and about(., alpha)) or about(., delta)]", 10)
+      .collect().map(_.getLong(0))
+    assert(mixed.contains(1L)) // doc1's sec nests a par containing beta
+
+    // CO terms with interior dots stay PLAIN terms: the old query-string
+    // round-trip re-lexed 'node.js' as a field restriction, which throws
+    // on a fieldless index ('no field extents indexed')
+    val plainRows = Seq(
+      (1L, "node js tutorial text"), (2L, "other document entirely")
+    ).toDF("docId", "content")
+    val plainCfg = IndexConfig(analyzerMode = "indri",
+      blockSize = 16, numBuckets = 2)
+    val plainEng = new Engine(spark,
+      IndexBuilder.build(plainRows, plainCfg),
+      plainCfg.analyzer, ScoringRule(method = "dirichlet"))
+    val co = plainEng.runNexi("node.js tutorial", 10)
+      .collect().map(_.getLong(0))
+    assert(co.nonEmpty) // 'tutorial' matches doc1; no re-lex, no throw
+
+    // phrase constituents are already processed — a stem that collides
+    // with a stopword ('running'→porter→'run', 'run' stopped) must look
+    // up VERBATIM, not re-enter the chain and null out
+    val stemRows = Seq(
+      (1L, "<sec>running shoes fit well</sec>"),
+      (2L, "<sec>unrelated text entirely</sec>")
+    ).toDF("docId", "content")
+    val stemCfg = IndexConfig(analyzerMode = "indri", stemmerName = "porter",
+      stopwords = Set("run"), blockSize = 16, numBuckets = 2,
+      fields = Seq(FieldSpec("sec")))
+    val stemEng = new Engine(spark, IndexBuilder.build(stemRows, stemCfg),
+      stemCfg.analyzer, ScoringRule(method = "dirichlet"))
+    val ph = stemEng.runNexi("""//sec[about(., "running shoes")]""", 10)
+      .collect().map(_.getLong(0))
+    assert(ph.contains(1L), "phrase with stopword-colliding stem must match")
+  }
+
+  test("baseline root rewrites: or/max/sum → Plus, wsum → WPlus, #not rejected") {
+    val (idx, tcfg) = taggedIndex
+    val okapiEng = new Engine(spark, idx, tcfg.analyzer, ScoringRule(method = "okapi"))
+    val dfEq = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      a.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        b.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // UnweightedCombinationNode roots rewrite to PlusNode — a plain sum,
+    // identical to #combine's baseline Plus (QueryEnvironment.cpp:897-931)
+    assert(dfEq(okapiEng.runQuery("#or(merge body)", 10, useDaat = false),
+      okapiEng.runQuery("#combine(merge body)", 10, useDaat = false)))
+    assert(dfEq(okapiEng.runQuery("#max(merge body)", 10, useDaat = false),
+      okapiEng.runQuery("#combine(merge body)", 10, useDaat = false)))
+    assert(dfEq(okapiEng.runQuery("#sum(merge body)", 10, useDaat = false),
+      okapiEng.runQuery("#combine(merge body)", 10, useDaat = false)))
+    // WeightedCombinationNode root → WPlusNode (raw weights): equal
+    // weights 1.0 sum exactly like Plus
+    assert(dfEq(okapiEng.runQuery("#wsum(1.0 merge 1.0 body)", 10, useDaat = false),
+      okapiEng.runQuery("#combine(merge body)", 10, useDaat = false)))
+    // NotNode is NOT an UnweightedCombinationNode: no rewrite exists,
+    // the reference throws — and log(1−exp(okapi)) would be NaN, which
+    // Spark ranks above every real score
+    intercept[IllegalArgumentException] {
+      okapiEng.runQuery("#not(merge)", 10, useDaat = false).collect()
+    }
+    // no NaN anywhere in the rewritten results
+    val all = okapiEng.runQuery("#or(merge body)", 10, useDaat = false).collect()
+    assert(all.forall(r => !r.getDouble(1).isNaN))
+  }
 }

@@ -238,6 +238,35 @@ class WandPropertySpec extends AnyFunSuite {
       s"seeding decoded $dSeeded blocks vs cold $dCold — no decode saving")
   }
 
+  test("okapi topdocs seeding with NEGATIVE idf (df > N/2) stays exact") {
+    import spark.implicits._
+    // 'common' matches 2/3 of the corpus: okapi idf < 0, so every score
+    // is negative — a seed built by clamping per-term contributions to 0
+    // produced θ0 = 0 > the true k-th best and WAND returned EMPTY.
+    // Seeding must disable itself (partial knowledge cannot lower-bound
+    // a sum with negative terms) and results must stay exact.
+    val docs = (1L to 60L).map { i =>
+      val common = if (i <= 40) "common " else ""
+      val rare = if (i % 12 == 0) "rare " else ""
+      (i, s"$common${rare}filler$i word$i pad")
+    }.toDF("docId", "content")
+    val cfg = IndexConfig(blockSize = 8, numBuckets = 2,
+      topdocsMinDf = 5L, topdocsFraction = 0.5)
+    val idx0 = IndexBuilder.build(docs, cfg)
+    val td = IndexBuilder.buildTopdocs(idx0.postings, cfg)
+    assert(td.where(org.apache.spark.sql.functions.col("term") === "common")
+      .count() > 0, "fixture must give 'common' a topdocs list")
+    val engSeeded = new Engine(spark, idx0.copy(topdocs = td.cache()),
+      Analyzer(), ScoringRule(method = "okapi"))
+    val engPlain = new Engine(spark, idx0, Analyzer(), ScoringRule(method = "okapi"))
+    for (q <- Seq("#combine(common)", "#combine(common rare)"); k <- Seq(5, 20)) {
+      val s = run(engSeeded, q, k, "wand")
+      assert(s == run(engPlain, q, k, "wand"), s"seeded != unseeded for '$q' k=$k")
+      assert(s == run(engSeeded, q, k, "dataframe"), s"wand != dataframe for '$q' k=$k")
+      assert(s.nonEmpty, s"'$q' k=$k returned empty — unsound seed")
+    }
+  }
+
   test("LM bounds actually prune: seeded dirichlet run decodes fewer blocks") {
     // the baseMax + δ algebra must yield non-vacuous bounds — with the
     // exact k-th best as seed, the kernel must skip block decodes on a

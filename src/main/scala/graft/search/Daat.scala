@@ -176,6 +176,9 @@ object Daat {
            deleted: Set[Long] = Set.empty): DataFrame = {
     val spark = index.segments.sparkSession
     import spark.implicits._
+    // k ≤ 0 must mirror the DataFrame path's limit(k) → empty result;
+    // unguarded it reaches a zero-capacity TopKHeap whose peek() NPEs
+    if (k <= 0) return Seq.empty[(Long, Double)].toDF("docId", "score")
     val terms = p.terms.map(_.term).toSeq
     val bcPlan = spark.sparkContext.broadcast(p)
     val bcDeleted = spark.sparkContext.broadcast(deleted)
@@ -206,6 +209,7 @@ object Daat {
                      deleted: Set[Long] = Set.empty): DataFrame = {
     val spark = index.segments.sparkSession
     import spark.implicits._
+    if (k <= 0) return Seq.empty[(Long, Double)].toDF("docId", "score")
     val termSet = p.leaves.flatMap(l =>
       if (l.window == null) Seq(l.term) else l.window.terms.toSeq).distinct.toSeq
     val bcPlan = spark.sparkContext.broadcast(p)
@@ -1012,6 +1016,7 @@ object Daat {
   def wandLoop(cursors: Array[DaatCursor], baseMax: Double, k: Int,
                exhaustive: Boolean, seedTheta: Double, deleted: Set[Long],
                scoreDoc: Long => Double): Seq[(Long, Double)] = {
+    if (k <= 0) return Nil // zero-capacity TopKHeap would NPE on peek()
     val nTerms = cursors.length
     val heap = new TopKHeap(k)
     val order = (0 until nTerms).toArray // cursor indices sorted by current doc

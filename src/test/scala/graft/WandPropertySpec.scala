@@ -165,6 +165,20 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("flat and structured kernels: k=0 returns empty like limit(0), no heap NPE") {
+    // a zero-capacity TopKHeap NPEs on peek() — the kernel entries must
+    // short-circuit k ≤ 0 to the DataFrame path's limit(0) = empty
+    val engine = new Engine(spark, index, Analyzer(), ScoringRule(method = "okapi"))
+    assert(run(engine, "#combine(return license)", 0, "wand").isEmpty)
+    assert(run(engine, "#combine(return license)", 0, "dataframe").isEmpty)
+    val lmEng = new Engine(spark, index, Analyzer(), ScoringRule(method = "dirichlet"))
+    assert(run(lmEng, "#combine(return license)", 0, "wand").isEmpty)
+    val st = lmEng.runStructured(QueryParser.parse("#combine(#od1(return license) val)"), 0)
+    assert(st.isDefined && st.get.collect().isEmpty)
+    // direct kernel entry: no heap is constructed at k=0
+    assert(Daat.wand(Array.empty[Daat.Cursor], Daat.plan(Nil), 0, exhaustive = false).isEmpty)
+  }
+
   test("LM topdocs seeding stays exact") {
     val td = IndexBuilder.buildTopdocs(index.postings,
       IndexConfig(topdocsMinDf = 20L, topdocsFraction = 0.05))

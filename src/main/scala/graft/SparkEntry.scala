@@ -1946,6 +1946,65 @@ object SparkEntry {
         .orderBy("doc_id", "qid")
     }),
 
+    "q_kba_stream_scores" -> ((s, dir) => {
+      // the KBA fork's five-model stream scoring pass
+      // (kba/StreamThread.cc:220-240): BM25/BM25Ext/LanguageModel/
+      // LanguageModelExt/KLDivergence per (candidate doc × entity).
+      // Title tokens keep 1-char words and stopwords (no filter);
+      // body tokens need length > 2 and pass the stop set.
+      import graft.streaming.KbaScorers
+      val docs = documents(s, dir).select(col("doc_id"),
+        concat(lit("a "), col("lang"), lit(" kba doc")).as("title"),
+        col("text").as("body"))
+      val entities = Seq(
+        KbaScorers.KbaEntity("e1", Seq("data", "merge"),
+          Seq("data", "merge", "query", "join")),
+        KbaScorers.KbaEntity("e2", Seq("query", "join"), Nil))
+      KbaScorers.scoreStreams(docs, entities, stopwords = Set("the", "a"),
+          idCol = "doc_id", titleCol = "title", bodyCol = "body")
+        .select(col("docId").as("doc_id"), col("entity"), col("model"),
+          round(col("score"), 6).as("score"), col("scoreInt").cast(LongType).as("score_int"))
+        .orderBy("doc_id", "entity", "model")
+    }),
+
+    "q_kba_lm_psg" -> ((s, dir) => {
+      // FilterThread's LM-passage rerank (kba/FilterThread.cc:173-230):
+      // indri dirichlet retrieval, then each doc rescored as one
+      // whole-document passage by LanguageModelPsg — whose constructor
+      // IGNORES its mu argument (always 2500, LanguageModelPsg.cc:8)
+      import graft.streaming.KbaScorers
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      KbaScorers.lmPassageRerank(eng,
+          Seq(("e1", "data merge"), ("e2", "query join")), requested = 10000)
+        .select(col("docId").as("doc_id"), col("qid"),
+          round(col("psgScore"), 6).as("psg_score"),
+          round(col("indriScore"), 6).as("indri_score"))
+        .orderBy("qid", "doc_id")
+    }),
+
+    "q_webtrack_psg" -> ((s, dir) => {
+      // webtrack clue.cc max-passage rerank: chunked passages (40-token
+      // chunks, 10-token carried window at this fixture scale), best
+      // chunk per document, ranked per query. k covers every candidate
+      // so the oracle's candidate set is cut-free; ranks are computed
+      // on the 6dp-rounded score on BOTH engines.
+      import graft.search.WebTrackRerank
+      import org.apache.spark.sql.expressions.Window
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      val out = WebTrackRerank.maxPassageRerank(eng, corpusDocs(s, dir),
+        Seq(("e1", "data merge"), ("e2", "query join")),
+        stopwords = Set("the", "a"), k = 10000, passageSz = 40, windowSz = 10)
+      val rounded = out.select(col("docId").as("doc_id"), col("qid"),
+        round(col("score"), 6).as("score"))
+      rounded
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("doc_id").asc)).cast(LongType))
+        .orderBy("qid", "doc_id")
+    }),
+
     // ---- dedup suite ----
     "q_dedup_exact" -> ((s, dir) =>
       TextPipeline.exactDedup(documents(s, dir), "doc_id", "text")
@@ -3640,6 +3699,165 @@ object SparkEntry {
          |)
          |SELECT doc_id, qid, round(s, 6) AS score FROM u ORDER BY doc_id, qid""".stripMargin
     },
+
+    // five-model KBA stream scoring (StreamThread scorer list); the CTE
+    // mirrors createMinimalParsedStream token rules (title unfiltered,
+    // body len>2 + stop set), the int-truncated averageDocSize, and the
+    // per-entity parameter algebra of KbaScorers.scoreStreams
+    "q_kba_stream_scores" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'a ' || lang || ' kba doc' AS title, text AS body FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(title), '\s+'), t -> len(t) > 0) AS ttoks,
+        |    list_filter(string_split_regex(lower(body), '\s+'),
+        |                t -> len(t) > 2 AND t NOT IN ('the','a')) AS btoks
+        |  FROM base
+        |), z AS (
+        |  SELECT doc_id, len(ttoks) + len(btoks) AS sz FROM tk
+        |), totals AS (
+        |  SELECT (SELECT count(*) FROM z) AS n,
+        |         (SELECT sum(sz) FROM z)::DOUBLE AS c,
+        |         trunc((SELECT sum(sz) FROM z)::DOUBLE / (SELECT count(*) FROM z) + 0.5)::BIGINT AS avgd
+        |), m AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_concat(ttoks, btoks)) AS term FROM tk
+        |  ) WHERE term IN ('data','merge','query','join')
+        |  GROUP BY doc_id, term
+        |), ts AS (
+        |  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM m GROUP BY term
+        |), params(entity, term, dup_lab, dup_abs, kl_freq) AS (
+        |  VALUES ('e1','data',1,1,1),('e1','merge',1,1,1),('e1','query',0,1,1),
+        |         ('e1','join',0,1,1),('e2','query',1,0,1),('e2','join',1,0,1)
+        |), consts(entity, n_lab, n_abs, qsz, has_abs, kl_sum) AS (
+        |  VALUES ('e1',2,4,4,true,4),('e2',2,0,2,false,2)
+        |), tp AS (
+        |  SELECT p.entity, p.term, p.dup_lab, p.dup_abs, p.kl_freq,
+        |    ln((t.n - coalesce(s.df,0) + 0.5)/(coalesce(s.df,0) + 0.5)) AS idf,
+        |    2500.0 * coalesce(s.cf,0) / t.c AS mu_cf,
+        |    CASE WHEN 2500.0 * coalesce(s.cf,0) / t.c > 0.0001
+        |         THEN ln(2500.0 * coalesce(s.cf,0) / t.c) ELSE 0.0 END AS unm
+        |  FROM params p LEFT JOIN ts s USING(term) CROSS JOIN totals t
+        |), ec AS (
+        |  SELECT entity, sum(dup_lab * unm) AS lm_const,
+        |         sum(dup_abs * unm) AS lmx_const, sum(kl_freq * unm) AS kl_const
+        |  FROM tp GROUP BY entity
+        |), r0 AS (
+        |  SELECT m.doc_id, p.entity, m.tf, z.sz,
+        |    p.dup_lab, p.dup_abs, p.kl_freq, p.idf, p.mu_cf, p.unm,
+        |    0.4375 + (z.sz::DOUBLE / t.avgd) * 1.3125 AS denom
+        |  FROM m JOIN tp p USING(term) JOIN z USING(doc_id) CROSS JOIN totals t
+        |), agg AS (
+        |  SELECT doc_id, entity, max(sz) AS sz,
+        |    sum(dup_lab * idf * tf / (tf + denom)) AS bm_sum,
+        |    sum(dup_abs * idf * tf / (tf + denom)) AS bmx_sum,
+        |    sum(dup_lab * (ln(tf + mu_cf) - unm)) AS lm_delta,
+        |    sum(dup_abs * (ln(tf + mu_cf) - unm)) AS lmx_delta,
+        |    sum(kl_freq * (ln(tf + mu_cf) - unm)) AS kl_delta,
+        |    max(CASE WHEN dup_lab > 0 THEN 1 ELSE 0 END) AS is_cand
+        |  FROM r0 GROUP BY doc_id, entity
+        |), sc AS (
+        |  SELECT a.doc_id, a.entity,
+        |    a.bm_sum AS bm25,
+        |    CASE WHEN c.has_abs THEN a.bmx_sum ELSE 0.0 END AS bm25ext,
+        |    e.lm_const + a.lm_delta - c.n_lab * ln(a.sz + 2500.0) AS lm,
+        |    CASE WHEN c.has_abs
+        |         THEN e.lmx_const + a.lmx_delta - c.n_abs * ln(a.sz + 2500.0)
+        |         ELSE 0.0 END AS lmext,
+        |    (e.kl_const + a.kl_delta - c.kl_sum * ln(a.sz + 2500.0)) / c.qsz AS kl
+        |  FROM agg a JOIN consts c USING(entity) JOIN ec e USING(entity)
+        |  WHERE a.is_cand = 1
+        |), st AS (
+        |  SELECT doc_id, entity, 'BM25' AS model, bm25 AS s FROM sc
+        |  UNION ALL SELECT doc_id, entity, 'BM25Ext', bm25ext FROM sc
+        |  UNION ALL SELECT doc_id, entity, 'LanguageModel', lm FROM sc
+        |  UNION ALL SELECT doc_id, entity, 'LanguageModelExt', lmext FROM sc
+        |  UNION ALL SELECT doc_id, entity, 'KLDivergence', kl FROM sc
+        |)
+        |SELECT doc_id, entity, model, round(s, 6) AS score, trunc(s)::BIGINT AS score_int
+        |FROM st WHERE trunc(s) > -99999
+        |ORDER BY doc_id, entity, model""".stripMargin,
+
+    // FilterThread LM-passage rerank: dirichlet retrieval (mean-of-logs
+    // #combine) + whole-document LanguageModelPsg rescore at mu=2500
+    // (the ignored-ctor-argument quirk); psgSz = doclen because the
+    // fixture analyzer has no stopwords (no [OOV] slots to drop)
+    "q_kba_lm_psg" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term, doc_id
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term
+         |), q(qid, term) AS (
+         |  VALUES ('e1','data'),('e1','merge'),('e2','query'),('e2','join')
+         |), cand AS (
+         |  SELECT DISTINCT q.qid, p.doc_id FROM q JOIN p USING(term)
+         |), grid AS (
+         |  SELECT c.qid, c.doc_id, q.term, coalesce(p.tf, 0) AS tf, t.ctf
+         |  FROM cand c JOIN q ON q.qid = c.qid JOIN ctf t ON t.term = q.term
+         |  LEFT JOIN p ON p.doc_id = c.doc_id AND p.term = q.term
+         |), sc AS (
+         |  SELECT g.qid, g.doc_id,
+         |    sum(ln((g.tf + 2500.0 * g.ctf / st.tt) / (dl.doclen + 2500.0))) / 2 AS isc,
+         |    sum(ln(g.tf + 2500.0 * g.ctf / st.tt) - ln(dl.doclen + 2500.0)) AS psc
+         |  FROM grid g JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY g.qid, g.doc_id
+         |)
+         |SELECT doc_id, qid, round(psc, 6) AS psg_score, round(isc, 6) AS indri_score
+         |FROM sc ORDER BY qid, doc_id""".stripMargin,
+
+    // webtrack max-passage rerank: chunk k covers filtered-token range
+    // [k·stride, k·stride+P) with the final flush chunk running to the
+    // end; per-chunk dirichlet LM; best chunk per doc; ranks on the
+    // rounded score (the reference's std::sort is unstable on ties —
+    // docId asc is the deterministic stand-in both engines use)
+    "q_webtrack_psg" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT term, doc_id FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term, doc_id
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term
+         |), q(qid, term) AS (
+         |  VALUES ('e1','data'),('e1','merge'),('e2','query'),('e2','join')
+         |), cand AS (
+         |  SELECT DISTINCT q.qid, p.doc_id FROM q JOIN p USING(term)
+         |), wt AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                t -> len(t) > 1 AND t NOT IN ('the','a')) AS toks
+         |  FROM documents
+         |), ck AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) > 40
+         |         THEN floor((len(toks) - 41.0) / 30.0)::BIGINT + 1 ELSE 0 END AS f
+         |  FROM wt WHERE len(toks) > 0
+         |), chunks AS (
+         |  SELECT doc_id, unnest(range(0, f + 1)) AS k, toks, n, f FROM ck
+         |), sliced AS (
+         |  SELECT doc_id, k, toks[(k*30 + 1):(CASE WHEN k < f THEN k*30 + 40 ELSE n END)] AS ctoks,
+         |    (CASE WHEN k < f THEN k*30 + 40 ELSE n END) - k*30 AS clen
+         |  FROM chunks
+         |), csc AS (
+         |  SELECT s2.doc_id, q.qid, s2.k,
+         |    sum( ln(len(list_filter(s2.ctoks, x -> x = q.term)) + 2500.0 * c.ctf / st.tt)
+         |         - ln(s2.clen + 2500.0) ) AS s
+         |  FROM sliced s2 CROSS JOIN st
+         |  JOIN q ON true JOIN ctf c ON c.term = q.term
+         |  GROUP BY s2.doc_id, q.qid, s2.k
+         |), best AS (
+         |  SELECT c2.doc_id, c2.qid, round(max(c2.s), 6) AS score
+         |  FROM csc c2 JOIN cand ON cand.doc_id = c2.doc_id AND cand.qid = c2.qid
+         |  GROUP BY c2.doc_id, c2.qid
+         |)
+         |SELECT doc_id, qid, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |FROM best ORDER BY qid, doc_id""".stripMargin,
 
     "q_field_restrict" ->
       s"""$DTok

@@ -1,0 +1,335 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.KrovetzStemmer
+import graft.search.Engine
+
+/** The TREC-KBA fork's multi-model stream scorer family — the five
+  * scorers `StreamThread::spawnParserNScorers` wires into the per-day
+  * scoring pass (reference: kba/StreamThread.cc:220-240):
+  *
+  *   - BM25Scorer        over entity LABEL tokens   (kba/BM25Scorer.cc)
+  *   - BM25ScorerExt     over entity ABSTRACT tokens (kba/BM25ScorerExt.cc)
+  *   - LanguageModel     over LABEL tokens           (kba/LanguageModel.cc)
+  *   - LanguageModelExt  over ABSTRACT tokens        (kba/LanguageModelExt.cc)
+  *   - KLDivergence      over the abstract term-frequency map, falling
+  *     back to the label map when no abstract exists (kba/KLDivergence.cc)
+  *
+  * Document side (reference: createMinimalParsedStream,
+  * kba-common/StreamUtils.cc:43-73): title+anchor tokens are whitespace-
+  * split and lowercased with NO stop/length filter; body tokens are
+  * lowercased and kept only when not a stopword AND longer than 2 chars;
+  * `size` = title tokens + kept body tokens. Background statistics are
+  * gathered over the SAME token space (StreamThread.hpp:89-118: df = docs
+  * whose tokenFreq contains the term, cf = Σ tf) with
+  * averageDocSize = (int)(collectionSize/totalDocs + 0.5) — the
+  * reference truncates the average to int (StreamThread.cc:60-64).
+  *
+  * Candidate rule (StreamThread.cc:85-95): a document is scored for an
+  * entity iff ≥1 LABEL token occurs in its tokenFreq — abstract-only
+  * matches are not candidates, but every candidate gets all five model
+  * scores (BM25ScorerExt/LanguageModelExt return 0 for entities without
+  * abstract tokens). Emitted scores are `(int)` truncations kept when
+  * > −99999 (StreamThread.cc:99-101); we emit the double alongside.
+  *
+  * Faithfulness notes, pinned in KbaScorersSpec:
+  *  - BM25 scorers: k1=1.75, b=0.75, okapi idf ln((N−df+0.5)/(df+0.5));
+  *    a query term absent from the document contributes 0 (the
+  *    out_of_range catch). The reference caches `_denominatorFactor`
+  *    from the FIRST document a scorer instance touches and reuses it
+  *    for every later document (BM25Scorer.cc:60-64) — under the
+  *    reference's thread pool that first document is a data race, so the
+  *    quirk has no deterministic semantics to mirror; we compute the
+  *    per-document denominator k1(1−b) + (size/avgDocSize)·k1·b the
+  *    formula evidently intends (same choice as StreamFilter.score).
+  *  - LM family: per-term score s(w,d) = ln(tf + μ·cf_w/C) − ln(size+μ)
+  *    with μ=2500, and totalFreq ≤ 1e-4 → the log is replaced by 0
+  *    (LanguageModel.cc:58-66). Per document the reference CACHES term
+  *    scores in the shared `langModelProb` map, so KLDivergence — which
+  *    runs after LanguageModel/LanguageModelExt in the scorer list and
+  *    whose query map is always a subset of label∪abstract tokens —
+  *    always reuses the LM-form cached value: its own `>= 1e-4`
+  *    unlogged-tiny branch (KLDivergence.cc:62-66) is dead code in the
+  *    integrated pipeline, and KL = Σ_w freq_w·s(w,d) / querySize.
+  */
+object KbaScorers {
+
+  /** Entity with caller-supplied token vectors (duplicates meaningful —
+    * scores sum per OCCURRENCE). The abstract term-frequency map the KL
+    * scorer uses (`entity->textFreq`) is the frequency map over
+    * abstractTokens (reference: WikiEntity.cc updateEntityWithAbstract);
+    * the label fallback uses labelMap = freq over labelTokens.
+    */
+  final case class KbaEntity(id: String, labelTokens: Seq[String],
+                             abstractTokens: Seq[String])
+
+  private val K1 = 1.75
+  private val B = 0.75
+  private val K1b = K1 * B           // 1.3125
+  private val K1minusB = K1 * (1 - B) // 0.4375
+  private val Mu = 2500.0
+
+  val Models: Seq[String] =
+    Seq("BM25", "BM25Ext", "LanguageModel", "LanguageModelExt", "KLDivergence")
+
+  /** createMinimalParsedStream's two token columns: (titleToks, bodyToks).
+    * Title/anchor: whitespace split, lowercase, everything kept.
+    * Body: lowercase, drop stopwords and tokens of length ≤ 2.
+    */
+  private def tokenCols(titleCol: String, bodyCol: String,
+                        stopwords: Set[String]): (Column, Column) = {
+    def ws(c: String) =
+      filter(split(lower(col(c)), "\\s+"), t => length(t) > 0)
+    val body0 = filter(ws(bodyCol), t => length(t) > 2)
+    val body =
+      if (stopwords.isEmpty) body0
+      else filter(body0, t => !t.isInCollection(stopwords.toSeq))
+    (ws(titleCol), body)
+  }
+
+  /** Score every (candidate document × entity) with all five models.
+    * Background statistics come from `docs` itself — the second-pass
+    * shape, where the first pass has accumulated the full day's stats
+    * before any scoring (StreamThread firstPass → update()).
+    *
+    * Returns (docId, entity, model, score, scoreInt) for scores whose
+    * int truncation is > −99999. One token scan builds the per-doc
+    * sizes; one builds (doc, term, tf) restricted to the entities' term
+    * set (a broadcast-sized filter — never the full vocabulary); term
+    * stats collapse to |terms| driver rows; scoring is one broadcast
+    * join + one groupBy(docId, entity) — no all-pairs anywhere.
+    */
+  def scoreStreams(docs: DataFrame, entities: Seq[KbaEntity],
+                   stopwords: Set[String] = Set.empty,
+                   idCol: String = "docId", titleCol: String = "title",
+                   bodyCol: String = "body"): DataFrame = {
+    val spark = docs.sparkSession
+    require(entities.nonEmpty, "at least one entity")
+    val (titleToks, bodyToks) = tokenCols(titleCol, bodyCol, stopwords)
+    val withToks = docs.select(col(idCol).cast("long").as("docId"),
+      concat(titleToks, bodyToks).as("toks"))
+    val sized = withToks.select(col("docId"), size(col("toks")).as("sz"))
+
+    val qTerms: Seq[String] = entities
+      .flatMap(e => e.labelTokens ++ e.abstractTokens).distinct
+    val matched = withToks
+      .select(col("docId"), explode(col("toks")).as("term"))
+      .where(col("term").isin(qTerms: _*))
+      .groupBy("docId", "term").agg(count(lit(1)).as("tf"))
+
+    // background stats: totals + per-term (df, cf) in the SAME token space
+    val totalsRow = sized.agg(count(lit(1)), sum(col("sz"))).head()
+    val totalDocs = totalsRow.getLong(0)
+    val collSize = totalsRow.getLong(1)
+    // averageDocSize is an int in CorpusStat — (int)(avg + 0.5)
+    val avgDocSize = (collSize.toDouble / totalDocs + 0.5).toInt
+    val termStats: Map[String, (Long, Long)] = matched
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def idfOf(t: String): Double = {
+      val df = termStats.get(t).map(_._1).getOrElse(0L).toDouble
+      math.log((totalDocs - df + 0.5) / (df + 0.5))
+    }
+    def muCfOf(t: String): Double = {
+      val cf = termStats.get(t).map(_._2).getOrElse(0L).toDouble
+      Mu * cf / collSize
+    }
+    // unmatched-term LM contribution before the −ln(size+μ) part:
+    // totalFreq = μ·cf/C; > 1e-4 → ln, else 0 (LanguageModel.cc:60-63)
+    def unmOf(t: String): Double = {
+      val m = muCfOf(t)
+      if (m > 0.0001) math.log(m) else 0.0
+    }
+
+    def freqMap(ts: Seq[String]): Map[String, Int] =
+      ts.groupBy(identity).map { case (t, o) => t -> o.size }
+
+    // per-(entity, term) parameter rows for the broadcast join
+    val paramRows = entities.flatMap { e =>
+      val lab = freqMap(e.labelTokens)
+      val abs = freqMap(e.abstractTokens)
+      val kl = if (e.abstractTokens.nonEmpty) abs else lab
+      (lab.keySet ++ abs.keySet).toSeq.sorted.map { t =>
+        (e.id, t, lab.getOrElse(t, 0), abs.getOrElse(t, 0),
+          kl.getOrElse(t, 0), idfOf(t), muCfOf(t), unmOf(t))
+      }
+    }
+    import spark.implicits._
+    val params = paramRows
+      .toDF("entity", "term", "dupLab", "dupAbs", "klFreq", "idf", "muCf", "unm")
+
+    // per-entity constants (the query-side sums independent of the doc)
+    val constRows = entities.map { e =>
+      val lab = freqMap(e.labelTokens)
+      val abs = freqMap(e.abstractTokens)
+      val klM = if (e.abstractTokens.nonEmpty) abs else lab
+      val qsz = if (e.abstractTokens.nonEmpty) e.abstractTokens.size
+                else e.labelTokens.size
+      (e.id,
+        lab.map { case (t, n) => n * unmOf(t) }.sum,          // lmConst
+        e.labelTokens.size,                                    // nLab
+        abs.map { case (t, n) => n * unmOf(t) }.sum,          // lmExtConst
+        e.abstractTokens.size,                                 // nAbs
+        klM.map { case (t, n) => n * unmOf(t) }.sum,          // klConst
+        klM.values.sum,                                        // klFreqSum
+        qsz,
+        e.abstractTokens.nonEmpty)
+    }
+    val consts = constRows.toDF("entity", "lmConst", "nLab", "lmExtConst",
+      "nAbs", "klConst", "klFreqSum", "qsz", "hasAbs")
+
+    val denom = lit(K1minusB) +
+      (col("sz").cast("double") / lit(avgDocSize.toDouble)) * lit(K1b)
+    val bmTerm = col("idf") * col("tf") / (col("tf") + denom)
+    val lmDelta = log(col("tf") + col("muCf")) - col("unm")
+
+    val agg = matched
+      .join(sized, "docId")
+      .join(broadcast(params), "term")
+      .groupBy("docId", "entity")
+      .agg(
+        first(col("sz")).as("sz"),
+        sum(col("dupLab") * bmTerm).as("bmSum"),
+        sum(col("dupAbs") * bmTerm).as("bmExtSum"),
+        sum(col("dupLab") * lmDelta).as("lmDelta"),
+        sum(col("dupAbs") * lmDelta).as("lmExtDelta"),
+        sum(col("klFreq") * lmDelta).as("klDelta"),
+        max(when(col("dupLab") > 0, 1).otherwise(0)).as("isCand"))
+      .where(col("isCand") === 1)
+      .join(broadcast(consts), "entity")
+
+    val lnSz = log(col("sz").cast("double") + lit(Mu))
+    val scored = agg.select(
+      col("docId"), col("entity"),
+      col("bmSum").as("BM25"),
+      when(col("hasAbs"), col("bmExtSum")).otherwise(0.0).as("BM25Ext"),
+      (col("lmConst") + col("lmDelta") - col("nLab") * lnSz).as("LanguageModel"),
+      when(col("hasAbs"),
+        col("lmExtConst") + col("lmExtDelta") - col("nAbs") * lnSz)
+        .otherwise(0.0).as("LanguageModelExt"),
+      ((col("klConst") + col("klDelta") - col("klFreqSum") * lnSz)
+        / col("qsz")).as("KLDivergence"))
+
+    val stacked = scored.select(col("docId"), col("entity"),
+      expr(s"stack(5, ${Models.map(m => s"'$m', `$m`").mkString(", ")}) " +
+        "as (model, score)"))
+    stacked
+      .withColumn("scoreInt", col("score").cast("int"))
+      .where(col("scoreInt") > -99999)
+  }
+
+  // ------------------------------------------------------------------
+  // FilterThread LM-passage rerank
+  // ------------------------------------------------------------------
+
+  /** The KBA query tokenizer (reference: Tokenize::whiteSpaceSplit,
+    * kba-common/Tokenize.cc:85-130, called with charLimit=1, lower,
+    * stem): whitespace split, keep tokens LONGER than 1 char, lowercase,
+    * drop stopwords (checked on the lowered unstemmed form), then
+    * Krovetz-stem. Duplicates and order are preserved.
+    */
+  def kbaQueryTokens(text: String, stopwords: Set[String] = Set.empty): Seq[String] =
+    text.split("\\s+").toSeq.filter(_.length > 1).map(_.toLowerCase)
+      .filterNot(stopwords.contains)
+      .map(KrovetzStemmer.stem)
+
+  /** FilterThread's per-day LM rerank (reference: FilterThread.cc
+    * process → scoreAndDump): run each standing query through the
+    * engine (the indri retrieval, up to `requested` results), rebuild
+    * each retrieved document as a whole-document "mother passage" from
+    * its document vector with [OOV]/stopped slots dropped
+    * (PassageModel::constructDocFromVector + createPassage with
+    * discardJunk, kba/PassageModel.cc:75-100), and rescore it with
+    * LanguageModelPsg against the background index statistics:
+    *
+    *   score(q, d) = Σ_{w ∈ textVector}
+    *     ln(psgTf(w) + μ·cf_w/C) − ln(psgSz + μ)
+    *
+    * with the quirk that a term with psgTf==0 AND cf==0 scores with
+    * cf=1 (LanguageModelPsg.cc:23-30). μ is pinned at 2500 NO MATTER
+    * the argument — the reference constructor
+    * `LanguageModelPsg(float mu) : _mu(2500)` ignores its parameter, so
+    * FilterThread's `pmodel(5000)` runs at 2500 (LanguageModelPsg.cc:8;
+    * FilterThread.cc:280). Background = the engine's own corpus stats
+    * (updateModel reads termCount()/termCount(term) from the query
+    * environment, FilterThread.cc:144-161).
+    *
+    * Returns (docId, qid, psgScore, indriScore) for every retrieved
+    * document; the reference then truncates both to int and keeps the
+    * top-100 by int psg score (dump-side formatting we leave to the
+    * caller).
+    */
+  def lmPassageRerank(eng: Engine, queries: Seq[(String, String)],
+                      stopwords: Set[String] = Set.empty,
+                      requested: Int = 10000,
+                      mu: Double = 5000.0): DataFrame = {
+    val muEff = Mu // reference ctor bug: the argument is ignored
+    val spark = eng.index.segments.sparkSession
+    import spark.implicits._
+
+    // one retrieval per standing query (the reference reruns the indri
+    // query per day-index; qids are few — entities, not documents)
+    val perQuery = queries.map { case (qid, text) =>
+      val res = eng.runQuery(s"#combine($text)", requested)
+        .select(col("docId"), col("score").as("indriScore"))
+      (qid, kbaQueryTokens(text, stopwords), res)
+    }
+    val candidates = perQuery.map { case (qid, _, res) =>
+      res.select(col("docId"), lit(qid).as("qid"), col("indriScore"))
+    }.reduce(_.unionByName(_))
+
+    val ids = candidates.select("docId").distinct()
+    val dv = eng.documentVectors(ids) // (docId, pos, term) — non-null slots
+    val psgSz = dv.groupBy("docId").agg(count(lit(1)).as("psgSz"))
+
+    val allTerms = perQuery.flatMap(_._2).distinct
+    val tf = dv.where(col("term").isin(allTerms: _*))
+      .groupBy("docId", "term").agg(count(lit(1)).as("tf"))
+
+    val collSize = eng.index.stats.totalTerms.toDouble
+    val ctfMap: Map[String, Long] = eng.index.dictionary
+      .where(col("term").isin(allTerms: _*))
+      .select("term", "ctf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // per-term constants: base = the unmatched contribution's log part
+    // (cf==0 → the quirk's cf=1); matched delta = ln(tf + μ·cf/C) − base
+    // (NO quirk on the matched side — docFreq > 0 skips it)
+    def ctfOf(t: String): Long = ctfMap.getOrElse(t, 0L)
+    def baseOf(t: String): Double = {
+      val cf = ctfOf(t)
+      math.log(muEff * (if (cf == 0L) 1.0 else cf.toDouble) / collSize)
+    }
+    val termParams = allTerms.map(t =>
+      (t, muEff * ctfOf(t) / collSize, baseOf(t)))
+      .toDF("term", "muCf", "base")
+
+    val queryConst = perQuery.map { case (qid, vec, _) =>
+      (qid, vec.map(baseOf).sum, vec.size)
+    }.toDF("qid", "qConst", "qLen")
+    // textVector duplicates: each occurrence adds its term's score
+    val queryTerms = perQuery.flatMap { case (qid, vec, _) =>
+      vec.groupBy(identity).map { case (t, o) => (qid, t, o.size) }
+    }.toDF("qid", "term", "dup")
+
+    val deltas = tf
+      .join(broadcast(termParams), "term")
+      .join(broadcast(queryTerms), "term")
+      .groupBy("docId", "qid")
+      .agg(sum(col("dup") * (log(col("tf") + col("muCf")) - col("base")))
+        .as("delta"))
+
+    candidates
+      .join(psgSz, "docId")
+      .join(deltas, Seq("docId", "qid"), "left")
+      .join(broadcast(queryConst), "qid")
+      .select(col("docId"), col("qid"),
+        (col("qConst") + coalesce(col("delta"), lit(0.0))
+          - col("qLen") * log(col("psgSz").cast("double") + lit(muEff)))
+          .as("psgScore"),
+        col("indriScore"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{Engine, ScoringRule}
+import graft.streaming.KbaScorers
+import graft.streaming.KbaScorers.KbaEntity
+
+/** Hand-computed pins for the KBA multi-model stream scorers and the
+  * FilterThread LM-passage rerank (reference: kba/StreamThread.cc,
+  * kba/BM25Scorer.cc, kba/LanguageModel(Ext).cc, kba/KLDivergence.cc,
+  * kba/FilterThread.cc, kba/LanguageModelPsg.cc).
+  */
+class KbaScorersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // --- scoreStreams fixture -----------------------------------------
+  // doc1: title tokens a/xy/big are ALL kept (no stop/len filter on the
+  //       title+anchor channel); body drops "the" (stop), "ab" (len 2)
+  // doc3: matches no entity term → never a candidate
+  private val docs = Seq(
+    (1L, "a xy Big", "data data merge the ab xyz"),
+    (2L, "t2", "query join data"),
+    (3L, "t3", "the a of")
+  ).toDF("docId", "title", "body")
+
+  private val e1 = KbaEntity("e1", Seq("data", "merge"), Seq("data", "merge", "query"))
+  private val e2 = KbaEntity("e2", Seq("query", "join"), Nil)
+
+  private lazy val scored = KbaScorers
+    .scoreStreams(docs, Seq(e1, e2), stopwords = Set("the", "a"))
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+    .toMap
+
+  // fixture stats, by hand:
+  //   sizes: doc1 = 3 title + 4 body = 7; doc2 = 1 + 3 = 4; doc3 = 1 + 0 = 1
+  //   N = 3, C = 12, avgDocSize = (int)(12/3 + 0.5) = 4
+  //   data: df 2, cf 3; merge: df 1, cf 1; query: df 1, cf 1; join: df 1, cf 1
+  private val N = 3.0
+  private val C = 12.0
+  private val Avg = 4
+  private def idf(df: Double) = math.log((N - df + 0.5) / (df + 0.5))
+  private def muCf(cf: Double) = 2500.0 * cf / C
+  private def s(tf: Double, cf: Double, sz: Double) = {
+    val total = tf + muCf(cf)
+    (if (total > 0.0001) math.log(total) else 0.0) - math.log(sz + 2500.0)
+  }
+  private def denom(sz: Double) = 0.4375 + (sz / Avg) * 1.3125
+  private def bmTerm(tf: Double, df: Double, sz: Double) =
+    idf(df) * tf / (tf + denom(sz))
+
+  test("createMinimalParsedStream token rules: title unfiltered, body len>2 + stop set") {
+    // doc1/e1 BM25 over labels (data tf=2, merge tf=1) pins size 7 —
+    // i.e. the 1-char/stopword title tokens counted, "the"/"ab" dropped
+    val want = bmTerm(2, 2, 7) + bmTerm(1, 1, 7)
+    assert(math.abs(scored((1L, "e1", "BM25")) - want) < 1e-9)
+  }
+
+  test("averageDocSize is int-truncated (12/3 + 0.5 → 4) and feeds the BM25 denominator") {
+    val want = bmTerm(1, 1, 4) + bmTerm(1, 1, 4) // doc2/e2: query, join (tf=1 each)
+    assert(math.abs(scored((2L, "e2", "BM25")) - want) < 1e-9)
+  }
+
+  test("LanguageModel: unmatched label term contributes its background (dirichlet mu=2500)") {
+    // doc2/e1: label data matched (tf=1), merge unmatched (tf=0)
+    val want = s(1, 3, 4) + s(0, 1, 4)
+    assert(math.abs(scored((2L, "e1", "LanguageModel")) - want) < 1e-9)
+  }
+
+  test("Ext scorers return 0 for an entity without abstract tokens") {
+    assert(scored((2L, "e2", "BM25Ext")) == 0.0)
+    assert(scored((2L, "e2", "LanguageModelExt")) == 0.0)
+  }
+
+  test("LanguageModelExt scores the abstract vector with background fill-ins") {
+    // doc1/e1 abstract = data(2) merge(1) query(0)
+    val want = s(2, 3, 7) + s(1, 1, 7) + s(0, 1, 7)
+    assert(math.abs(scored((1L, "e1", "LanguageModelExt")) - want) < 1e-9)
+  }
+
+  test("KLDivergence = Σ freq·s(w)/querySize over the abstract map; label fallback when empty") {
+    // e1 on doc1: abstract map {data,merge,query} each freq 1, qsz 3
+    val wantE1 = (s(2, 3, 7) + s(1, 1, 7) + s(0, 1, 7)) / 3.0
+    assert(math.abs(scored((1L, "e1", "KLDivergence")) - wantE1) < 1e-9)
+    // e2 (no abstract) on doc2: labelMap {query, join}, qsz 2
+    val wantE2 = (s(1, 1, 4) + s(1, 1, 4)) / 2.0
+    assert(math.abs(scored((2L, "e2", "KLDivergence")) - wantE2) < 1e-9)
+  }
+
+  test("candidate rule: a document matching no LABEL token is never scored") {
+    // doc1 has no e2 label token; doc3 matches nothing at all
+    assert(!scored.contains((1L, "e2", "BM25")))
+    assert(!scored.keys.exists(_._1 == 3L))
+    // but abstract terms alone do not qualify either: doc2 matches e1's
+    // label "data", so it IS a candidate — pin the full candidate set
+    assert(scored.keys.map(k => (k._1, k._2)).toSet ==
+      Set((1L, "e1"), (2L, "e1"), (2L, "e2")))
+  }
+
+  test("kbaQueryTokens: whitespace split, len > 1, lowercase, stop, kstem (in that order)") {
+    // "The" lowers to a stop word; "x" is 1 char (charLimit=1 keeps
+    // STRICTLY longer); "ab" (2 chars) survives; kstem fixed points stay
+    val got = KbaScorers.kbaQueryTokens("The Data x ab MERGE data", Set("the"))
+    assert(got == Seq("data", "ab", "merge", "data")) // duplicates + order kept
+  }
+
+  // --- lmPassageRerank ------------------------------------------------
+
+  private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 8, numBuckets = 2)
+  private val corpus = Seq(
+    (1L, "data merge data table"),
+    (2L, "query data scan"),
+    (3L, "table scan row")
+  )
+  private lazy val index = IndexBuilder.build(corpus.toDF("docId", "content"), cfg)
+  private lazy val eng = new Engine(spark, index, cfg.analyzer,
+    ScoringRule(method = "dirichlet"))
+
+  test("lmPassageRerank scores the whole-document passage at mu=2500 — the ctor IGNORES its argument") {
+    // stats: C = 4+3+3 = 10; ctf: data 3, merge 1
+    // candidates for "data merge": docs 1, 2
+    val out = KbaScorers.lmPassageRerank(eng, Seq(("q1", "data merge")),
+        requested = 10, mu = 5000.0 /* must be ignored */)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val cTot = 10.0
+    def psg(tf: Double, ctf: Double, sz: Double) =
+      math.log(tf + 2500.0 * ctf / cTot) - math.log(sz + 2500.0)
+    // doc1: data tf=2, merge tf=1, psgSz=4 (simple analyzer — no [OOV])
+    val d1 = psg(2, 3, 4) + psg(1, 1, 4)
+    // doc2: data tf=1, merge tf=0, psgSz=3
+    val d2 = psg(1, 3, 3) + psg(0, 1, 3)
+    assert(out.keySet == Set((1L, "q1"), (2L, "q1")))
+    assert(math.abs(out((1L, "q1"))._1 - d1) < 1e-9)
+    assert(math.abs(out((2L, "q1"))._1 - d2) < 1e-9)
+    // indri column = the engine's dirichlet mean-of-logs #combine score
+    def dir(tf: Double, ctf: Double, dl: Double) =
+      math.log((tf + 2500.0 * ctf / cTot) / (dl + 2500.0))
+    assert(math.abs(out((1L, "q1"))._2 - (dir(2, 3, 4) + dir(1, 1, 4)) / 2) < 1e-9)
+  }
+
+  test("lmPassageRerank cf==0 quirk: an unmatched OOV query term scores with collFreq=1") {
+    // "zzz" never occurs: tf=0 AND cf=0 → the reference substitutes
+    // collFreq=1 (LanguageModelPsg.cc:23-30)
+    val out = KbaScorers.lmPassageRerank(eng, Seq(("q2", "data zzz")), requested = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cTot = 10.0
+    def psg(tf: Double, cfEff: Double, sz: Double) =
+      math.log(tf + 2500.0 * cfEff / cTot) - math.log(sz + 2500.0)
+    val d2 = psg(1, 3, 3) + psg(0, 1 /* quirk */, 3)
+    assert(math.abs(out(2L) - d2) < 1e-9)
+  }
+}

@@ -540,6 +540,83 @@ object SparkEntry {
       |  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM d
       |)""".stripMargin
 
+  /** Shared DuckDB CTE for the KBA stream-scorer oracles: mirrors
+    * createMinimalParsedStream token rules (title unfiltered, body
+    * len>2 + stop set), the int-truncated averageDocSize, and the
+    * per-entity parameter algebra of KbaScorers.scoreStreams; ends at
+    * `st(doc_id, entity, model, s)` — one row per candidate × model.
+    */
+  private val KbaStreamCte =
+    """WITH base AS (
+      |  SELECT doc_id, 'a ' || lang || ' kba doc' AS title, text AS body FROM documents
+      |), tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(title), '\s+'), t -> len(t) > 0) AS ttoks,
+      |    list_filter(string_split_regex(lower(body), '\s+'),
+      |                t -> len(t) > 2 AND t NOT IN ('the','a')) AS btoks
+      |  FROM base
+      |), z AS (
+      |  SELECT doc_id, len(ttoks) + len(btoks) AS sz FROM tk
+      |), totals AS (
+      |  SELECT (SELECT count(*) FROM z) AS n,
+      |         (SELECT sum(sz) FROM z)::DOUBLE AS c,
+      |         trunc((SELECT sum(sz) FROM z)::DOUBLE / (SELECT count(*) FROM z) + 0.5)::BIGINT AS avgd
+      |), m AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_concat(ttoks, btoks)) AS term FROM tk
+      |  ) WHERE term IN ('data','merge','query','join')
+      |  GROUP BY doc_id, term
+      |), ts AS (
+      |  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM m GROUP BY term
+      |), params(entity, term, dup_lab, dup_abs, kl_freq) AS (
+      |  VALUES ('e1','data',1,1,1),('e1','merge',1,1,1),('e1','query',0,1,1),
+      |         ('e1','join',0,1,1),('e2','query',1,0,1),('e2','join',1,0,1)
+      |), consts(entity, n_lab, n_abs, qsz, has_abs, kl_sum) AS (
+      |  VALUES ('e1',2,4,4,true,4),('e2',2,0,2,false,2)
+      |), tp AS (
+      |  SELECT p.entity, p.term, p.dup_lab, p.dup_abs, p.kl_freq,
+      |    ln((t.n - coalesce(s.df,0) + 0.5)/(coalesce(s.df,0) + 0.5)) AS idf,
+      |    2500.0 * coalesce(s.cf,0) / t.c AS mu_cf,
+      |    CASE WHEN 2500.0 * coalesce(s.cf,0) / t.c > 0.0001
+      |         THEN ln(2500.0 * coalesce(s.cf,0) / t.c) ELSE 0.0 END AS unm
+      |  FROM params p LEFT JOIN ts s USING(term) CROSS JOIN totals t
+      |), ec AS (
+      |  SELECT entity, sum(dup_lab * unm) AS lm_const,
+      |         sum(dup_abs * unm) AS lmx_const, sum(kl_freq * unm) AS kl_const
+      |  FROM tp GROUP BY entity
+      |), r0 AS (
+      |  SELECT m.doc_id, p.entity, m.tf, z.sz,
+      |    p.dup_lab, p.dup_abs, p.kl_freq, p.idf, p.mu_cf, p.unm,
+      |    0.4375 + (z.sz::DOUBLE / t.avgd) * 1.3125 AS denom
+      |  FROM m JOIN tp p USING(term) JOIN z USING(doc_id) CROSS JOIN totals t
+      |), agg AS (
+      |  SELECT doc_id, entity, max(sz) AS sz,
+      |    sum(dup_lab * idf * tf / (tf + denom)) AS bm_sum,
+      |    sum(dup_abs * idf * tf / (tf + denom)) AS bmx_sum,
+      |    sum(dup_lab * (ln(tf + mu_cf) - unm)) AS lm_delta,
+      |    sum(dup_abs * (ln(tf + mu_cf) - unm)) AS lmx_delta,
+      |    sum(kl_freq * (ln(tf + mu_cf) - unm)) AS kl_delta,
+      |    max(CASE WHEN dup_lab > 0 THEN 1 ELSE 0 END) AS is_cand
+      |  FROM r0 GROUP BY doc_id, entity
+      |), sc AS (
+      |  SELECT a.doc_id, a.entity,
+      |    a.bm_sum AS bm25,
+      |    CASE WHEN c.has_abs THEN a.bmx_sum ELSE 0.0 END AS bm25ext,
+      |    e.lm_const + a.lm_delta - c.n_lab * ln(a.sz + 2500.0) AS lm,
+      |    CASE WHEN c.has_abs
+      |         THEN e.lmx_const + a.lmx_delta - c.n_abs * ln(a.sz + 2500.0)
+      |         ELSE 0.0 END AS lmext,
+      |    (e.kl_const + a.kl_delta - c.kl_sum * ln(a.sz + 2500.0)) / c.qsz AS kl
+      |  FROM agg a JOIN consts c USING(entity) JOIN ec e USING(entity)
+      |  WHERE a.is_cand = 1
+      |), st AS (
+      |  SELECT doc_id, entity, 'BM25' AS model, bm25 AS s FROM sc
+      |  UNION ALL SELECT doc_id, entity, 'BM25Ext', bm25ext FROM sc
+      |  UNION ALL SELECT doc_id, entity, 'LanguageModel', lm FROM sc
+      |  UNION ALL SELECT doc_id, entity, 'LanguageModelExt', lmext FROM sc
+      |  UNION ALL SELECT doc_id, entity, 'KLDivergence', kl FROM sc
+      |)""".stripMargin
+
   /** shared by q_decontaminate and its Bloom-pre-filtered twin — the
     * Bloom pass must be output-identical to the exact operator
     */
@@ -1965,6 +2042,28 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("entity"), col("model"),
           round(col("score"), 6).as("score"), col("scoreInt").cast(LongType).as("score_int"))
         .orderBy("doc_id", "entity", "model")
+    }),
+
+    "q_kba_pool" -> ((s, dir) => {
+      // ResultPool retention (top-100 per entity×model above the
+      // initScore cutoff, kba/ResultPool.hpp:53-80) + publishResult
+      // dump lines (StreamThread.cc:180-184). Int scores make the
+      // retention cross-engine exact — no rounding boundary.
+      import graft.streaming.KbaScorers
+      val docs = documents(s, dir).select(col("doc_id"),
+        concat(lit("a "), col("lang"), lit(" kba doc")).as("title"),
+        col("text").as("body"))
+      val entities = Seq(
+        KbaScorers.KbaEntity("e1", Seq("data", "merge"),
+          Seq("data", "merge", "query", "join")),
+        KbaScorers.KbaEntity("e2", Seq("query", "join"), Nil))
+      val scored = KbaScorers.scoreStreams(docs, entities,
+        stopwords = Set("the", "a"), idCol = "doc_id",
+        titleCol = "title", bodyCol = "body")
+      KbaScorers.publishLines(KbaScorers.retainTop(scored, poolSz = 100),
+          dayDt = "day1", idCol = concat(lit("d"), col("docId").cast("string")))
+        .select(col("entity"), col("model"), col("rk").cast(LongType).as("rk"), col("line"))
+        .orderBy("entity", "model", "rk")
     }),
 
     "q_kba_lm_psg" -> ((s, dir) => {
@@ -3705,78 +3804,30 @@ object SparkEntry {
     // body len>2 + stop set), the int-truncated averageDocSize, and the
     // per-entity parameter algebra of KbaScorers.scoreStreams
     "q_kba_stream_scores" ->
-      """WITH base AS (
-        |  SELECT doc_id, 'a ' || lang || ' kba doc' AS title, text AS body FROM documents
-        |), tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(title), '\s+'), t -> len(t) > 0) AS ttoks,
-        |    list_filter(string_split_regex(lower(body), '\s+'),
-        |                t -> len(t) > 2 AND t NOT IN ('the','a')) AS btoks
-        |  FROM base
-        |), z AS (
-        |  SELECT doc_id, len(ttoks) + len(btoks) AS sz FROM tk
-        |), totals AS (
-        |  SELECT (SELECT count(*) FROM z) AS n,
-        |         (SELECT sum(sz) FROM z)::DOUBLE AS c,
-        |         trunc((SELECT sum(sz) FROM z)::DOUBLE / (SELECT count(*) FROM z) + 0.5)::BIGINT AS avgd
-        |), m AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(list_concat(ttoks, btoks)) AS term FROM tk
-        |  ) WHERE term IN ('data','merge','query','join')
-        |  GROUP BY doc_id, term
-        |), ts AS (
-        |  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM m GROUP BY term
-        |), params(entity, term, dup_lab, dup_abs, kl_freq) AS (
-        |  VALUES ('e1','data',1,1,1),('e1','merge',1,1,1),('e1','query',0,1,1),
-        |         ('e1','join',0,1,1),('e2','query',1,0,1),('e2','join',1,0,1)
-        |), consts(entity, n_lab, n_abs, qsz, has_abs, kl_sum) AS (
-        |  VALUES ('e1',2,4,4,true,4),('e2',2,0,2,false,2)
-        |), tp AS (
-        |  SELECT p.entity, p.term, p.dup_lab, p.dup_abs, p.kl_freq,
-        |    ln((t.n - coalesce(s.df,0) + 0.5)/(coalesce(s.df,0) + 0.5)) AS idf,
-        |    2500.0 * coalesce(s.cf,0) / t.c AS mu_cf,
-        |    CASE WHEN 2500.0 * coalesce(s.cf,0) / t.c > 0.0001
-        |         THEN ln(2500.0 * coalesce(s.cf,0) / t.c) ELSE 0.0 END AS unm
-        |  FROM params p LEFT JOIN ts s USING(term) CROSS JOIN totals t
-        |), ec AS (
-        |  SELECT entity, sum(dup_lab * unm) AS lm_const,
-        |         sum(dup_abs * unm) AS lmx_const, sum(kl_freq * unm) AS kl_const
-        |  FROM tp GROUP BY entity
-        |), r0 AS (
-        |  SELECT m.doc_id, p.entity, m.tf, z.sz,
-        |    p.dup_lab, p.dup_abs, p.kl_freq, p.idf, p.mu_cf, p.unm,
-        |    0.4375 + (z.sz::DOUBLE / t.avgd) * 1.3125 AS denom
-        |  FROM m JOIN tp p USING(term) JOIN z USING(doc_id) CROSS JOIN totals t
-        |), agg AS (
-        |  SELECT doc_id, entity, max(sz) AS sz,
-        |    sum(dup_lab * idf * tf / (tf + denom)) AS bm_sum,
-        |    sum(dup_abs * idf * tf / (tf + denom)) AS bmx_sum,
-        |    sum(dup_lab * (ln(tf + mu_cf) - unm)) AS lm_delta,
-        |    sum(dup_abs * (ln(tf + mu_cf) - unm)) AS lmx_delta,
-        |    sum(kl_freq * (ln(tf + mu_cf) - unm)) AS kl_delta,
-        |    max(CASE WHEN dup_lab > 0 THEN 1 ELSE 0 END) AS is_cand
-        |  FROM r0 GROUP BY doc_id, entity
-        |), sc AS (
-        |  SELECT a.doc_id, a.entity,
-        |    a.bm_sum AS bm25,
-        |    CASE WHEN c.has_abs THEN a.bmx_sum ELSE 0.0 END AS bm25ext,
-        |    e.lm_const + a.lm_delta - c.n_lab * ln(a.sz + 2500.0) AS lm,
-        |    CASE WHEN c.has_abs
-        |         THEN e.lmx_const + a.lmx_delta - c.n_abs * ln(a.sz + 2500.0)
-        |         ELSE 0.0 END AS lmext,
-        |    (e.kl_const + a.kl_delta - c.kl_sum * ln(a.sz + 2500.0)) / c.qsz AS kl
-        |  FROM agg a JOIN consts c USING(entity) JOIN ec e USING(entity)
-        |  WHERE a.is_cand = 1
-        |), st AS (
-        |  SELECT doc_id, entity, 'BM25' AS model, bm25 AS s FROM sc
-        |  UNION ALL SELECT doc_id, entity, 'BM25Ext', bm25ext FROM sc
-        |  UNION ALL SELECT doc_id, entity, 'LanguageModel', lm FROM sc
-        |  UNION ALL SELECT doc_id, entity, 'LanguageModelExt', lmext FROM sc
-        |  UNION ALL SELECT doc_id, entity, 'KLDivergence', kl FROM sc
-        |)
+      s"""$KbaStreamCte
         |SELECT doc_id, entity, model, round(s, 6) AS score, trunc(s)::BIGINT AS score_int
         |FROM st WHERE trunc(s) > -99999
         |ORDER BY doc_id, entity, model""".stripMargin,
+
+    // ResultPool retention (top poolSz per entity×model with the
+    // initScore cutoff) + publishResult dump lines
+    "q_kba_pool" ->
+      s"""$KbaStreamCte, cut(model, cutoff) AS (
+        |  VALUES ('BM25', 0), ('BM25Ext', 0), ('LanguageModel', -10000),
+        |         ('LanguageModelExt', -10000), ('KLDivergence', -10000)
+        |), si AS (
+        |  SELECT st.doc_id, st.entity, st.model, trunc(st.s)::BIGINT AS score_int
+        |  FROM st JOIN cut USING(model) WHERE trunc(st.s) > cut.cutoff
+        |), rk AS (
+        |  SELECT doc_id, entity, model, score_int,
+        |    row_number() OVER (PARTITION BY entity, model
+        |                       ORDER BY score_int DESC, doc_id) AS rk
+        |  FROM si
+        |)
+        |SELECT entity, model, rk,
+        |  'd' || doc_id || ' ' || entity || ' ' || score_int || ' day1 ' || model AS line
+        |FROM rk WHERE rk <= 100 ORDER BY entity, model, rk""".stripMargin,
+
 
     // FilterThread LM-passage rerank: dirichlet retrieval (mean-of-logs
     // #combine) + whole-document LanguageModelPsg rescore at mu=2500

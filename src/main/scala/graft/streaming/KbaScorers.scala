@@ -222,6 +222,83 @@ object KbaScorers {
   }
 
   // ------------------------------------------------------------------
+  // result pools + published dump lines (the app output surface)
+  // ------------------------------------------------------------------
+
+  /** createResultPool init scores per model (StreamThread.cc:220-240):
+    * the pool's slots start at initScore and `addResult` replaces the
+    * current worst slot only when STRICTLY better — initScore is an
+    * implicit cutoff (BM25 pools drop scores ≤ 0, LM pools ≤ −10000).
+    */
+  val PoolCutoffs: Map[String, Int] = Map(
+    "BM25" -> 0, "BM25Ext" -> 0,
+    "LanguageModel" -> -10000, "LanguageModelExt" -> -10000,
+    "KLDivergence" -> -10000)
+
+  /** The ResultPool retention semantics (kba/ResultPool.hpp:53-80) over
+    * [[scoreStreams]] output: per (entity, model), keep the top `poolSz`
+    * results whose int score STRICTLY beats the pool's initScore.
+    * Pool array order and boundary ties follow the reference's thread
+    * arrival race (parseFile workers share the pool under a mutex) — no
+    * deterministic semantics to mirror; docId ascending is the
+    * deterministic stand-in on ties, and `rk` orders score desc.
+    * The cutoff filter runs before the per-group sort, and groups are
+    * (entity × model) — at larger scale swap the window for a partial
+    * top-k heap aggregation; poolSz is 100, the sort input is already
+    * cutoff-bounded.
+    */
+  def retainTop(scored: DataFrame, poolSz: Int = 100,
+                cutoffs: Map[String, Int] = PoolCutoffs): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val cut = cutoffs.toSeq.toDF("model", "__cutoff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity", "model")
+      .orderBy(col("scoreInt").desc, col("docId").asc)
+    scored.join(broadcast(cut), "model")
+      .where(col("scoreInt") > col("__cutoff"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= poolSz)
+      .drop("__cutoff")
+  }
+
+  /** publishResult's dump line (StreamThread.cc:180-184):
+    * `id wikiURL score dayDt modelName` — empty-id (never-filled) slots
+    * are skipped by the reference's guard and simply don't exist here.
+    */
+  def publishLines(retained: DataFrame, dayDt: String,
+                   idCol: Column): DataFrame =
+    retained.select(col("entity"), col("model"), col("rk"),
+      concat_ws(" ", idCol, col("entity"), col("scoreInt").cast("string"),
+        lit(dayDt), col("model")).as("line"))
+
+  /** FilterThread::dumpKbaResult's priority-queue variant
+    * (FilterThread.cc:71-95): keeps the top `retainCount` by int psg
+    * score (the misnamed `ResultStruct::greater` makes the pq a
+    * max-heap), line =
+    * `udel <runId> <id> <qid> 1000 2 1 <dayDt> NULL -1 0-0  <psgInt> <indriInt>`
+    * — the double space before the scores is the reference's ostream
+    * byte sequence. Ties in pop order are heap-order races; docId asc
+    * is the deterministic stand-in.
+    */
+  def filterDumpLines(reranked: DataFrame, runId: String, dayDt: String,
+                      idCol: Column, retainCount: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("psgInt").desc, col("docId").asc)
+    reranked
+      .withColumn("psgInt", col("psgScore").cast("int"))
+      .withColumn("indriInt", col("indriScore").cast("int"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= retainCount)
+      .select(col("qid"), col("rk"),
+        concat_ws(" ", lit("udel"), lit(runId), idCol, col("qid"),
+          lit("1000"), lit("2"), lit("1"), lit(dayDt), lit("NULL"),
+          lit("-1"), concat(lit("0-0"), lit(" ")), // "0-0" then "  " → one extra space
+          col("psgInt").cast("string"), col("indriInt").cast("string")).as("line"))
+  }
+
+  // ------------------------------------------------------------------
   // FilterThread LM-passage rerank
   // ------------------------------------------------------------------
 

@@ -107,6 +107,38 @@ class KbaScorersSpec extends AnyFunSuite {
     assert(got == Seq("data", "ab", "merge", "data")) // duplicates + order kept
   }
 
+  // --- result pools + dump lines --------------------------------------
+
+  test("retainTop: initScore cutoffs (BM25 > 0, LM > -10000) and poolSz cap") {
+    val rows = KbaScorers.retainTop(
+        KbaScorers.scoreStreams(docs, Seq(e1, e2), stopwords = Set("the", "a")),
+        poolSz = 1)
+      .select("entity", "model", "docId", "scoreInt", "rk")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    // poolSz=1 → at most one row per (entity, model); BM25 pools need
+    // scoreInt > 0 — every fixture BM25 int-truncates to ≤ 0 (small
+    // corpus, idf(data) < 0), so no BM25/BM25Ext survivors at all
+    assert(!rows.keys.exists(_._2 == "BM25"))
+    assert(!rows.keys.exists(_._2 == "BM25Ext"))
+    // LM pools admit anything > -10000: one winner per (entity, model)
+    assert(rows.contains(("e1", "LanguageModel")))
+    assert(rows.contains(("e2", "KLDivergence")))
+    assert(rows.values.forall(_._2 > -10000))
+  }
+
+  test("publishLines: `id wikiURL score dayDt modelName` bytes") {
+    import org.apache.spark.sql.functions._
+    val scored = KbaScorers.scoreStreams(docs, Seq(e2), stopwords = Set("the", "a"))
+    val lines = KbaScorers.publishLines(
+        KbaScorers.retainTop(scored, poolSz = 100), dayDt = "2012-05-05",
+        idCol = concat(lit("d"), col("docId").cast("string")))
+      .collect().map(r => r.getAs[String]("line")).toSet
+    // doc2/e2 LanguageModel: s(query)+s(join) at sz=4 → int truncation
+    val lm = s(1, 1, 4) + s(1, 1, 4)
+    assert(lines.contains(s"d2 e2 ${lm.toInt} 2012-05-05 LanguageModel"))
+  }
+
   // --- lmPassageRerank ------------------------------------------------
 
   private val cfg = IndexConfig(analyzerMode = "simple", blockSize = 8, numBuckets = 2)
@@ -140,6 +172,23 @@ class KbaScorersSpec extends AnyFunSuite {
     def dir(tf: Double, ctf: Double, dl: Double) =
       math.log((tf + 2500.0 * ctf / cTot) / (dl + 2500.0))
     assert(math.abs(out((1L, "q1"))._2 - (dir(2, 3, 4) + dir(1, 1, 4)) / 2) < 1e-9)
+  }
+
+  test("filterDumpLines: the dumpKbaResult ostream bytes incl. the double space before the scores") {
+    import org.apache.spark.sql.functions._
+    val out = KbaScorers.lmPassageRerank(eng, Seq(("q1", "data merge")), requested = 10)
+    val lines = KbaScorers.filterDumpLines(out, runId = "run7", dayDt = "2012-05-05",
+        idCol = concat(lit("s"), col("docId").cast("string")))
+      .collect().map(r => r.getAs[String]("line"))
+    val cTot = 10.0
+    def psg(tf: Double, ctf: Double, sz: Double) =
+      math.log(tf + 2500.0 * ctf / cTot) - math.log(sz + 2500.0)
+    def dir(tf: Double, ctf: Double, dl: Double) =
+      math.log((tf + 2500.0 * ctf / cTot) / (dl + 2500.0))
+    val psg1 = (psg(2, 3, 4) + psg(1, 1, 4)).toInt
+    val ind1 = ((dir(2, 3, 4) + dir(1, 1, 4)) / 2).toInt
+    assert(lines.contains(
+      s"udel run7 s1 q1 1000 2 1 2012-05-05 NULL -1 0-0  $psg1 $ind1"))
   }
 
   test("lmPassageRerank cf==0 quirk: an unmatched OOV query term scores with collFreq=1") {

@@ -2104,6 +2104,26 @@ object SparkEntry {
         .orderBy("qid", "doc_id")
     }),
 
+    "q_webtrack_maxpsg_dv" -> ((s, dir) => {
+      // IndriRunQuery postProcess (PassageModel::maxPsgScoring): same
+      // chunked max-passage LM, but passages come from DOCUMENT VECTORS
+      // (the engine stem space) and replace the retrieval scores
+      import graft.search.WebTrackRerank
+      import org.apache.spark.sql.expressions.Window
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      val out = WebTrackRerank.maxPsgScoringDV(eng,
+        Seq(("e1", "data merge"), ("e2", "query join")),
+        k = 10000, passageSz = 40, windowSz = 10)
+      val rounded = out.select(col("docId").as("doc_id"), col("qid"),
+        round(col("score"), 6).as("score"))
+      rounded
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("doc_id").asc)).cast(LongType))
+        .orderBy("qid", "doc_id")
+    }),
+
     // ---- dedup suite ----
     "q_dedup_exact" -> ((s, dir) =>
       TextPipeline.exactDedup(documents(s, dir), "doc_id", "text")
@@ -3883,6 +3903,51 @@ object SparkEntry {
          |    list_filter(string_split_regex(lower(text), '\\s+'),
          |                t -> len(t) > 1 AND t NOT IN ('the','a')) AS toks
          |  FROM documents
+         |), ck AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) > 40
+         |         THEN floor((len(toks) - 41.0) / 30.0)::BIGINT + 1 ELSE 0 END AS f
+         |  FROM wt WHERE len(toks) > 0
+         |), chunks AS (
+         |  SELECT doc_id, unnest(range(0, f + 1)) AS k, toks, n, f FROM ck
+         |), sliced AS (
+         |  SELECT doc_id, k, toks[(k*30 + 1):(CASE WHEN k < f THEN k*30 + 40 ELSE n END)] AS ctoks,
+         |    (CASE WHEN k < f THEN k*30 + 40 ELSE n END) - k*30 AS clen
+         |  FROM chunks
+         |), csc AS (
+         |  SELECT s2.doc_id, q.qid, s2.k,
+         |    sum( ln(len(list_filter(s2.ctoks, x -> x = q.term)) + 2500.0 * c.ctf / st.tt)
+         |         - ln(s2.clen + 2500.0) ) AS s
+         |  FROM sliced s2 CROSS JOIN st
+         |  JOIN q ON true JOIN ctf c ON c.term = q.term
+         |  GROUP BY s2.doc_id, q.qid, s2.k
+         |), best AS (
+         |  SELECT c2.doc_id, c2.qid, round(max(c2.s), 6) AS score
+         |  FROM csc c2 JOIN cand ON cand.doc_id = c2.doc_id AND cand.qid = c2.qid
+         |  GROUP BY c2.doc_id, c2.qid
+         |)
+         |SELECT doc_id, qid, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |FROM best ORDER BY qid, doc_id""".stripMargin,
+
+    // IndriRunQuery postProcess variant: passages over DOC VECTORS — the
+    // index token space directly (the fixture analyzer stops nothing, so
+    // the vector is the full position-ordered token list)
+    "q_webtrack_maxpsg_dv" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT term, doc_id FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term, doc_id
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term
+         |), q(qid, term) AS (
+         |  VALUES ('e1','data'),('e1','merge'),('e2','query'),('e2','join')
+         |), cand AS (
+         |  SELECT DISTINCT q.qid, p.doc_id FROM q JOIN p USING(term)
+         |), wt AS (
+         |  SELECT doc_id, list(term ORDER BY pos) AS toks FROM tok GROUP BY doc_id
          |), ck AS (
          |  SELECT doc_id, toks, len(toks) AS n,
          |    CASE WHEN len(toks) > 40

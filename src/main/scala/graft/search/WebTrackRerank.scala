@@ -90,40 +90,99 @@ object WebTrackRerank {
         .select(col("docId"))
         .join(content.select(col("docId"), col(contentCol).as("__content")), "docId")
         .withColumn("toks", tokenCol(col("__content"), stopwords))
-        .withColumn("n", size(col("toks")))
-        .where(col("n") > 0)
-        // full chunks emitted in-loop: k·stride + P < n; the flush chunk
-        // F runs [F·stride, n) (createPassage trace — a doc of exactly P
-        // tokens is ONE chunk)
-        .withColumn("f",
-          when(col("n") > passageSz,
-            floor((col("n") - passageSz - 1) / stride) + 1).otherwise(lit(0L)))
-        .withColumn("ck", explode(sequence(lit(0L), col("f"))))
-        .withColumn("cstart", col("ck") * stride)
-        .withColumn("cend",
-          when(col("ck") < col("f"), col("cstart") + passageSz).otherwise(col("n")))
-        .withColumn("ctoks",
-          slice(col("toks"), col("cstart") + 1, col("cend") - col("cstart")))
-        .withColumn("clen", size(col("ctoks")))
-
-      // per-term contributions: dup_w · (ln(tf_w + μ·ctf_w/C) − ln(clen+μ));
-      // ctf_w == 0 → the term is skipped entirely (cProb <= 0 guard)
       val live = qTokens(qid).groupBy(identity).toSeq
         .map { case (t, occ) => (t, occ.size, ctfMap.getOrElse(t, 0L)) }
-        .filter(_._3 > 0L)
-      val lnLen = log(col("clen").cast("double") + lit(Mu))
-      val scoreCol =
-        if (live.isEmpty) lit(0.0)
-        else live.map { case (t, dup, ctf) =>
-          val tf = size(filter(col("ctoks"), x => x === lit(t))).cast("double")
-          lit(dup.toDouble) * (log(tf + lit(Mu * ctf / collSize)) - lnLen)
-        }.reduce(_ + _)
-
-      cands.select(col("docId"), lit(qid).as("qid"), scoreCol.as("psg"))
-        .groupBy("docId", "qid").agg(max(col("psg")).as("score"))
+      bestChunkScore(cands, live, collSize, passageSz, windowSz, Mu)
+        .select(col("docId"), lit(qid).as("qid"), col("score"))
     }
-    val scored = perQuery.reduce(_.unionByName(_))
-    // per-query rank: k retrieved docs per query — a bounded window
+    rankPerQuery(perQuery.reduce(_.unionByName(_)))
+  }
+
+  /** The IndriRunQuery `postProcess` hook (reference:
+    * webtrack/IndriRunQuery.cc:322-330 → PassageModel::maxPsgScoring,
+    * webtrack/PassageModel.cc:483-562): the SAME chunked max-passage LM,
+    * but passages come from DOCUMENT VECTORS with [OOV]/stopped slots
+    * dropped (createPassageFromDocumentVector, discardJunk=true — the
+    * engine's stem space, not raw text), query tokens through webtrack's
+    * whiteSpaceSplit defaults (lower, charLimit=0 → 1-char tokens KEPT,
+    * stop set, Krovetz stem — Tokenize.hpp:26), and μ / PassageSize /
+    * WindowSize from parameters (defaults 2500 / 150 / 50). Each
+    * retrieved document's score is REPLACED by its best passage score
+    * (the returned ScoredExtentResults reuse the retrieval entry with
+    * sr.score = psg score).
+    */
+  def maxPsgScoringDV(eng: Engine, queries: Seq[(String, String)],
+                      stopwords: Set[String] = Set.empty,
+                      k: Int = 1000, passageSz: Int = 150, windowSz: Int = 50,
+                      mu: Double = 2500.0): DataFrame = {
+    require(passageSz > windowSz, "passageSz must exceed windowSz")
+    val spark = eng.index.segments.sparkSession
+
+    val qTokens: Map[String, Seq[String]] = queries.map { case (qid, text) =>
+      qid -> text.split("\\s+").toSeq.filter(_.nonEmpty).map(_.toLowerCase)
+        .filterNot(stopwords.contains)
+        .map(graft.analysis.KrovetzStemmer.stem)
+    }.toMap
+    val allTerms = qTokens.values.flatten.toSeq.distinct
+    val collSize = eng.index.stats.totalTerms.toDouble
+    val ctfMap: Map[String, Long] = eng.index.dictionary
+      .where(col("term").isin(allTerms: _*))
+      .select("term", "ctf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val perQuery = queries.map { case (qid, text) =>
+      val ids = eng.runQuery(s"#combine($text)", k).select(col("docId"))
+      // ordered stem vector per retrieved doc, [OOV] slots absent
+      val dvToks = eng.documentVectors(ids)
+        .groupBy("docId")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("term")))),
+          s => s.getField("term")).as("toks"))
+      val live = qTokens(qid).groupBy(identity).toSeq
+        .map { case (t, occ) => (t, occ.size, ctfMap.getOrElse(t, 0L)) }
+      bestChunkScore(dvToks, live, collSize, passageSz, windowSz, mu)
+        .select(col("docId"), lit(qid).as("qid"), col("score"))
+    }
+    rankPerQuery(perQuery.reduce(_.unionByName(_)))
+  }
+
+  /** Shared chunk pipeline: split `toks` into createPassage chunks
+    * (full chunks [k·stride, k·stride+P) while a token exists PAST the
+    * boundary, flush chunk to the end — a doc of exactly P tokens is
+    * ONE chunk), score each with the passage LM, keep the best per doc.
+    * `live` = (term, dup, ctf) query occurrences; ctf == 0 terms are
+    * skipped entirely (the cProb <= 0 guard, LanguageModel.cc:20-23).
+    */
+  private def bestChunkScore(docs: DataFrame, live: Seq[(String, Int, Long)],
+                             collSize: Double, passageSz: Int, windowSz: Int,
+                             mu: Double): DataFrame = {
+    val stride = passageSz - windowSz
+    val chunks = docs
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .withColumn("f",
+        when(col("n") > passageSz,
+          floor((col("n") - passageSz - 1) / stride) + 1).otherwise(lit(0L)))
+      .withColumn("ck", explode(sequence(lit(0L), col("f"))))
+      .withColumn("cstart", col("ck") * stride)
+      .withColumn("cend",
+        when(col("ck") < col("f"), col("cstart") + passageSz).otherwise(col("n")))
+      .withColumn("ctoks",
+        slice(col("toks"), col("cstart") + 1, col("cend") - col("cstart")))
+      .withColumn("clen", size(col("ctoks")))
+    val liveTerms = live.filter(_._3 > 0L)
+    val lnLen = log(col("clen").cast("double") + lit(mu))
+    val scoreCol =
+      if (liveTerms.isEmpty) lit(0.0)
+      else liveTerms.map { case (t, dup, ctf) =>
+        val tf = size(filter(col("ctoks"), x => x === lit(t))).cast("double")
+        lit(dup.toDouble) * (log(tf + lit(mu * ctf / collSize)) - lnLen)
+      }.reduce(_ + _)
+    chunks.select(col("docId"), scoreCol.as("psg"))
+      .groupBy("docId").agg(max(col("psg")).as("score"))
+  }
+
+  /** per-query rank: k retrieved docs per query — a bounded window */
+  private def rankPerQuery(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
     scored.withColumn("rank", row_number().over(w))

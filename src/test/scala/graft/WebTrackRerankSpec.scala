@@ -68,4 +68,22 @@ class WebTrackRerankSpec extends AnyFunSuite {
     assert(WebTrackRerank.tokenizeQuery("The Data x AB data", Set("the")) ==
       Seq("data", "ab", "data"))
   }
+
+  test("maxPsgScoringDV: passages from document vectors, scores replace the retrieval") {
+    // the simple analyzer stops nothing, so the doc vector equals the
+    // content token list — DV scores must equal the content-variant's
+    // (clue.cc) when its stop set is empty and all tokens are > 1 char...
+    // except doc2, whose 2-char tokens w6..w9 the content variant DROPS
+    // (len > 1 keeps them — they are exactly 2 chars, so both keep them)
+    val dv = WebTrackRerank.maxPsgScoringDV(eng,
+        Seq(("q1", "data merge")), k = 10, passageSz = 5, windowSz = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    val ct = WebTrackRerank.maxPassageRerank(eng, content,
+        Seq(("q1", "data merge")), k = 10, passageSz = 5, windowSz = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(dv == ct)
+    // and the absolute value is the hand-computed best chunk of doc1
+    val c0 = lm(1, 3, 5) + lm(1, 1, 5)
+    assert(math.abs(dv(1L)._1 - c0) < 1e-9)
+  }
 }

@@ -114,10 +114,15 @@ object KbaScorers {
 
     val qTerms: Seq[String] = entities
       .flatMap(e => e.labelTokens ++ e.abstractTokens).distinct
+    // sz rides the (docId, term) shuffle of MATCHED rows only — joining
+    // the corpus-wide sized table on docId afterwards would shuffle one
+    // row per corpus document instead of one per matched (doc, term)
     val matched = withToks
-      .select(col("docId"), explode(col("toks")).as("term"))
+      .select(col("docId"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("term"))
       .where(col("term").isin(qTerms: _*))
-      .groupBy("docId", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("docId", "term")
+      .agg(count(lit(1)).as("tf"), first(col("sz")).as("sz"))
 
     // background stats: totals + per-term (df, cf) in the SAME token space
     val totalsRow = sized.agg(count(lit(1)), sum(col("sz"))).head()
@@ -187,7 +192,6 @@ object KbaScorers {
     val lmDelta = log(col("tf") + col("muCf")) - col("unm")
 
     val agg = matched
-      .join(sized, "docId")
       .join(broadcast(params), "term")
       .groupBy("docId", "entity")
       .agg(

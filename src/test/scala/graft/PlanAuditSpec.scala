@@ -227,4 +227,28 @@ class PlanAuditSpec extends AnyFunSuite {
         "distributed numbering diverges from the global sort position")
     } finally cache.unpersist()
   }
+
+  test("KBA scoreStreams: broadcast param joins, no corpus-keyed join, bounded exchanges") {
+    import graft.streaming.KbaScorers
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"t$i title", s"data merge word$i filler tokens here"))
+      .toDF("docId", "title", "body")
+    val out = KbaScorers.scoreStreams(docs,
+      Seq(KbaScorers.KbaEntity("e1", Seq("data", "merge"), Seq("data", "query"))),
+      stopwords = Set("the"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-(entity, term) params and per-entity consts are broadcast;
+    // the doc size rides the matched-row shuffle, so NO join is keyed by
+    // docId over the corpus and nothing goes cartesian or sort-merge
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"unexpected join strategy in scoreStreams:\n$plan")
+    // exchanges: groupBy(docId, term) + groupBy(docId, entity) only
+    // (AQE plan strings repeat the tree under "== Initial Plan ==" —
+    // count the final section only)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 2, s"more exchanges than the two groupBys:\n$finalPlan")
+  }
 }

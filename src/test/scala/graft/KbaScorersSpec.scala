@@ -107,6 +107,81 @@ class KbaScorersSpec extends AnyFunSuite {
     assert(got == Seq("data", "ab", "merge", "data")) // duplicates + order kept
   }
 
+  // --- randomized scalar-mirror property -------------------------------
+
+  test("scoreStreams == a direct scalar evaluation of the reference formulas on random corpora") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("data", "merge", "query", "join", "spark", "the",
+      "a", "ab", "xy", "word", "filler", "scan")
+    (1 to 3).foreach { round =>
+      val nDocs = 5 + rnd.nextInt(20)
+      val corpus = (1 to nDocs).map { i =>
+        def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, words(1 + rnd.nextInt(3)), words(rnd.nextInt(12)))
+      }
+      val stop = Set("the", "a")
+      val ents = Seq(
+        KbaEntity("e1", Seq("data", "merge", "data"), Seq("data", "query", "join")),
+        KbaEntity("e2", Seq("query", "join"), Nil))
+      val got = KbaScorers
+        .scoreStreams(corpus.toDF("docId", "title", "body"), ents, stop)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+        .toMap
+
+      // scalar mirror, straight from the reference formulas
+      def parse(title: String, body: String): (Map[String, Int], Int) = {
+        val tt = title.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val bt = body.toLowerCase.split("\\s+")
+          .filter(t => t.length > 2 && !stop(t)).toSeq
+        val toks = tt ++ bt
+        (toks.groupBy(identity).map { case (t, o) => t -> o.size }, toks.size)
+      }
+      val parsed = corpus.map { case (id, t, b) => id -> parse(t, b) }.toMap
+      val totalDocs = nDocs.toDouble
+      val collSize = parsed.values.map(_._2).sum.toDouble
+      val avg = (collSize / totalDocs + 0.5).toInt
+      val qTerms = ents.flatMap(e => e.labelTokens ++ e.abstractTokens).distinct
+      val df = qTerms.map(t => t -> parsed.values.count(_._1.contains(t)).toDouble).toMap
+      val cf = qTerms.map(t => t -> parsed.values.map(_._1.getOrElse(t, 0)).sum.toDouble).toMap
+      def lmTerm(t: String, tf: Int, sz: Int): Double = {
+        val total = tf + 2500.0 * cf(t) / collSize
+        (if (total > 0.0001) math.log(total) else 0.0) - math.log(sz + 2500.0)
+      }
+      def bmTerm(t: String, tf: Int, sz: Int): Double =
+        if (tf == 0) 0.0
+        else math.log((totalDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+          tf / (tf + 0.4375 + (sz.toDouble / avg) * 1.3125)
+      val expect = scala.collection.mutable.Map.empty[(Long, String, String), Double]
+      corpus.foreach { case (id, _, _) =>
+        val (tfm, sz) = parsed(id)
+        ents.foreach { e =>
+          if (e.labelTokens.exists(t => tfm.contains(t))) {
+            def tf(t: String) = tfm.getOrElse(t, 0)
+            val bm = e.labelTokens.map(t => bmTerm(t, tf(t), sz)).sum
+            val bmx = if (e.abstractTokens.nonEmpty)
+              e.abstractTokens.map(t => bmTerm(t, tf(t), sz)).sum else 0.0
+            val lm = e.labelTokens.map(t => lmTerm(t, tf(t), sz)).sum
+            val lmx = if (e.abstractTokens.nonEmpty)
+              e.abstractTokens.map(t => lmTerm(t, tf(t), sz)).sum else 0.0
+            val klSrc = if (e.abstractTokens.nonEmpty) e.abstractTokens else e.labelTokens
+            val qsz = klSrc.size
+            val kl = klSrc.groupBy(identity)
+              .map { case (t, o) => o.size * lmTerm(t, tf(t), sz) }.sum / qsz
+            Seq("BM25" -> bm, "BM25Ext" -> bmx, "LanguageModel" -> lm,
+              "LanguageModelExt" -> lmx, "KLDivergence" -> kl).foreach {
+              case (m, s0) => if (s0.toInt > -99999) expect((id, e.id, m)) = s0
+            }
+          }
+        }
+      }
+      assert(got.keySet == expect.keySet, s"round $round candidate sets diverge")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expect(k)) < 1e-9, s"round $round $k: $v vs ${expect(k)}")
+      }
+    }
+  }
+
   // --- result pools + dump lines --------------------------------------
 
   test("retainTop: initScore cutoffs (BM25 > 0, LM > -10000) and poolSz cap") {

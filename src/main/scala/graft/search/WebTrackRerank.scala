@@ -187,4 +187,22 @@ object WebTrackRerank {
       .partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
     scored.withColumn("rank", row_number().over(w))
   }
+
+  /** clue.cc dumpResult's run-file line (clue.cc:188-196):
+    * `tpcNum Q0 docId  rank score runTag` — TWO spaces between the doc
+    * id and the rank (`<< cl.docId << "  " << cl.rank`), score in C++
+    * default-ostream %g formatting (the reference field is a float; our
+    * double-pipeline value is formatted the same way — the float-vs-
+    * double accumulation divergence is the repo-wide representation
+    * choice). `qid` maps to tpcNum; the doc id column is caller-shaped
+    * (the reference prints the trecId metadata string).
+    */
+  def dumpLines(ranked: DataFrame, runTag: String, idCol: Column): DataFrame = {
+    val scoreUdf = udf { (s: Double) => graft.apps.RunQuery.cppDouble(s) }
+    ranked.select(col("qid"), col("rank"),
+      concat_ws(" ", col("qid"), lit("Q0"),
+        concat(idCol, lit(" ")), // docId then "  " — one extra space
+        col("rank").cast("string"), scoreUdf(col("score")),
+        lit(runTag)).as("line"))
+  }
 }

@@ -86,4 +86,16 @@ class WebTrackRerankSpec extends AnyFunSuite {
     val c0 = lm(1, 3, 5) + lm(1, 1, 5)
     assert(math.abs(dv(1L)._1 - c0) < 1e-9)
   }
+
+  test("dumpLines: clue.cc run-file bytes incl. the double space after the doc id") {
+    import org.apache.spark.sql.functions._
+    val ranked = WebTrackRerank.maxPsgScoringDV(eng,
+      Seq(("201", "data merge")), k = 10, passageSz = 5, windowSz = 2)
+    val lines = WebTrackRerank.dumpLines(ranked, runTag = "test",
+        idCol = concat(lit("clueweb12-"), col("docId").cast("string")))
+      .collect().map(r => r.getAs[String]("line"))
+    val c0 = lm(1, 3, 5) + lm(1, 1, 5)
+    val want = s"201 Q0 clueweb12-1  1 ${graft.apps.RunQuery.cppDouble(c0)} test"
+    assert(lines.contains(want), s"got: ${lines.mkString(" | ")}")
+  }
 }

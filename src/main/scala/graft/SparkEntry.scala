@@ -2124,6 +2124,53 @@ object SparkEntry {
         .orderBy("qid", "doc_id")
     }),
 
+    "q_webtrack_dump" -> ((s, dir) => {
+      // clue.cc dumpResult's run-file lines over the doc-vector
+      // max-passage rerank: `tpcNum Q0 docId  rank score runTag` with
+      // the reference's double space after the doc id and C++
+      // default-ostream %g score text — DuckDB's printf('%g') matches
+      // the g++-pinned cppDouble byte-for-byte on the 6dp-rounded
+      // score both engines rank on
+      import graft.search.WebTrackRerank
+      import org.apache.spark.sql.expressions.Window
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      val out = WebTrackRerank.maxPsgScoringDV(eng,
+        Seq(("e1", "data merge"), ("e2", "query join")),
+        k = 10000, passageSz = 40, windowSz = 10)
+      val ranked = out
+        .select(col("docId"), col("qid"), round(col("score"), 6).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("docId").asc)))
+      WebTrackRerank.dumpLines(ranked, runTag = "test",
+          idCol = concat(lit("d"), col("docId").cast("string")))
+        .select(col("qid"), col("rank").cast(LongType).as("rank"), col("line"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_kba_dump" -> ((s, dir) => {
+      // FilterThread::dumpKbaResult's priority-queue dump over the LM
+      // passage rerank: top-100 per query by INT psg score, line =
+      // `udel <runId> <id> <qid> 1000 2 1 <dayDt> NULL -1 0-0  <psg> <indri>`
+      // (the double space before the scores is the reference ostream
+      // byte sequence; int scores make the retention cross-engine exact)
+      import graft.streaming.KbaScorers
+      val eng = engine(s, dir)
+      eng.setScoringRules("method:dirichlet")
+      val out = KbaScorers.lmPassageRerank(eng,
+          Seq(("e1", "data merge"), ("e2", "query join")), requested = 10000)
+        // 6dp-round before the int truncation: cross-engine the rounded
+        // doubles are bit-identical (q_kba_lm_psg), so trunc can't flip
+        // on a score sitting within a ULP of an integer
+        .withColumn("psgScore", round(col("psgScore"), 6))
+        .withColumn("indriScore", round(col("indriScore"), 6))
+      KbaScorers.filterDumpLines(out, runId = "run7", dayDt = "2012-05-05",
+          idCol = concat(lit("d"), col("docId").cast("string")))
+        .select(col("qid"), col("rk").cast(LongType).as("rk"), col("line"))
+        .orderBy("qid", "rk")
+    }),
+
     // ---- dedup suite ----
     "q_dedup_exact" -> ((s, dir) =>
       TextPipeline.exactDedup(documents(s, dir), "doc_id", "text")
@@ -3974,6 +4021,93 @@ object SparkEntry {
          |SELECT doc_id, qid, score,
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
          |FROM best ORDER BY qid, doc_id""".stripMargin,
+
+    // clue.cc dumpResult run-file lines over the doc-vector rerank:
+    // printf('%g') = C++ default-ostream double text on the rounded
+    // score both engines rank on; '  ' = the reference's double space
+    "q_webtrack_dump" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT term, doc_id FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term, doc_id
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term
+         |), q(qid, term) AS (
+         |  VALUES ('e1','data'),('e1','merge'),('e2','query'),('e2','join')
+         |), cand AS (
+         |  SELECT DISTINCT q.qid, p.doc_id FROM q JOIN p USING(term)
+         |), wt AS (
+         |  SELECT doc_id, list(term ORDER BY pos) AS toks FROM tok GROUP BY doc_id
+         |), ck AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) > 40
+         |         THEN floor((len(toks) - 41.0) / 30.0)::BIGINT + 1 ELSE 0 END AS f
+         |  FROM wt WHERE len(toks) > 0
+         |), chunks AS (
+         |  SELECT doc_id, unnest(range(0, f + 1)) AS k, toks, n, f FROM ck
+         |), sliced AS (
+         |  SELECT doc_id, k, toks[(k*30 + 1):(CASE WHEN k < f THEN k*30 + 40 ELSE n END)] AS ctoks,
+         |    (CASE WHEN k < f THEN k*30 + 40 ELSE n END) - k*30 AS clen
+         |  FROM chunks
+         |), csc AS (
+         |  SELECT s2.doc_id, q.qid, s2.k,
+         |    sum( ln(len(list_filter(s2.ctoks, x -> x = q.term)) + 2500.0 * c.ctf / st.tt)
+         |         - ln(s2.clen + 2500.0) ) AS s
+         |  FROM sliced s2 CROSS JOIN st
+         |  JOIN q ON true JOIN ctf c ON c.term = q.term
+         |  GROUP BY s2.doc_id, q.qid, s2.k
+         |), best AS (
+         |  SELECT c2.doc_id, c2.qid, round(max(c2.s), 6) AS score
+         |  FROM csc c2 JOIN cand ON cand.doc_id = c2.doc_id AND cand.qid = c2.qid
+         |  GROUP BY c2.doc_id, c2.qid
+         |), rkd AS (
+         |  SELECT doc_id, qid, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM best
+         |)
+         |SELECT qid, rank,
+         |  qid || ' Q0 d' || doc_id || '  ' || rank || ' ' || printf('%g', score) || ' test' AS line
+         |FROM rkd ORDER BY qid, rank""".stripMargin,
+
+    // dumpKbaResult pq dump lines over the LM passage rerank: top-100
+    // per qid by INT psg score (trunc), docId asc on int ties
+    "q_kba_dump" ->
+      s"""$DTok, st AS (
+         |  SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(doclen) FROM dl)::DOUBLE AS tt
+         |), p AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term, doc_id
+         |), ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tok
+         |  WHERE term IN ('data','merge','query','join') GROUP BY term
+         |), q(qid, term) AS (
+         |  VALUES ('e1','data'),('e1','merge'),('e2','query'),('e2','join')
+         |), cand AS (
+         |  SELECT DISTINCT q.qid, p.doc_id FROM q JOIN p USING(term)
+         |), grid AS (
+         |  SELECT c.qid, c.doc_id, q.term, coalesce(p.tf, 0) AS tf, t.ctf
+         |  FROM cand c JOIN q ON q.qid = c.qid JOIN ctf t ON t.term = q.term
+         |  LEFT JOIN p ON p.doc_id = c.doc_id AND p.term = q.term
+         |), sc AS (
+         |  SELECT g.qid, g.doc_id,
+         |    sum(ln((g.tf + 2500.0 * g.ctf / st.tt) / (dl.doclen + 2500.0))) / 2 AS isc,
+         |    sum(ln(g.tf + 2500.0 * g.ctf / st.tt) - ln(dl.doclen + 2500.0)) AS psc
+         |  FROM grid g JOIN dl USING(doc_id) CROSS JOIN st
+         |  GROUP BY g.qid, g.doc_id
+         |), ri AS (
+         |  SELECT doc_id, qid, trunc(round(psc, 6))::BIGINT AS pi,
+         |    trunc(round(isc, 6))::BIGINT AS ii
+         |  FROM sc
+         |), rkd AS (
+         |  SELECT doc_id, qid, pi, ii,
+         |    row_number() OVER (PARTITION BY qid ORDER BY pi DESC, doc_id) AS rk
+         |  FROM ri
+         |)
+         |SELECT qid, rk,
+         |  'udel run7 d' || doc_id || ' ' || qid || ' 1000 2 1 2012-05-05 NULL -1 0-0  ' || pi || ' ' || ii AS line
+         |FROM rkd WHERE rk <= 100 ORDER BY qid, rk""".stripMargin,
 
     "q_field_restrict" ->
       s"""$DTok

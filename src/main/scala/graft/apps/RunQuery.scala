@@ -408,13 +408,34 @@ object RunQuery {
   def cppDouble(v: Double, precision: Int = 6): String = {
     if (v.isNaN) return "nan"
     if (v.isInfinite) return if (v > 0) "inf" else "-inf"
-    val s = String.format(java.util.Locale.ROOT, s"%.${precision}g", Double.box(v))
-    val ei = s.indexOf('e')
-    val (mant0, exp) = if (ei < 0) (s, "") else (s.substring(0, ei), s.substring(ei))
-    val mant =
-      if (!mant0.contains('.')) mant0
-      else mant0.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-    mant + exp
+    if (v == 0.0)
+      return if (java.lang.Double.doubleToRawLongBits(v) != 0L) "-0" else "0"
+    // glibc %g rounds the EXACT binary value of the double to
+    // `precision` significant digits (ties to even) — Java's Formatter
+    // instead rounds the SHORTEST decimal representation half-up, which
+    // flips the last digit whenever that shortest form sits exactly on
+    // the rounding boundary (e.g. -6.806175 stores as -6.8061749999…,
+    // so C prints -6.80617 but Java's "%.6g" prints -6.80618). Exact
+    // BigDecimal + HALF_EVEN reproduces the C behavior byte-for-byte.
+    val sign = if (v < 0) "-" else ""
+    val bd = new java.math.BigDecimal(math.abs(v))
+      .round(new java.math.MathContext(precision, java.math.RoundingMode.HALF_EVEN))
+    val digits = bd.unscaledValue.toString
+    val e = bd.precision - bd.scale - 1 // value = d.ddd… × 10^e
+    def trimFrac(frac: String): String = {
+      val t = frac.reverse.dropWhile(_ == '0').reverse
+      if (t.isEmpty) "" else "." + t
+    }
+    if (e < -4 || e >= precision) {
+      val mant = digits.head + trimFrac(digits.tail)
+      val es = if (e < 0) "-" else "+"
+      sign + mant + f"e$es${math.abs(e)}%02d"
+    } else if (e >= 0) {
+      val ds = if (digits.length < e + 1) digits.padTo(e + 1, '0') else digits
+      sign + ds.take(e + 1) + trimFrac(ds.drop(e + 1))
+    } else {
+      sign + "0." + ("0" * (-e - 1)) + digits.reverse.dropWhile(_ == '0').reverse
+    }
   }
 
   /** TREC-scorable result lines: `number Q0 docno rank score runID`

@@ -197,7 +197,16 @@ class RunQuerySpec extends AnyFunSuite {
       -2.000001 -> "-2", 1e-7 -> "1e-07", -123.4 -> "-123.4",
       55.5555555 -> "55.5556", -31.622776 -> "-31.6228",
       0.999999999 -> "1", -1e-5 -> "-1e-05", 2.5e-5 -> "2.5e-05",
-      -0.0 -> "-0")
+      -0.0 -> "-0",
+      // rounding-boundary vectors (g++-verified): the shortest decimal
+      // repr sits ON the %g tie, but glibc rounds the exact binary value
+      // (-6.806175 stores below the tie → -6.80617, NOT Java's -6.80618);
+      // exact-binary ties round half-even (123456.5 → even; 999999.5 and
+      // 9999995.0 bump the exponent)
+      -6.806175 -> "-6.80617", 123456.5 -> "123456", 999999.5 -> "1e+06",
+      9999995.0 -> "1e+07", 1.0000005 -> "1", 0.15625 -> "0.15625",
+      -8.125e-5 -> "-8.125e-05", 3.0517578125e-5 -> "3.05176e-05",
+      0.0000375 -> "3.75e-05", -0.125 -> "-0.125")
     for ((v, want) <- golden)
       assert(RunQuery.cppDouble(v) == want, s"cppDouble($v)")
   }

@@ -2171,6 +2171,48 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    "q_kba_daystat" -> ((s, dir) => {
+      // the KbaProcessing main's LIVE day loop (processFilterThread →
+      // dumpDayStat, kba/KbaProcessing.cc:505-551): a 5-day index window
+      // slides over the sorted days; each later day appends
+      // `<dir>,past-5-day,<termCount/docCount>` with UNSIGNED-LONG
+      // division (whole number in %g text). Days here: a deterministic
+      // 9-way split of the corpus by doc_id; per-day termCount = sum of
+      // analyzer doclens (Engine.termCount semantics — the same stats a
+      // per-day index federation would report)
+      import graft.streaming.KbaScorers
+      val perDay = buildIndex(s, dir).doclens
+        .select(concat(lit("2012-10-"),
+            lpad(((col("docId") % 9) + 1).cast("string"), 2, "0")).as("day"),
+          col("length"))
+        .groupBy("day")
+        .agg(sum(col("length")).as("term_count"), count(lit(1)).as("doc_count"))
+      KbaScorers.dayStatLines(perDay, dirPrefix = "/idx/")
+        .orderBy("day")
+    }),
+
+    "q_kba_recall" -> ((s, dir) => {
+      // HighRecallInfo's judgement pass (kba/KbaProcessing.cc:81-102,
+      // live under --trng): keep rows with score column > 300, split the
+      // stream id `epoch-docid` at its first '-'; the BerkeleyDB write is
+      // storage plumbing — these rows are the stored records. Judgement
+      // lines are rebuilt with pure column expressions so DuckDB derives
+      // the expected output from the same arithmetic.
+      import graft.streaming.KbaScorers
+      val lines = documents(s, dir).select(concat_ws(" ",
+        lit("anno"), lit("run1"),
+        concat((col("doc_id") * 1000 + 1325376000L).cast("string"),
+          lit("-doc"), col("doc_id").cast("string")),
+        col("lang"),
+        ((col("doc_id") * 37) % 1000).cast("string"),
+        lit("1"), lit("0"),
+        concat(lit("2012-10-"),
+          lpad(((col("doc_id") % 9) + 1).cast("string"), 2, "0"))).as("line"))
+      KbaScorers.highRecallRows(lines)
+        .select(col("s_time"), col("doc_id"), col("directory"))
+        .orderBy("s_time")
+    }),
+
     // ---- dedup suite ----
     "q_dedup_exact" -> ((s, dir) =>
       TextPipeline.exactDedup(documents(s, dir), "doc_id", "text")
@@ -4108,6 +4150,34 @@ object SparkEntry {
          |SELECT qid, rk,
          |  'udel run7 d' || doc_id || ' ' || qid || ' 1000 2 1 2012-05-05 NULL -1 0-0  ' || pi || ' ' || ii AS line
          |FROM rkd WHERE rk <= 100 ORDER BY qid, rk""".stripMargin,
+
+    // dumpDayStat: per-day doclen sums → 5-day sliding window, integer
+    // division, %g text (printf('%g') == the g++-pinned cppDouble)
+    "q_kba_daystat" ->
+      s"""$DTok, byday AS (
+         |  SELECT '2012-10-' || lpad(((doc_id % 9) + 1)::VARCHAR, 2, '0') AS day,
+         |         sum(doclen)::BIGINT AS tc, count(*)::BIGINT AS dc
+         |  FROM dl GROUP BY 1
+         |), win AS (
+         |  SELECT day,
+         |    sum(tc) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS wt,
+         |    sum(dc) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS wd,
+         |    row_number() OVER (ORDER BY day) AS rn
+         |  FROM byday
+         |)
+         |SELECT day,
+         |  '/idx/' || day || ',past-5-day,' || printf('%g', (wt // wd)::DOUBLE) AS line
+         |FROM win WHERE rn > 5 ORDER BY day""".stripMargin,
+
+    // HighRecallInfo: the oracle derives the expected parsed rows from
+    // the same doc_id arithmetic the Spark side uses to BUILD the lines
+    // — an independent path around the split/strtol parse
+    "q_kba_recall" ->
+      """SELECT (doc_id * 1000 + 1325376000)::BIGINT AS s_time,
+        |       'doc' || doc_id::VARCHAR AS doc_id,
+        |       '2012-10-' || lpad(((doc_id % 9) + 1)::VARCHAR, 2, '0') AS directory
+        |FROM documents WHERE (doc_id * 37) % 1000 > 300
+        |ORDER BY s_time""".stripMargin,
 
     "q_field_restrict" ->
       s"""$DTok

@@ -413,4 +413,81 @@ object KbaScorers {
           .as("psgScore"),
         col("indriScore"))
   }
+
+  // ------------------------------------------------------------------
+  // the KbaProcessing main's LIVE day loop
+  // ------------------------------------------------------------------
+
+  /** processFilterThread's live per-day pass (kba/KbaProcessing.cc:505-551
+    * — the only FilterThread verb the shipped main actually calls is
+    * `ft.dumpDayStat(qt)`; process/update/expectationMaxim are commented
+    * out): a 5-day index window slides over the sorted day list, and for
+    * each day AFTER the first five the reference appends
+    * `<indexDir>,past-5-day,<oldDocSize>` (FilterThread::dumpDayStat,
+    * kba/FilterThread.cc:162-171) where
+    * oldDocSize = oldQt.termCount() / oldQt.documentCount() — BOTH
+    * operands `unsigned long`, so the "double" is an integer-division
+    * whole number; C++ default-ostream %g then prints it without a
+    * decimal point. todayDocSize is computed too but its dump line is
+    * commented out in the reference. The window stats are the federated
+    * sums over the five member day-indexes (QueryEnvironment addIndex /
+    * removeIndex rotation — stats summed, exactly Federation semantics).
+    *
+    * Input: ONE ROW PER DAY with that day's corpus stats (termCol =
+    * Engine.termCount semantics: token slots incl. stopped; docCol =
+    * document count). The per-day aggregation is the caller's shuffle;
+    * the unpartitioned windows here run over #days rows — bounded by
+    * the calendar, not the corpus — so the single-partition sort is not
+    * a scale hazard (the same argument as the reference's driver-side
+    * day loop). Days order lexicographically (KbaProcessing sorts the
+    * dirs with compareString); `dirPrefix` mirrors
+    * baseIndexPath + "/" prepended to each day dir.
+    */
+  def dayStatLines(perDay: DataFrame, dayCol: String = "day",
+                   termCol: String = "term_count", docCol: String = "doc_count",
+                   dirPrefix: String = ""): DataFrame = {
+    val byDay = org.apache.spark.sql.expressions.Window.orderBy(col(dayCol))
+    val win = byDay.rowsBetween(-5, -1)
+    val fmt = udf { (v: Double) => graft.apps.RunQuery.cppDouble(v) }
+    perDay
+      .withColumn("__wt", sum(col(termCol).cast("long")).over(win))
+      .withColumn("__wd", sum(col(docCol).cast("long")).over(win))
+      .withColumn("__rn", row_number().over(byDay))
+      .where(col("__rn") > 5)
+      .select(col(dayCol).as("day"),
+        concat(lit(dirPrefix), col(dayCol), lit(",past-5-day,"),
+          fmt(expr("__wt div __wd").cast("double"))).as("line"))
+  }
+
+  /** HighRecallInfo's judgement-file pass (kba/KbaProcessing.cc:81-102,
+    * live in main under --trng): whitespace-split each row, keep rows
+    * whose 5th column parses > 300 (strtol — longest leading integer
+    * prefix, 0 when none), split the 3rd column's stream id
+    * `epoch-docid` at its FIRST '-' into (sTime = strtol(prefix),
+    * docId = suffix), and carry the 8th column as the directory. The
+    * BerkeleyDB stream-db write (StatDb::wrtStreamInfo) is the
+    * reference's storage plumbing — the emitted rows ARE the stored
+    * records. Rows without a '-' in the stream id hit the reference's
+    * `npos+1 == 0` wrap (docId = the whole id); mirrored.
+    *
+    * One codegen'd scan: split once into a materialized array column,
+    * then pure column expressions (no UDF, no shuffle).
+    */
+  def highRecallRows(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val toksed = lines.withColumn("__toks", split(trim(col(lineCol)), "\\s+"))
+    def strtol(c: Column): Column = {
+      val digits = regexp_extract(c, "^[+-]?[0-9]+", 0)
+      when(digits === "", lit(0L)).otherwise(digits.cast("long"))
+    }
+    val sid = element_at(col("__toks"), 3)
+    val dash = instr(sid, "-") // 1-based; 0 when absent
+    toksed
+      .where(strtol(element_at(col("__toks"), 5)) > 300)
+      .select(
+        strtol(when(dash > 0, substring_index(sid, "-", 1)).otherwise(sid))
+          .as("s_time"),
+        when(dash > 0, expr("substring(element_at(__toks, 3), instr(element_at(__toks, 3), '-') + 1)"))
+          .otherwise(sid).as("doc_id"),
+        element_at(col("__toks"), 8).as("directory"))
+  }
 }

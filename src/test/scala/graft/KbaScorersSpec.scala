@@ -277,4 +277,38 @@ class KbaScorersSpec extends AnyFunSuite {
     val d2 = psg(1, 3, 3) + psg(0, 1 /* quirk */, 3)
     assert(math.abs(out(2L) - d2) < 1e-9)
   }
+
+  test("dayStatLines: 5-day sliding window, unsigned division, %g whole-number text") {
+    // 7 days → lines for days 6 and 7 only; the window is the PREVIOUS
+    // five days (current day excluded), then rotates by one
+    val perDay = Seq(
+      ("2012-10-01", 100L, 3L), ("2012-10-02", 50L, 2L),
+      ("2012-10-03", 70L, 1L), ("2012-10-04", 10L, 1L),
+      ("2012-10-05", 40L, 2L), ("2012-10-06", 999L, 9L),
+      ("2012-10-07", 8L, 1L)
+    ).toDF("day", "term_count", "doc_count")
+    val lines = KbaScorers.dayStatLines(perDay, dirPrefix = "/x/")
+      .orderBy("day").collect().map(_.getAs[String]("line"))
+    // day 6: (100+50+70+10+40)/(3+2+1+1+2) = 270/9 = 30
+    // day 7: (50+70+10+40+999)/(2+1+1+2+9) = 1169/15 = 77.93… → 77 (trunc)
+    assert(lines.toSeq == Seq(
+      "/x/2012-10-06,past-5-day,30",
+      "/x/2012-10-07,past-5-day,77"))
+  }
+
+  test("highRecallRows: score>300 strtol gate, first-dash stream-id split, col-8 directory") {
+    val lines = Seq(
+      "anno run1 1325400000-doc-7 t1 301 1 0 2012-10-03",  // kept; docId keeps its own dash
+      "anno run1 1325400001-d8 t1 300 1 0 2012-10-03",     // 300 is NOT > 300
+      "anno run1 1325400002-d9 t1 299junk 1 0 2012-10-04", // strtol: 299 → dropped
+      "anno run1 1325400003-d10 t1 500x 1 0 2012-10-04",   // strtol: 500 → kept
+      "anno run1 nodash t1 400 1 0 2012-10-05"             // npos wrap: docId = whole id, sTime 0
+    ).toDF("line")
+    val out = KbaScorers.highRecallRows(lines)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1325400000L, "doc-7", "2012-10-03"),
+      (1325400003L, "d10", "2012-10-04"),
+      (0L, "nodash", "2012-10-05")))
+  }
 }

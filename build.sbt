@@ -35,7 +35,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default driver/executor heap for local[N] runs: 32 task threads plus
+  // the per-sf-dir index caches (3 positional index builds persist across
+  // the 145-query surface) need ~1 GiB/core-class headroom — the old 8g
+  // default left a 4.1 GiB unified pool that thrashed storage eviction and
+  // GC once the cache set exceeded it (exploding per-rep times on the
+  // iterative queries). Production-equivalent sizing, not a local[32]
+  // special: any real executor gets 4-8 GiB/core. SPARK_DRIVER_MEM still
+  // overrides (e.g. 48g for the 2M-doc SIM/EXTENT phases).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // throughput GC: local[32] runs 32 task threads in ONE JVM; G1's
   // concurrent cycles throttle allocation-heavy tokenize/shuffle stages
   "-XX:+UseParallelGC",

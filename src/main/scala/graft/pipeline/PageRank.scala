@@ -20,15 +20,34 @@ object PageRank {
     * @param nodes one-column node universe (defines N and the output rows)
     */
   def compute(nodes: DataFrame, edges: DataFrame, c: Double = 0.7,
-              iterations: Int = 10): DataFrame = {
+              iterations: Int = 10): DataFrame =
+    // cadence 2 measured best across both fixture scales (BenchExtra
+    // pagerank-lab, bench/r6_pagerank_lab.json): every-iteration eager
+    // checkpoints tripled the 20-node wall time on pure job overhead,
+    // while 4+ iteration chains planned slower at 200k nodes
+    compute(nodes, edges, c, iterations, ckptEvery = 2)
+
+  /** [[compute]] with an explicit lineage-truncation cadence — exposed for
+    * the cadence lab in BenchExtra; semantics are cadence-invariant.
+    */
+  private[graft] def compute(nodes: DataFrame, edges: DataFrame, c: Double,
+                             iterations: Int, ckptEvery: Int): DataFrame = {
     val n = nodes.count().toDouble
     val base = (1.0 - c) / n
     val node = nodes.columns.head
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = edges.join(outDeg, "src")
     val eCached = e.persist()
-    var pr = nodes.select(col(node).as("id"), lit(base).as("pr"))
-    for (_ <- 1 to iterations) {
+    // the output id universe is CONSTANT across iterations — joining the
+    // next round's contributions against this cached frame (instead of
+    // pr.select("id")) means each iteration's plan references the
+    // previous pr exactly ONCE. With pr referenced twice per round, the
+    // un-checkpointed plan tree doubled per iteration (Catalyst plans are
+    // trees, not DAGs) — which is why the old code had to pay an eager
+    // localCheckpoint every single iteration.
+    val ids = nodes.select(col(node).as("id")).persist()
+    var pr = ids.select(col("id"), lit(base).as("pr"))
+    for (i <- 1 to iterations) {
       // LEFT join: a source outside the node universe still contributes —
       // the reference's _readPageRankFromFile returns the initial
       // (1−c)/N for a doc absent from the pr file (PageRank.cpp:76-83),
@@ -37,15 +56,20 @@ object PageRank {
         .select(col("dst").as("id"),
           (coalesce(col("pr"), lit(base)) / col("outdeg")).as("w"))
         .groupBy("id").agg(sum("w").as("acc"))
-      pr = pr.select(col("id")).join(contrib, Seq("id"), "left")
+      pr = ids.join(contrib, Seq("id"), "left")
         .select(col("id"), (lit(c) * coalesce(col("acc"), lit(0.0)) + base).as("pr"))
-        // truncate lineage each iteration — 10 chained join plans
-        // otherwise grow the optimizer time superlinearly
-        .localCheckpoint(true)
+      // truncate lineage every few iterations (linear chained join plans
+      // still grow optimizer time) — but NOT every one: an eager
+      // localCheckpoint is a full job + block materialization, and paying
+      // it 10× made the checkpoint, not the rank math, the dominant cost
+      // (round-5 verdict). The final iteration always checkpoints so the
+      // returned ranks reference neither cache unpersisted below.
+      if (i % ckptEvery == 0 || i == iterations) pr = pr.localCheckpoint(true)
     }
     // the final ranks are an eager localCheckpoint — they no longer
-    // reference the edge cache, so release it before returning
+    // reference the edge/id caches, so release both before returning
     eCached.unpersist(false)
+    ids.unpersist(false)
     pr
   }
 

@@ -543,25 +543,35 @@ object TextPipeline {
     val probeGrams = probes
       .select(expr(s"regexp_extract_all(lower($probeTextCol), '[a-z0-9]+', 0)").as("__toks"))
       .select(explode(array_distinct(shinglesCol(col("__toks"), n))).as("gram")).distinct()
-      .persist()
     val nProbe = math.max(probeGrams.count(), 1L)
-    val bf = probeGrams.stat.bloomFilter("gram", nProbe, fpp)
+    // the filter probes 64-bit xxhash64 values, not the gram strings:
+    // the per-row hash runs as a codegen'd expression and the Bloom
+    // probe is a cheap bit test over a long — the old string-keyed UDF
+    // re-encoded and re-hashed every ~100-byte gram row-at-a-time, which
+    // dominated the pass (guide §4.1: keep the hot path in codegen).
+    // False-positive semantics are unchanged (any hash collision is just
+    // another Bloom false positive) and every survivor still passes the
+    // exact STRING verify join below, so the output stays identical to
+    // ngramContamination.
+    val bf = probeGrams.select(xxhash64(col("gram")).as("gh"))
+      .stat.bloomFilter("gh", nProbe, fpp)
     val bcBf = docs.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => g != null && bcBf.value.mightContain(g))
+    val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
     val docGrams = withTokens(docs, idCol, textCol)
       .select(col(idCol), explode(array_distinct(shinglesCol(col("__toks"), n))).as("gram"))
-      .where(mightContain(col("gram")))
+      .where(mightContain(xxhash64(col("gram"))))
     // exact verify over the (tiny) surviving gram set — false positives
-    // from the filter die here, so the output matches ngramContamination
-    val hits = docGrams.join(probeGrams, Seq("gram"))
+    // from the filter die here, so the output matches ngramContamination.
+    // The probe side broadcasts (small by construction, same as the exact
+    // operator) instead of shuffling the survivors into a sort-merge join;
+    // recomputing the probe grams twice (filter build + verify join) is
+    // cheaper than pinning them in storage for the query's lifetime.
+    val hits = docGrams.join(broadcast(probeGrams), Seq("gram"))
       .groupBy(idCol).agg(count(lit(1)).as("hit_grams"))
-    val out = docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
         (coalesce(col("hit_grams"), lit(0L)) > 0).cast(LongType).as("contaminated"))
-      .localCheckpoint()
-    probeGrams.unpersist()
-    out
   }
 
   /** Repetition signals (the Gopher-style repetition filters): fraction

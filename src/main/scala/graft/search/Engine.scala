@@ -3460,6 +3460,30 @@ final class Engine(
       .select(col("docId"), col("pos"), col("term"))
   }
 
+  /** Per-document indexed-slot count (= the document-vector row count:
+    * doclen minus stopped/OOV slots) straight off the postings' tf
+    * column — for consumers that only need sizes, this skips the
+    * position explode [[documentVectors]] pays (tf == positions.length
+    * by construction, so Σ tf over a doc's postings is exactly the
+    * vector length).
+    */
+  def indexedLengths(docIds: DataFrame): DataFrame = {
+    val ids = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
+    notDeleted(index.postingsView()).join(ids, Seq("docId"), "left_semi")
+      .groupBy("docId").agg(sum(col("tf")).as("len"))
+  }
+
+  /** (docId, term, tf) for the given terms restricted to `docIds` —
+    * the term filter lands on the postings scan (block decode prunes on
+    * stored repositories) and tf reads the stored column, replacing the
+    * explode + re-count a document-vector pass would do.
+    */
+  def termFrequencies(docIds: DataFrame, terms: Seq[String]): DataFrame = {
+    val ids = docIds.select(col(docIds.columns.head).cast(LongType).as("docId"))
+    notDeleted(index.postingsView(terms)).join(ids, Seq("docId"), "left_semi")
+      .select(col("docId"), col("term"), col("tf").cast(LongType).as("tf"))
+  }
+
   def documentLength(docId: Long): Int =
     index.doclens.where(col("docId") === docId)
       .select("length").as[Int].collect().headOption.getOrElse(0)

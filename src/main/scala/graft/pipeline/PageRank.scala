@@ -21,11 +21,13 @@ object PageRank {
     */
   def compute(nodes: DataFrame, edges: DataFrame, c: Double = 0.7,
               iterations: Int = 10): DataFrame =
-    // cadence 2 measured best across both fixture scales (BenchExtra
-    // pagerank-lab, bench/r6_pagerank_lab.json): every-iteration eager
-    // checkpoints tripled the 20-node wall time on pure job overhead,
-    // while 4+ iteration chains planned slower at 200k nodes
-    compute(nodes, edges, c, iterations, ckptEvery = 2)
+    // cadence 4 measured best across both fixture scales once the
+    // loop-invariant caches persist pre-partitioned (BenchExtra
+    // pagerank-lab, bench/r6_pagerank_lab2.json: 200k nodes 2.9s vs 5.0s
+    // at cadence 1 and 9.1s with a single 10-deep plan; 20 nodes level
+    // with cadence 2): every-iteration eager checkpoints pay job
+    // overhead 10×, while very deep chains plan superlinearly
+    compute(nodes, edges, c, iterations, ckptEvery = 4)
 
   /** [[compute]] with an explicit lineage-truncation cadence — exposed for
     * the cadence lab in BenchExtra; semantics are cadence-invariant.
@@ -37,7 +39,13 @@ object PageRank {
     val node = nodes.columns.head
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = edges.join(outDeg, "src")
-    val eCached = e.persist()
+    // both loop-invariant caches persist ALREADY PARTITIONED by their
+    // join keys: a cached DataFrame keeps its outputPartitioning, so
+    // every iteration's joins against them plan with NO exchange on the
+    // cached side (guide §2.4 — two operations keyed the same way share
+    // one exchange). Only the contribution groupBy (the actual pagerank
+    // shuffle) and one re-hash of checkpointed ranks remain per round.
+    val eCached = e.repartition(col("src")).persist()
     // the output id universe is CONSTANT across iterations — joining the
     // next round's contributions against this cached frame (instead of
     // pr.select("id")) means each iteration's plan references the
@@ -45,7 +53,7 @@ object PageRank {
     // un-checkpointed plan tree doubled per iteration (Catalyst plans are
     // trees, not DAGs) — which is why the old code had to pay an eager
     // localCheckpoint every single iteration.
-    val ids = nodes.select(col(node).as("id")).persist()
+    val ids = nodes.select(col(node).as("id")).repartition(col("id")).persist()
     var pr = ids.select(col("id"), lit(base).as("pr"))
     for (i <- 1 to iterations) {
       // LEFT join: a source outside the node universe still contributes —

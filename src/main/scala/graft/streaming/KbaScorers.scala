@@ -463,6 +463,11 @@ object KbaScorers {
     * day loop). Days order lexicographically (KbaProcessing sorts the
     * dirs with compareString); `dirPrefix` mirrors
     * baseIndexPath + "/" prepended to each day dir.
+    *
+    * Precondition (round-5 advice): every input row has doc_count ≥ 1 —
+    * a real per-day aggregate cannot be empty. A zero-doc-window sum
+    * would make `__wt div __wd` null and emit a NULL line where the
+    * reference would SIGFPE on the unsigned division.
     */
   def dayStatLines(perDay: DataFrame, dayCol: String = "day",
                    termCol: String = "term_count", docCol: String = "doc_count",
@@ -493,6 +498,19 @@ object KbaScorers {
     *
     * One codegen'd scan: split once into a materialized array column,
     * then pure column expressions (no UDF, no shuffle).
+    *
+    * Documented divergences on PATHOLOGICAL input (round-5 advice —
+    * unreachable for well-formed judgement files):
+    *  - the reference narrows strtol's long into `int score`
+    *    (KbaProcessing.cc:89) so values outside 32-bit wrap before the
+    *    > 300 compare, and strtol clamps over-long digit strings to
+    *    LONG_MAX; here the full long compares, and a digit string that
+    *    overflows Long casts to null and DROPS the row;
+    *  - rows with ≥5 but <8 whitespace tokens pass the score gate and
+    *    emit directory = NULL (element_at out of range), where the
+    *    reference's rowTokens.at(7) throws std::out_of_range and aborts
+    *    the run; rows with <5 tokens are silently dropped instead of
+    *    crashing — the same tolerant-parse stance as the rule parser.
     */
   def highRecallRows(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     val toksed = lines.withColumn("__toks", split(trim(col(lineCol)), "\\s+"))

@@ -21,22 +21,52 @@ object PageRank {
     */
   def compute(nodes: DataFrame, edges: DataFrame, c: Double = 0.7,
               iterations: Int = 10): DataFrame =
-    // cadence 4 measured best across both fixture scales once the
-    // loop-invariant caches persist pre-partitioned (BenchExtra
-    // pagerank-lab, bench/r6_pagerank_lab2.json: 200k nodes 2.9s vs 5.0s
-    // at cadence 1 and 9.1s with a single 10-deep plan; 20 nodes level
-    // with cadence 2): every-iteration eager checkpoints pay job
+    // cadence 5 = 2 eager materializations per 10-iteration run (i=5,10),
+    // + SHUFFLED_HASH loop joins + scale-adaptive loop partitioning —
+    // the combination the pagerank-profile lab measured fastest
+    // (bench/r6_pagerank_profile.json, 5 reps: 200k nodes 1.49s vs
+    // 2.10s fixed-partitions, 2.31s cadence 4, 4.02s un-hinted; 20
+    // nodes 0.53s vs 0.86s; the earlier cadence lab
+    // bench/r6_pagerank_lab2.json showed 5.0s at cadence 1 and 9.1s for
+    // a single 10-deep plan): every-iteration eager checkpoints pay job
     // overhead 10×, while very deep chains plan superlinearly
-    compute(nodes, edges, c, iterations, ckptEvery = 4)
+    compute(nodes, edges, c, iterations, ckptEvery = 5, loopShuffleHash = true,
+      adaptiveParts = true)
 
   /** [[compute]] with an explicit lineage-truncation cadence — exposed for
     * the cadence lab in BenchExtra; semantics are cadence-invariant.
+    *
+    * `loopShuffleHash` pins both per-iteration joins to SHUFFLED_HASH
+    * (guide §3.1 — pick the strategy deliberately): both join inputs are
+    * hash-partitioned on the join key already (the loop-invariant caches
+    * by construction, the contribution aggregate by its own groupBy), so
+    * a shuffled-hash join plans with ZERO exchanges — whereas the
+    * size-based default turns each into a BroadcastHashJoin at fixture
+    * scale, i.e. a driver collect + broadcast of the ranks frame EVERY
+    * iteration (10-20 driver round-trips per compute). At 100-TB scale
+    * the ranks side never fits a broadcast anyway, so the hint changes
+    * nothing there; it only stops small graphs from paying the
+    * driver-bounce tax. Join semantics are strategy-invariant.
     */
   private[graft] def compute(nodes: DataFrame, edges: DataFrame, c: Double,
-                             iterations: Int, ckptEvery: Int): DataFrame = {
-    val n = nodes.count().toDouble
-    val base = (1.0 - c) / n
+                             iterations: Int, ckptEvery: Int,
+                             loopShuffleHash: Boolean,
+                             adaptiveParts: Boolean): DataFrame = {
+    def hinted(df: DataFrame) = if (loopShuffleHash) df.hint("shuffle_hash") else df
+    val spark = nodes.sparkSession
     val node = nodes.columns.head
+    // scale-ADAPTIVE loop parallelism (guide §2.2): ~20k nodes per
+    // shuffle partition, never above the session's configured shuffle
+    // partitions — at web scale the session setting governs; a small
+    // graph stops paying ~20 stages of near-empty task scheduling. The
+    // node count is read first (one cheap input scan) because the
+    // loop-invariant caches must be BUILT at the loop's partitioning.
+    val n = nodes.count().toDouble
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts =
+      if (adaptiveParts) math.max(1, math.min(sessionParts, math.ceil(n / 20000.0).toInt))
+      else sessionParts
+    val base = (1.0 - c) / n
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = edges.join(outDeg, "src")
     // both loop-invariant caches persist ALREADY PARTITIONED by their
@@ -45,7 +75,7 @@ object PageRank {
     // cached side (guide §2.4 — two operations keyed the same way share
     // one exchange). Only the contribution groupBy (the actual pagerank
     // shuffle) and one re-hash of checkpointed ranks remain per round.
-    val eCached = e.repartition(col("src")).persist()
+    val eCached = e.repartition(loopParts, col("src")).persist()
     // the output id universe is CONSTANT across iterations — joining the
     // next round's contributions against this cached frame (instead of
     // pr.select("id")) means each iteration's plan references the
@@ -53,26 +83,46 @@ object PageRank {
     // un-checkpointed plan tree doubled per iteration (Catalyst plans are
     // trees, not DAGs) — which is why the old code had to pay an eager
     // localCheckpoint every single iteration.
-    val ids = nodes.select(col(node).as("id")).repartition(col("id")).persist()
+    val ids = nodes.select(col(node).as("id")).repartition(loopParts, col("id")).persist()
+    // materialize BOTH caches before the loop compiles its first
+    // checkpoint segment: an AQE-wrapped cached plan reports
+    // UnknownPartitioning until its first materialization FINALIZES it,
+    // so an unmaterialized cache would get an ENSURE_REQUIREMENTS
+    // re-exchange in EVERY iteration of the first segment (measured in
+    // the pagerank-profile lab's executed plans)
+    ids.count()
+    eCached.count()
+    // the per-iteration groupBy plans at the session shuffle-partition
+    // count — align it with the loop partitioning for the duration of
+    // the loop (every action in scope is the loop's own checkpoints),
+    // restore unconditionally after
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (loopParts != sessionParts)
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var pr = ids.select(col("id"), lit(base).as("pr"))
-    for (i <- 1 to iterations) {
-      // LEFT join: a source outside the node universe still contributes —
-      // the reference's _readPageRankFromFile returns the initial
-      // (1−c)/N for a doc absent from the pr file (PageRank.cpp:76-83),
-      // so its links carry base/outdeg every iteration
-      val contrib = eCached.join(pr, eCached("src") === pr("id"), "left")
-        .select(col("dst").as("id"),
-          (coalesce(col("pr"), lit(base)) / col("outdeg")).as("w"))
-        .groupBy("id").agg(sum("w").as("acc"))
-      pr = ids.join(contrib, Seq("id"), "left")
-        .select(col("id"), (lit(c) * coalesce(col("acc"), lit(0.0)) + base).as("pr"))
-      // truncate lineage every few iterations (linear chained join plans
-      // still grow optimizer time) — but NOT every one: an eager
-      // localCheckpoint is a full job + block materialization, and paying
-      // it 10× made the checkpoint, not the rank math, the dominant cost
-      // (round-5 verdict). The final iteration always checkpoints so the
-      // returned ranks reference neither cache unpersisted below.
-      if (i % ckptEvery == 0 || i == iterations) pr = pr.localCheckpoint(true)
+    try {
+      for (i <- 1 to iterations) {
+        // LEFT join: a source outside the node universe still contributes —
+        // the reference's _readPageRankFromFile returns the initial
+        // (1−c)/N for a doc absent from the pr file (PageRank.cpp:76-83),
+        // so its links carry base/outdeg every iteration
+        val contrib = eCached.join(hinted(pr), eCached("src") === pr("id"), "left")
+          .select(col("dst").as("id"),
+            (coalesce(col("pr"), lit(base)) / col("outdeg")).as("w"))
+          .groupBy("id").agg(sum("w").as("acc"))
+        pr = ids.join(hinted(contrib), Seq("id"), "left")
+          .select(col("id"), (lit(c) * coalesce(col("acc"), lit(0.0)) + base).as("pr"))
+        // truncate lineage every few iterations (linear chained join plans
+        // still grow optimizer time) — but NOT every one: an eager
+        // localCheckpoint is a full job + block materialization, and paying
+        // it 10× made the checkpoint, not the rank math, the dominant cost
+        // (round-5 verdict). The final iteration always checkpoints so the
+        // returned ranks reference neither cache unpersisted below.
+        if (i % ckptEvery == 0 || i == iterations) pr = pr.localCheckpoint(true)
+      }
+    } finally {
+      if (loopParts != sessionParts)
+        spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     }
     // the final ranks are an eager localCheckpoint — they no longer
     // reference the edge/id caches, so release both before returning

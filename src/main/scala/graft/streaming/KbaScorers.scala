@@ -110,7 +110,6 @@ object KbaScorers {
     val (titleToks, bodyToks) = tokenCols(titleCol, bodyCol, stopwords)
     val withToks = docs.select(col(idCol).cast("long").as("docId"),
       concat(titleToks, bodyToks).as("toks"))
-    val sized = withToks.select(col("docId"), size(col("toks")).as("sz"))
 
     val qTerms: Seq[String] = entities
       .flatMap(e => e.labelTokens ++ e.abstractTokens).distinct
@@ -124,9 +123,16 @@ object KbaScorers {
     // aggregation). The eager localCheckpoint materializes the tiny
     // matched table (≤ candidates × |entity terms| rows) once, so both
     // consumers read it instead of re-scanning the corpus.
+    // corpus totals ride the SAME single pass as the matched-table
+    // materialization (Observation metrics collect during the
+    // checkpoint's action): the old separate `sized.agg` pass
+    // re-tokenized the ENTIRE corpus a second time just for
+    // (docCount, Σsize) — at 100-TB scale one full scan, for two longs
+    val totalsObs = org.apache.spark.sql.Observation()
     val matched = withToks
       .select(col("docId"), size(col("toks")).as("sz"),
         filter(col("toks"), t => t.isInCollection(qTerms)).as("mt"))
+      .observe(totalsObs, count(lit(1)).as("n"), sum(col("sz")).as("c"))
       .where(size(col("mt")) > 0)
       .select(col("docId"), col("sz"),
         explode(transform(array_distinct(col("mt")),
@@ -137,9 +143,9 @@ object KbaScorers {
       .localCheckpoint()
 
     // background stats: totals + per-term (df, cf) in the SAME token space
-    val totalsRow = sized.agg(count(lit(1)), sum(col("sz"))).head()
-    val totalDocs = totalsRow.getLong(0)
-    val collSize = totalsRow.getLong(1)
+    val totalsRow = totalsObs.get
+    val totalDocs = totalsRow("n").asInstanceOf[Long]
+    val collSize = totalsRow("c").asInstanceOf[Long]
     // averageDocSize is an int in CorpusStat — (int)(avg + 0.5)
     val avgDocSize = (collSize.toDouble / totalDocs + 0.5).toInt
     val termStats: Map[String, (Long, Long)] = matched

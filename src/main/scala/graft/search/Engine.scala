@@ -54,6 +54,43 @@ sealed trait ScoreTree extends Serializable
 final case class ScoreLeaf(g: Int) extends ScoreTree
 final case class ScoreBool(or: Boolean, left: ScoreTree, right: ScoreTree) extends ScoreTree
 
+/** Score-combination ops + fold for [[Engine]]'s generic combiner — top
+  * level, like ShrinkRule/ScoreTree above, so the combine UDF never
+  * captures an Engine $outer. Class-nested versions made every
+  * combined-belief task closure serialize the Engine AND its
+  * SparkSession — which works only while the session's lazy
+  * ObservationManager field is uninitialized; the first
+  * `Dataset.observe` anywhere in the session initializes it and every
+  * later combined query then dies with Task-not-serializable (found by
+  * the round-6 sf0.1 full-gate run).
+  */
+private[search] object CombineOps {
+  sealed trait CombineOp extends Serializable
+  case object OpSum extends CombineOp            // PlusNode / weighted sums
+  case object OpWsum extends CombineOp           // log(Σ w·exp(s))
+  case object OpOr extends CombineOp             // log(1 − Π(1 − exp(s)))
+  case object OpMax extends CombineOp
+
+  def fold(op: CombineOp, weights: Array[Double], scores: Array[Double]): Double = op match {
+    case OpSum =>
+      var acc = 0.0; var i = 0
+      while (i < scores.length) { acc += weights(i) * scores(i); i += 1 }
+      acc
+    case OpWsum =>
+      var acc = 0.0; var i = 0
+      while (i < scores.length) { acc += weights(i) * math.exp(scores(i)); i += 1 }
+      math.log(acc)
+    case OpOr =>
+      var notAny = 1.0; var i = 0
+      while (i < scores.length) { notAny *= (1.0 - math.exp(scores(i))); i += 1 }
+      math.log(1.0 - notAny)
+    case OpMax =>
+      var acc = Double.NegativeInfinity; var i = 0
+      while (i < scores.length) { if (scores(i) > acc) acc = scores(i); i += 1 }
+      acc
+  }
+}
+
 object ScoreTree {
   def fold(t: ScoreTree, gs: Array[Double]): Double = t match {
     case ScoreLeaf(g) => gs(g)
@@ -244,13 +281,19 @@ private[search] final class ClauseScorer(
   * match the scalar oracle that does the same.
   */
 final class Engine(
-    val spark: SparkSession,
+    // @transient: an Engine accidentally captured in a task closure must
+    // NOT drag the SparkSession with it — the session stops being
+    // Java-serializable the moment anything initializes its lazy
+    // ObservationManager (first Dataset.observe in the session), and no
+    // executor-side code path reads `spark` anyway (driver-only field)
+    @transient val spark: SparkSession,
     val index: InvertedIndex,
     val analyzer: Analyzer,
     var rule: ScoringRule = ScoringRule(method = "okapi")
 ) extends Serializable {
 
   import spark.implicits._
+  import CombineOps._
 
   def setScoringRules(spec: String): Unit = {
     rule = ScoringRule.parse(spec); smoothRules = Nil
@@ -1092,31 +1135,6 @@ final class Engine(
           scoreUdf(col("begins"), col("ends"), col("doclen")).as("score"),
           col("doclen")),
         bg = dl => sf.scoreOccurrence(0.0, dl, 0.0, dl))
-  }
-
-  private sealed trait CombineOp
-  private case object OpSum extends CombineOp            // PlusNode / weighted sums
-  private case object OpWsum extends CombineOp           // log(Σ w·exp(s))
-  private case object OpOr extends CombineOp             // log(1 − Π(1 − exp(s)))
-  private case object OpMax extends CombineOp
-
-  private def fold(op: CombineOp, weights: Array[Double], scores: Array[Double]): Double = op match {
-    case OpSum =>
-      var acc = 0.0; var i = 0
-      while (i < scores.length) { acc += weights(i) * scores(i); i += 1 }
-      acc
-    case OpWsum =>
-      var acc = 0.0; var i = 0
-      while (i < scores.length) { acc += weights(i) * math.exp(scores(i)); i += 1 }
-      math.log(acc)
-    case OpOr =>
-      var notAny = 1.0; var i = 0
-      while (i < scores.length) { notAny *= (1.0 - math.exp(scores(i))); i += 1 }
-      math.log(1.0 - notAny)
-    case OpMax =>
-      var acc = Double.NegativeInfinity; var i = 0
-      while (i < scores.length) { if (scores(i) > acc) acc = scores(i); i += 1 }
-      acc
   }
 
   /** Generic combiner: one shuffle (union + groupBy docId), children

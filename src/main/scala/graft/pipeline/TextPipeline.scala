@@ -224,17 +224,50 @@ object TextPipeline {
     * map to themselves.
     */
   def connectedComponentsStar(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50): DataFrame =
+    // fused signature + lazy large-star + single small-star join: the
+    // combination the cc-lab measured fastest (bench/r6_cc_lab.json) —
+    // 2 eager materializations + 1 collect per round shrink to 1 eager
+    // materialization whose pass also carries the convergence signature
+    connectedComponentsStar(nodes, idCol, pairs, maxIter, fused = true)
+
+  /** [[connectedComponentsStar]] with the per-round materialization
+    * strategy exposed for the cc-lab in BenchExtra — results are
+    * strategy-invariant (DedupClusterSpec pins both paths against a
+    * scalar union-find oracle).
+    *
+    * `fused = false` is the round-5 shape: per round the small-star
+    * union joins (sBoth ⋈ sMins) TWICE, and the convergence signature
+    * pays a separate collect job after the small-star checkpoint.
+    * `fused = true`:
+    *  - the small-star emit is ONE join + explode(array(v, u)) instead
+    *    of the same join evaluated twice under a union (guide §2.4);
+    *  - the convergence (count, xor-of-hashes) signature rides the
+    *    small-star checkpoint's single pass via Dataset.observe
+    *    (guide §2.3 — scan once; the scoreStreams pattern), replacing
+    *    the separate collect job per round.
+    * Both star sets keep their eager per-round localCheckpoint: the
+    * cc-lab measured the lazy-persist alternative for the large-star
+    * set SLOWER at 2M nodes — its two same-job consumers race to
+    * populate the cache and can compute the set twice, where the
+    * checkpoint materializes it exactly once.
+    */
+  private[graft] def connectedComponentsStar(nodes: DataFrame, idCol: String,
+                                             pairs: DataFrame, maxIter: Int,
+                                             fused: Boolean): DataFrame = {
+    val sigCnt = count(lit(1)).as("cnt")
+    val sigXor = coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L)).as("sig")
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(sigCnt, sigXor).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // the initial signature pass is over the just-checkpointed input —
+    // a block scan, not a recompute; fold-into-observe buys nothing here
     var edges = pairs
       .select(col("a").cast(LongType).as("x"), col("b").cast(LongType).as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
       .distinct().localCheckpoint()
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
     var sig = signature(edges)
     var iter = 0
     var converged = false
@@ -253,15 +286,30 @@ object TextPipeline {
       // emit (m, v) for the smaller neighbors and (m, u)
       val sBoth = ls.select(col("hi").as("u"), col("lo").as("v"))
       val sMins = sBoth.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = sBoth.join(sMins, "u")
-        .select(col("m").as("lo"), col("v").as("hi"))
-        .union(sBoth.join(sMins, "u").select(col("m").as("lo"), col("u").as("hi")))
-        .where(col("lo") =!= col("hi"))
-        .distinct().localCheckpoint()
-      val newSig = signature(ss)
+      val ssPlan =
+        if (fused)
+          sBoth.join(sMins, "u")
+            .select(col("m").as("lo"), explode(array(col("v"), col("u"))).as("hi"))
+            .where(col("lo") =!= col("hi"))
+            .distinct()
+        else
+          sBoth.join(sMins, "u")
+            .select(col("m").as("lo"), col("v").as("hi"))
+            .union(sBoth.join(sMins, "u").select(col("m").as("lo"), col("u").as("hi")))
+            .where(col("lo") =!= col("hi"))
+            .distinct()
+      val newSig =
+        if (fused) {
+          val obs = org.apache.spark.sql.Observation()
+          edges = ssPlan.observe(obs, sigCnt, sigXor).localCheckpoint()
+          val m = obs.get
+          (m("cnt").asInstanceOf[Long], m("sig").asInstanceOf[Long])
+        } else {
+          edges = ssPlan.localCheckpoint()
+          signature(edges)
+        }
       converged = newSig == sig
       sig = newSig
-      edges = ss
       iter += 1
     }
     if (!converged)

@@ -288,6 +288,65 @@ object BenchExtra {
             }
           }
           println(s"""{"metric":"cc_lab","cpus":$cpus,${outCc.mkString(",")}}""")
+        case "harvest-lab" =>
+          // harvest regex-pass lab (guide §1.4). Candidate: extract
+          // group 0 once (one full-html regex scan instead of the
+          // production shape's two, one per capture group) and rerun the
+          // pattern only over each short match string. REFUTED at
+          // 200k × 100-link docs: 2.75s production vs 4.60s candidate —
+          // the per-exploded-row regexp_extract calls (2 extra Matcher
+          // setups × #links rows) cost MORE than the saved document
+          // scan, at every tested link density. Kept as the evidence for
+          // leaving HarvestLinks.harvest alone.
+          import graft.pipeline.HarvestLinks
+          val nDocs = sys.env.getOrElse("SPARK_GRAFT_HARVEST_DOCS", "200000").toLong
+          val linkSpans = (0 until 100).map { j =>
+            concat(lit(s"<p>some filler prose segment $j for realism</p><a href=\"http://s"),
+              ((col("id") * 7 + j) % 9).cast("string"), lit(".test/doc"),
+              ((col("id") * 13 + j * 31) % nDocs).cast("string"),
+              lit(s"""">anchor text $j here</a>"""))
+          }
+          val docs = spark.range(0, nDocs)
+            .select(col("id").as("doc_id"),
+              concat(lit("http://src.test/doc"), col("id")).as("url"),
+              concat(linkSpans: _*).as("html"))
+            .persist()
+          docs.count()
+          val pat = "<a href=\"([^\"]+)\">([^<]*)</a>"
+          // candidate single-document-scan shape, inlined
+          def harvestSingleScan(): DataFrame = {
+            val ex = docs.select(col("doc_id").as("src_doc"), col("url").as("src_url"),
+              expr(s"regexp_extract_all(html, '$pat', 0)").as("__links"))
+            ex.select(col("src_doc"), col("src_url"), posexplode(col("__links")))
+              .select(col("src_doc"), col("src_url"), col("pos").as("link_ord"),
+                regexp_extract(col("col"), pat, 1).as("dst_url"),
+                array_join(expr(
+                  s"regexp_extract_all(lower(regexp_extract(col, '$pat', 2)), '[a-z0-9]+', 0)"),
+                  " ").as("anchor"))
+              .where(col("dst_url").isNotNull && col("anchor") =!= "")
+          }
+          def harvestProd(): DataFrame = HarvestLinks.harvest(docs)
+          // row-identity guard: same count + same order-insensitive hash
+          def sigOf(df: DataFrame): (Long, Long) = {
+            val r = df.agg(count(lit(1)), coalesce(expr(
+              "bit_xor(xxhash64(src_doc, src_url, link_ord, dst_url, anchor))"), lit(0L))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          require(sigOf(harvestProd()) == sigOf(harvestSingleScan()),
+            "harvest variants disagree — abort lab")
+          val rowsH = Seq(("prod_double_scan", harvestProd _),
+                          ("single_scan", harvestSingleScan _)).map {
+            case (tag, mk) =>
+              mk().write.format("noop").mode("overwrite").save() // warmup
+              val ts = (1 to reps).map { _ =>
+                val t0 = System.nanoTime()
+                mk().write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }
+              s""""$tag":{"median":${medianD(ts)},"reps":${ts.mkString("[", ",", "]")}}"""
+          }
+          docs.unpersist()
+          println(s"""{"metric":"harvest_lab","cpus":$cpus,"docs":$nDocs,${rowsH.mkString(",")}}""")
         case other =>
           System.err.println(s"unknown mode: $other")
       }

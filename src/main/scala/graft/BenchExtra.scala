@@ -347,6 +347,46 @@ object BenchExtra {
           }
           docs.unpersist()
           println(s"""{"metric":"harvest_lab","cpus":$cpus,"docs":$nDocs,${rowsH.mkString(",")}}""")
+        case "spans-lab" =>
+          // removeRepeatedSpans kept-index selection lab (guide §1.4):
+          // filter+array_contains (O(T·C) per doc) vs array_except
+          // (O(T+C) hash set). Boilerplate-heavy corpus so covered
+          // positions C are a large fraction of T — the worst case for
+          // the linear scan and the realistic shape for the operator
+          // (it exists because corpora have heavy boilerplate).
+          import graft.pipeline.TextPipeline
+          val nDocsS = sys.env.getOrElse("SPARK_GRAFT_SPANS_DOCS", "200000").toLong
+          val boiler = (0 until 64).map(j => s"boilerplate token$j shared").mkString(" ")
+          val docsS = spark.range(0, nDocsS)
+            .select(col("id").as("doc_id"),
+              concat(lit("unique preamble "), col("id").cast("string"), lit(" words "),
+                lit(boiler), lit(" middle "), col("id").cast("string"),
+                lit(" "), lit(boiler), lit(" tail"), (col("id") % 97).cast("string"))
+                .as("text"))
+            .persist()
+          docsS.count()
+          def runSpans(exceptKept: Boolean): DataFrame =
+            TextPipeline.removeRepeatedSpans(docsS, "doc_id", "text", 8, exceptKept)
+          // row-identity guard across strategies (order-insensitive hash)
+          def sigS(df: DataFrame): (Long, Long) = {
+            val r = df.agg(count(lit(1)), coalesce(expr(
+              "bit_xor(xxhash64(doc_id, n_tokens, n_kept, text_dedup))"), lit(0L))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          require(sigS(runSpans(false)) == sigS(runSpans(true)),
+            "spans variants disagree — abort lab")
+          val rowsS = Seq(("r5_filter_contains", false), ("array_except", true)).map {
+            case (tag, f) =>
+              runSpans(f).count() // warmup (the fn checkpoints eagerly)
+              val ts = (1 to reps).map { _ =>
+                val t0 = System.nanoTime()
+                runSpans(f).count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              s""""$tag":{"median":${medianD(ts)},"reps":${ts.mkString("[", ",", "]")}}"""
+          }
+          docsS.unpersist()
+          println(s"""{"metric":"spans_lab","cpus":$cpus,"docs":$nDocsS,${rowsS.mkString(",")}}""")
         case other =>
           System.err.println(s"unknown mode: $other")
       }

@@ -80,6 +80,24 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(out(2L) == ((11L, 3L, "p q r")))
     assert(out(3L) == ((4L, 4L, "unique tokens only here")))
     assert(out(4L) == ((16L, 8L, "m n o p q r s t")))
+    // kept-index selection strategy is semantics-invariant: the round-5
+    // filter+array_contains form must emit byte-identical rows to the
+    // array_except default — on the hand fixture AND on random docs
+    // with planted shared boilerplate (many covered positions)
+    val rnd = new scala.util.Random(7)
+    val boiler = (0 until 12).map(j => s"b$j").mkString(" ")
+    val randomDocs = (1L to 60L).map { i =>
+      val own = Seq.fill(3 + rnd.nextInt(10))("t" + rnd.nextInt(8)).mkString(" ")
+      val mid = if (i % 3 == 0) s" $boiler " else " "
+      (i, s"$own$mid$own ${if (i % 2 == 0) boiler else "solo" + i}")
+    }.toDF("doc_id", "text")
+    for (docsCase <- Seq(docs, randomDocs)) {
+      val byExcept = TextPipeline.removeRepeatedSpans(docsCase, "doc_id", "text", 8,
+        exceptKept = true).collect().map(_.toSeq).sortBy(_.head.toString)
+      val byFilter = TextPipeline.removeRepeatedSpans(docsCase, "doc_id", "text", 8,
+        exceptKept = false).collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(byExcept.toSeq == byFilter.toSeq)
+    }
   }
 
   test("components == scalar union-find on seeded random graphs") {
